@@ -1,0 +1,89 @@
+"""Warehouse-semantics operators: upsert/merge, surrogate keys, uniqueness.
+
+Reference parity for the Postgres load path (SURVEY.md §2.1 O13–O17):
+
+- O16 upsert  — ``INSERT ... ON CONFLICT (key) DO UPDATE SET value = EXCLUDED``
+  (reference scripts/lambda_handler_warehouse.py:95-101): last write wins on
+  the logical key.  Spark has no constraints and no in-place update, so the
+  merge is expressed relationally, in two equivalent forms.
+- O13 surrogate key — ``id SERIAL PRIMARY KEY``
+  (reference scripts/lambda_handler_warehouse.py:54): the reference's ids are
+  arrival-ordered and unstable across rebuilds (SURVEY.md §2.1), so we
+  generate ids from an *explicit* deterministic ordering instead.
+- UNIQUE enforcement (reference scripts/lambda_handler_warehouse.py:63)
+  becomes a validation operator, since the merge guarantees key uniqueness by
+  construction.
+
+Scale notes (100 TB): the anti-join form shuffles both sides on the key once —
+with the incoming batch typically small relative to the warehouse, AQE turns
+the anti join into a broadcast and the only shuffle left is the final write.
+The window form shuffles the union once on the key; prefer it when old/new are
+comparable in size.  With a transactional table format (Delta/Iceberg) this
+operator maps 1:1 onto MERGE INTO; the relational forms here are
+format-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_anti_join(old: DataFrame, new: DataFrame, key: Sequence[str]) -> DataFrame:
+    """Last-write-wins merge, anti-join form (SURVEY.md O16 mapping):
+    take every incoming row, plus the old rows whose key is not updated.
+
+    ``new`` must be key-unique (use :func:`dedupe_last` first if a single
+    batch may contain key collisions — the reference gets the same effect
+    from sequential per-file imports, lambda_handler_warehouse.py:79).
+    """
+    key = list(key)
+    survivors = old.join(new.select(*key).distinct(), on=key, how="left_anti")
+    return survivors.unionByName(new).select(*old.columns)
+
+
+def upsert_window(old: DataFrame, new: DataFrame, key: Sequence[str]) -> DataFrame:
+    """Last-write-wins merge, window-dedup form: union old and new with a
+    precedence tag, keep rank-1 per key (new beats old)."""
+    key = list(key)
+    tagged = old.withColumn("__prec", F.lit(0)).unionByName(new.withColumn("__prec", F.lit(1)))
+    w = Window.partitionBy(*key).orderBy(F.col("__prec").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prec")
+    )
+
+
+def dedupe_last(df: DataFrame, key: Sequence[str], order_by: Sequence[str]) -> DataFrame:
+    """Collapse intra-batch key collisions, keeping the row that sorts last by
+    ``order_by`` — mirrors the reference's later-file-wins semantics for a
+    single load (lambda_handler_warehouse.py:79, SURVEY.md §2.1)."""
+    w = Window.partitionBy(*key).orderBy(*[F.col(c).desc() for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def with_surrogate_key(df: DataFrame, order_by: Sequence[str], name: str = "id") -> DataFrame:
+    """O13 surrogate key over an explicit deterministic ordering.
+
+    A global ``row_number`` needs a total order — that is a single-partition
+    sort, fine for warehouse-dimension scale.  For 100 TB fact tables use
+    ``monotonically_increasing_id()`` (partition-local, no shuffle) or
+    ``zipWithIndex``-style offsets instead; the reference's SERIAL gives no
+    cross-rebuild stability either (SURVEY.md §2.1), so unstable ids are
+    explicitly within parity.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w).cast("long")).select(
+        name, *[c for c in df.columns]
+    )
+
+
+def check_unique(df: DataFrame, key: Sequence[str]) -> int:
+    """UNIQUE-constraint validation (reference lambda_handler_warehouse.py:63).
+    Returns the number of violating keys (0 == constraint holds)."""
+    return (
+        df.groupBy(*key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).count()
+    )

@@ -1,0 +1,68 @@
+"""Lake readers: explicit-schema scans for parquet / CSV / JSON.
+
+Replaces the reference's sources: the schemaless CSV scan
+(reference scripts/etl_process.py:71-74, operator O1), the boto3 object get
+(reference aws_service_classes.py:521-529, O19) and the per-file manifest
+filter (reference scripts/lambda_handler_warehouse.py:32-33, O12) — all
+subsumed by Spark's directory-scanning file sources with ``pathGlobFilter``.
+
+Scans always carry an explicit schema so Catalyst gets column pruning and
+(for parquet) filter pushdown; verify with ``df.explain`` — the FileScan node
+must show ``ReadSchema`` limited to referenced columns and ``PushedFilters``
+for comparison predicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from european_emissions_data_warehouse_spark.sources.schemas import TESTDATA_SCHEMAS
+
+TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan (reference O1) — but with an explicit schema instead of
+    all-strings inference, and proper quoting for values with embedded commas
+    (FIXTURES.md F1 `Category`)."""
+    reader = spark.read.options(header=header, delimiter=delimiter, quote='"', escape='"')
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table with its registered explicit schema."""
+    schema = TESTDATA_SCHEMAS.get(name)
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), schema)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register every testdata table as a temp view so `spark.sql` works over
+    the lake — the engine-native replacement for the reference's "connect
+    DBeaver to RDS and run SQL" surface (reference README.md:141-147)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,116 @@
+"""Golden tests for the flagship emissions ETL (reference O1..O11 + O16).
+
+Covers what the reference never tested (SURVEY.md §5.2): null-drop, filter,
+recode, decode, both O9 decode forms, upsert idempotency and last-write-wins.
+Fixture rows implement FIXTURES.md F1's required edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from european_emissions_data_warehouse_spark.operators.merge import (
+    check_unique,
+    upsert_anti_join,
+    upsert_window,
+    with_surrogate_key,
+)
+from european_emissions_data_warehouse_spark.plans.emissions import (
+    OUTPUT_COLUMNS,
+    TOTAL_GHG,
+    TOTAL_GHG_RAW,
+    UNIT_KT_CO2E,
+    clean_emissions,
+)
+from european_emissions_data_warehouse_spark.sources.schemas import (
+    EMISSIONS_RAW_SCHEMA,
+    WAREHOUSE_KEY,
+)
+
+GOOD = ("DE", "2025", "WEM", "Energy", TOTAL_GHG_RAW, "1234.56", "2022", "E")
+
+
+def raw_df(spark, rows):
+    return spark.createDataFrame(rows, EMISSIONS_RAW_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    return [
+        GOOD,
+        # (a) null in each of the 6 selected columns -> dropped by O3
+        (None, "2025", "WEM", "Energy", TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        ("FR", None, "WEM", "Energy", TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        ("FR", "2025", None, "Energy", TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        ("FR", "2025", "WEM", None, TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        ("FR", "2025", "WEM", "Energy", None, "1.0", "2022", "E"),
+        ("FR", "2025", "WEM", "Energy", TOTAL_GHG_RAW, None, "2022", "E"),
+        # null only in a *dropped* column -> survives
+        ("FR", "2030", "WAM", "Agriculture", TOTAL_GHG_RAW, "-12.5", None, None),
+        # (b) non-mapped CountryCode -> filtered by O4 isin
+        ("XX", "2025", "WEM", "Energy", TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        ("GB", "2025", "WEM", "Energy", TOTAL_GHG_RAW, "1.0", "2022", "E"),
+        # (c) non-total Gas -> filtered by O4 equality
+        ("DE", "2025", "WEM", "Energy", "CO2", "55.5", "2022", "E"),
+        ("DE", "2025", "WEM", "Energy", "CH4", "5.5", "2022", "E"),
+        # (e) row differing from GOOD only in a dropped column -> duplicate
+        # key after projection; category with embedded comma
+        ("AT", "2050", "WOM", "Land Use, Land-Use Change and Forestry",
+         TOTAL_GHG_RAW, "7.25", "2021", None),
+    ]
+
+
+def test_clean_golden(spark, fixture_rows):
+    out = clean_emissions(raw_df(spark, fixture_rows), decode="join")
+    assert out.columns == OUTPUT_COLUMNS
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("Germany", 2025, "WEM", "Energy", TOTAL_GHG, 1234.56, UNIT_KT_CO2E),
+        ("France", 2030, "WAM", "Agriculture", TOTAL_GHG, -12.5, UNIT_KT_CO2E),
+        ("Austria", 2050, "WOM", "Land Use, Land-Use Change and Forestry",
+         TOTAL_GHG, 7.25, UNIT_KT_CO2E),
+    }
+
+
+def test_decode_forms_identical(spark, fixture_rows):
+    raw = raw_df(spark, fixture_rows)
+    via_join = sorted(map(tuple, clean_emissions(raw, decode="join").collect()))
+    via_map = sorted(map(tuple, clean_emissions(raw, decode="map").collect()))
+    assert via_join == via_map
+
+
+def test_types_match_warehouse_ddl(spark, fixture_rows):
+    # reference DDL types: lambda_handler_warehouse.py:53-65
+    out = clean_emissions(raw_df(spark, fixture_rows))
+    dtypes = dict(out.dtypes)
+    assert dtypes["Year"] == "int"
+    assert dtypes["ReportedValue"] == "double"
+    assert dtypes["Country"] == "string"
+
+
+@pytest.mark.parametrize("merge", [upsert_anti_join, upsert_window])
+def test_upsert_last_write_wins(spark, fixture_rows, merge):
+    old = clean_emissions(raw_df(spark, fixture_rows))
+    # re-ingest with a changed value for the GOOD key (FIXTURES.md F3 check)
+    changed = GOOD[:5] + ("9999.0",) + GOOD[6:]
+    new = clean_emissions(raw_df(spark, [changed]))
+    merged = merge(old, new, WAREHOUSE_KEY)
+    assert merged.count() == old.count()  # update in place, no duplicate
+    val = merged.filter("Country = 'Germany'").select("ReportedValue").collect()
+    assert [r.ReportedValue for r in val] == [9999.0]
+    assert check_unique(merged, WAREHOUSE_KEY) == 0
+
+
+@pytest.mark.parametrize("merge", [upsert_anti_join, upsert_window])
+def test_upsert_idempotent(spark, fixture_rows, merge):
+    cleaned = clean_emissions(raw_df(spark, fixture_rows))
+    twice = merge(cleaned, cleaned, WAREHOUSE_KEY)
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, cleaned.collect()))
+
+
+def test_surrogate_key_deterministic(spark, fixture_rows):
+    cleaned = clean_emissions(raw_df(spark, fixture_rows))
+    ids1 = with_surrogate_key(cleaned, WAREHOUSE_KEY).select("id", "Country").collect()
+    ids2 = with_surrogate_key(cleaned, WAREHOUSE_KEY).select("id", "Country").collect()
+    assert sorted(map(tuple, ids1)) == sorted(map(tuple, ids2))
+    assert {r.id for r in ids1} == {1, 2, 3}
