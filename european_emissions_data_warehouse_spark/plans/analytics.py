@@ -1,0 +1,546 @@
+"""The delegated analytical query surface (SURVEY.md §0(c), §2.2).
+
+The reference pushes all ad-hoc analysis to PostgreSQL ("the processed data
+can be extracted from the database using SQL queries", reference
+README.md:147).  Here that surface is native: aggregations, multi-way joins,
+windows, sorts/limits, set ops, grouping sets — each as a DataFrame plan that
+Catalyst optimizes, each with a DuckDB oracle.
+
+Scale notes are attached per query; the common themes:
+- dimension joins broadcast (nation/region/supplier never shuffle the fact);
+- aggregations are partial (map-side combine) by construction in Spark;
+- top-k is `orderBy + limit`, which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, not a global sort);
+- window functions shuffle once on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+def _r2(col):  # noqa: ANN001 - column-in/column-out
+    return F.round(col, 2)
+
+
+def _avg2(col):  # noqa: ANN001
+    """Cross-engine-stable 2-decimal average: ROUND(SUM,2)/COUNT.
+
+    Spark's `round` rounds the *shortest decimal representation* HALF_UP
+    while DuckDB rounds the binary double, so ROUND(AVG(cents),2) diverges
+    whenever the exact average lands on a .xx5 boundary (frequent for
+    cent-precision data divided by small counts).  ROUND(SUM,2) is safe —
+    sums of cent-precision values are never at the boundary — and the
+    subsequent division is identical IEEE arithmetic in both engines."""
+    return F.round(F.sum(col), 2) / F.count(F.lit(1))
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-aggregable
+    groupBy — 6 aggregates over 2 low-cardinality keys.  At 100 TB this is
+    map-side combine into a 6-group exchange: effectively a scan-bound query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _avg2(F.col("l_quantity")).alias("avg_qty"),
+            _avg2(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+       ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + agg + top-10.  customer is the small
+    side (explicit broadcast); orders⨝lineitem is the one real shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"), "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_UNSHIPPED = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, order_date, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact joins only broadcast dims until the
+    orders⨝lineitem shuffle; revenue rolled up per region/nation."""
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING over a join (aggregate-then-filter)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _avg2(F.col("c_acctbal")).alias("avg_bal"))
+        .filter(F.col("n_customers") >= 5)
+        .orderBy("n_name")
+    )
+
+
+ORACLE_HAVING = """
+SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) / COUNT(*) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name HAVING COUNT(*) >= 5
+ORDER BY n_name
+"""
+
+
+# --- sorts / limits / top-k -------------------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, not a full sort — verify in
+    .explain.  Deterministic tie-break on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — a partial-aggregable shuffle on the projected column."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+# --- window functions -------------------------------------------------------
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer: one shuffle on the partition key, then
+    an in-partition ordered scan.  Deterministic frame order via key tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("running_spend"),
+        F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+def q_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number — the scalable "top per key" idiom
+    (no global sort; one shuffle on the group key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rank_in_segment", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_acctbal")
+    )
+
+
+ORACLE_TOP3_PER_SEGMENT = """
+SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank_in_segment, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — inter-row deltas per user over event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r2(F.col("value") - F.lag("value", 1).over(w)).alias("delta_prev"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta_prev,
+       LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+# --- joins beyond inner: semi / anti ----------------------------------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers with at least one urgent order.  Semi joins ship
+    only the key column of the probe side — cheaper than join+distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all (the merge operator's
+    building block, SURVEY.md O16)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets, tagged."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).withColumn("tag", F.lit("both"))
+    f_only = f_cust.exceptAll(o_cust).withColumn("tag", F.lit("f_only"))
+    o_only = o_cust.exceptAll(f_cust).withColumn("tag", F.lit("o_only"))
+    return both.unionByName(f_only).unionByName(o_only)
+
+
+ORACLE_SET_OPS = """
+WITH f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM f_cust INTERSECT SELECT * FROM o_cust)
+UNION ALL
+SELECT o_custkey, 'f_only' AS tag FROM (SELECT * FROM f_cust EXCEPT SELECT * FROM o_cust)
+UNION ALL
+SELECT o_custkey, 'o_only' AS tag FROM (SELECT * FROM o_cust EXCEPT SELECT * FROM f_cust)
+"""
+
+
+# --- grouping sets / rollup / cube ------------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation customer counts (subtotals + grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status × priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _r2(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# --- scalar function surface ------------------------------------------------
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar functions — the everyday expression
+    surface the reference delegates to Postgres (all whole-stage-codegen
+    JVM expressions here, no UDFs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_word"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+        F.concat_ws("-", F.lit("ord"), F.col("o_orderkey").cast("string")).alias("order_tag"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_before_2002"),
+        _r2(F.sqrt(F.col("o_totalprice"))).alias("price_sqrt"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dist_100k"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       UPPER(SUBSTR(o_orderpriority, 3, 20)) AS priority_word,
+       CAST(LENGTH(o_orderpriority) AS BIGINT) AS priority_len,
+       'ord-' || CAST(o_orderkey AS VARCHAR) AS order_tag,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+       CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_before_2002,
+       ROUND(SQRT(o_totalprice), 2) AS price_sqrt,
+       ABS(o_totalprice - 100000) AS price_dist_100k,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+FROM orders
+"""
+
+
+# --- event-time analytics (batch form of the streaming surface) -------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time — the batch twin of the
+    Structured Streaming windowed agg in streaming/ (same logical result)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — lag + cumulative
+    flag-sum, the standard two-window idiom (one shuffle on user_id).  The
+    streaming twin uses applyInPandasWithState (streaming/sessions.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w_order)
+    with_flag = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_flag.withColumn("session_id", F.sum("new_session").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+, sessions AS (
+  SELECT user_id, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_building_orders": q_top_unshipped,
+    "region_revenue": q_region_revenue,
+    "having_groups": q_having,
+    "topk_orders": q_topk_orders,
+    "distinct_segments": q_distinct,
+    "running_total": q_running_total,
+    "top3_per_segment": q_top3_per_segment,
+    "lag_lead": q_lag_lead,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "set_ops": q_set_ops,
+    "rollup_region": q_rollup,
+    "cube_status": q_cube,
+    "scalar_funcs": q_scalar_funcs,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_building_orders": ORACLE_TOP_UNSHIPPED,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "having_groups": ORACLE_HAVING,
+    "topk_orders": ORACLE_TOPK_ORDERS,
+    "distinct_segments": ORACLE_DISTINCT,
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "top3_per_segment": ORACLE_TOP3_PER_SEGMENT,
+    "lag_lead": ORACLE_LAG_LEAD,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "set_ops": ORACLE_SET_OPS,
+    "rollup_region": ORACLE_ROLLUP,
+    "cube_status": ORACLE_CUBE,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+}

@@ -57,6 +57,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its registered explicit schema."""
     schema = TESTDATA_SCHEMAS.get(name)
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS,false): illegal for Spark's reader.
+        # Scan it as a nanos long (runtime-settable legacy conf), then convert
+        # to the engine's microsecond TimestampType.  DuckDB truncates the
+        # same way when collecting to Python datetimes, so oracles align.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"), schema)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), schema)
 
 

@@ -117,9 +117,13 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
+    # (PARQUET_TYPE_ILLEGAL) — scanned as nanos-long via the
+    # spark.sql.legacy.parquet.nanosAsLong conf and converted to a microsecond
+    # TimestampType in readers.load_table (matching DuckDB's µs truncation).
     "events": _struct(
         ("event_id", LongType()),
-        ("ts", TimestampType()),
+        ("ts", LongType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
