@@ -1,0 +1,128 @@
+"""Text-analysis column functions for training-data pipelines
+(SURVEY.md §2.3): token counting, quality scoring, language ID,
+shingling, fingerprinting.
+
+Everything here is built-in `pyspark.sql.functions` expressions — JVM-side,
+whole-stage-codegen, no Python in the row path.  These run at scan speed on
+100 TB; the only shuffles belong to whatever aggregation the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols —
+# the classic GPT-2-style split approximated in one regex (identical RE2/Java
+# semantics in Spark and DuckDB for this pattern).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# A tiny multilingual stopword inventory for n-gram-free heuristic language
+# ID.  Word-boundary regexes keep it expressible in any engine.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|pas)\b",
+    "es": r"\b(el|los|las|es|una|para|con|por|del|como)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    empty = F.length(F.trim(text)) == 0
+    return F.when(empty, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish regex token count (long) — a deterministic proxy for LLM
+    token budgets."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols (double)."""
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    return n_punct / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are common English stopwords."""
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), F.lit(0)))
+    return hits / ws_token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality heuristic: long enough, not punctuation soup,
+    some stopword mass — the standard cheap pre-filter before expensive
+    dedup/classification stages."""
+    length_ok = F.when(F.length(text) >= 100, 1.0).otherwise(F.length(text) / 100.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct_ratio(text) - 0.2) * 2)
+    )
+    stop_ok = F.least(F.lit(1.0), stopword_ratio(text) * 4)
+    return (length_ok + punct_ok + stop_ok) / 3
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (long columns)."""
+    lower = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0))).cast("long")
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language by marker hits, 'en' winning ties, 'und' when no
+    marker fires.  Deterministic tie-break order: en > de > fr > es > zh."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in ["en", "de", "fr", "es", "zh"]:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct k-character shingles (array<string>) — the unit for n-gram
+    Jaccard and MinHash.  Documents shorter than k yield a single shingle
+    (the whole text)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+    )
+
+
+def word_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct n-token (word) shingles (array<string>).  More selective
+    than character shingles on small-vocabulary corpora — the preferred
+    unit for Jaccard/MinHash dedup of natural-language text."""
+    toks = F.split(F.trim(text), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def rolling_fingerprint(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing-style document fingerprint: the w smallest xxhash64 values
+    over the k-shingle set (array<long>, sorted).  Two documents sharing
+    most content share most fingerprint entries."""
+    hashes = F.transform(char_shingles(text, k), lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(hashes), 1, w)

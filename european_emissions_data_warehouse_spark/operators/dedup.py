@@ -1,0 +1,256 @@
+"""Deduplication operator family for training-data pipelines
+(SURVEY.md §2.3): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the reason each shape was chosen):
+
+- exact       — one hash-groupBy shuffle on the text (or its xxhash64);
+                the canonical first pass at any corpus size.
+- ngram       — exact Jaccard via shingle inverted index: explode -> join on
+                shingle -> per-pair intersection counts.  Quadratic in the
+                worst case; used as the *verifier* for candidate pairs and as
+                ground truth at test scale.
+- minhash_lsh — the 100 TB path: constant-size signature per doc (H hashes),
+                banded into b buckets; only same-bucket docs ever meet in the
+                join, so the shuffle volume is O(docs x b), not O(docs^2).
+- simhash     — 63-bit fingerprint per doc; Hamming-ball candidates via
+                banded equality (pigeonhole), verified with bit_count(xor).
+
+Everything is built-in expressions (xxhash64, transform/aggregate, bitwise,
+explode/groupBy/join) — no Python UDFs; hashes are Spark-deterministic, so
+results are reproducible but intentionally *not* SQL-oracle-expressible
+(DuckDB has no xxhash64): the driver records rows-only checks for the
+sketch-based variants and full oracle checks for exact/ngram.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.functions.text import char_shingles, word_shingles
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id.
+
+    Output: (keep_id, n_copies).  At 100 TB, group on xxhash64(text) first so
+    the shuffle carries 8-byte keys instead of document bodies; the full-text
+    equality check then runs only within hash groups (collision probability
+    ~2^-64, and the within-group compare removes even that risk).
+    """
+    return (
+        docs.groupBy(text_col)
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def _shingles(text_col, k: int, unit: str):
+    return word_shingles(text_col, k) if unit == "word" else char_shingles(text_col, k)
+
+
+def shingle_index(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 5, unit: str = "word"
+) -> DataFrame:
+    """Inverted index: (shingle, id, n_shingles) — one row per distinct
+    shingle per doc.  `unit` picks word n-grams (selective on natural
+    language) or char k-grams (robust to tokenization)."""
+    with_sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), k, unit).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles").cast("long"))
+    return with_sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    unit: str = "word",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    Inverted-index join: |intersection| from counting co-occurring shingles,
+    |union| = n_a + n_b - |intersection|.  The join key is the shingle, so
+    common shingles dominate cost — at scale, drop stop-shingles (document
+    frequency cap) before the self-join; word 5-grams keep shingles selective.
+    """
+    idx = shingle_index(docs, id_col, text_col, k, unit)
+    a = idx.select(
+        F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = idx.select(
+        F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 5, unit: str = "word",
+    num_hashes: int = 32
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes], shingles) — sig[i] is the min over
+    shingles of a seeded xxhash64.  One narrow pass, no shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), k, unit).alias("shingles")
+    )
+    def seeded_hash(i: int):
+        # closure factory: a 2-arg lambda would be misread by PySpark as the
+        # (element, index) transform variant
+        return lambda s: F.xxhash64(F.concat(s, F.lit(f"#{i}")))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    unit: str = "word",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs: (id_a, id_b, est_jaccard).
+
+    b bands of r = num_hashes/bands rows; same-band-hash docs become
+    candidates (P[candidate] ≈ 1-(1-j^r)^b, steep around j≈(1/b)^(1/r)).
+    Candidates are verified by the *signature* estimate (fraction of equal
+    minhashes) — cheap, already materialized; swap in ngram verification for
+    exactness when the corpus affords it.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, unit, num_hashes).drop("shingles")
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * r + 1, r)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_SIMHASH_BITS = 63  # stay inside a signed 64-bit long
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint long): per-token xxhash64, ±1 vote per bit, sign of
+    the vote sum sets the bit.  Statically unrolled to 63 built-in bit
+    expressions — wide but shuffle-free."""
+    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    with_h = docs.select(F.col(id_col).alias("id"), hashes.alias("hs"))
+
+    def bit_vote(i: int):
+        # sum over tokens of (bit_i ? +1 : -1), positive -> bit set.
+        # closure factory keeps the merge lambda strictly 2-arg (a 3-arg
+        # lambda is rejected/misread by PySpark's arity inspection).
+        def merge(acc, h):
+            return acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        vote = F.aggregate(F.col("hs"), F.lit(0), merge)
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    fp = reduce(
+        lambda acc, i: acc.bitwiseOR(F.shiftleft(bit_vote(i), i)),
+        range(_SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return with_h.select("id", fp.alias("fingerprint"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming) with hamming <=
+    max_hamming.  Pigeonhole banding: split the fingerprint into
+    max_hamming+1 16-bit bands — any pair within the Hamming ball agrees on
+    at least one band, so the candidate join is equality-keyed (shuffle on
+    16-bit band values, never all-pairs)."""
+    n_bands = max_hamming + 1
+    fps = simhash(docs, id_col, text_col)
+    banded = fps.select(
+        "id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fingerprint", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fingerprint", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("fingerprint").alias("fp_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("fingerprint").alias("fp_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,86 @@
+"""Multimodal column plumbing (SURVEY.md §2.3): image/audio/video as opaque
+`binary` columns with typed metadata, processed by Arrow-batched
+`mapInPandas`.
+
+The Spark-side machinery — schema, batch iteration, partition sizing, UDF
+signatures — is real and tested.  The actual codecs (PIL/ffmpeg/soundfile)
+are NOT in this container, so decode is a clearly marked stub: by default it
+raises NotImplementedError; with `fake=True` it derives deterministic
+pseudo-features from the bytes so the pipeline shape can be exercised and
+oracle-checked end-to-end.
+
+At 100 TB: binary payloads dominate row size — keep them in their own
+parquet column (never in join keys), size `spark.sql.files.maxPartitionBytes`
+so a batch of payloads fits executor memory, and project the payload away
+immediately after feature extraction (the returned frame drops it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, width long, height long, checksum long"
+)
+
+
+def _decode_real(payload: bytes, media_type: str) -> tuple[int, int]:
+    """Real decode path — requires PIL/ffmpeg, absent in this container."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/soundfile) are not available in this "
+        "environment; run with fake=True for the deterministic stub"
+    )
+
+
+def _decode_fake(payload: bytes, media_type: str) -> tuple[int, int]:
+    """Deterministic stand-in: pseudo width/height from payload length."""
+    n = len(payload)
+    return (n % 640, (n * 7) % 480)
+
+
+def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Input schema: sources.schemas.MEDIA_SCHEMA (asset_id, media_type,
+    payload binary, ...).  Output: FEATURE_SCHEMA, payload projected away.
+    Arrow moves the binary column zero-copy into pandas; the decode runs
+    per-batch in Python, the only place Python belongs in this engine.
+    """
+    decode = _decode_fake if fake else _decode_real
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    # cheap integrity checksum: first/last byte + length mix
+                    "checksum": [
+                        (len(p) + (p[0] if len(p) else 0) * 31 + (p[-1] if len(p) else 0))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(features, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table as a media table (utf-8 payload),
+    so the multimodal plumbing is exercised against real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("meta_source"),
+        F.col("n_chars").alias("meta_bytes"),
+    )

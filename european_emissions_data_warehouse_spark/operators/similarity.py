@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3).
+
+Two tiers, mirroring how ANN is actually run on large corpora:
+
+- brute-force cosine top-k — the exact baseline: |Q| x |N| cross join with a
+  JVM-side cosine.  Right answer, O(Q*N) work; fine when Q is small or as
+  the ground-truth for recall measurement.
+- LSH-bucketed ANN — the scale path: random-hyperplane (sign) signatures,
+  banded; candidates only meet within a bucket, so the join is
+  equality-keyed.  Planes are derived deterministically from xxhash64, so
+  results are reproducible without a stored model.
+
+Embedding cosine near-dup reuses the brute-force machinery pairwise over a
+deterministic subsample (dedup verification is Q==N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, sim).
+
+    The corpus side streams through a broadcast of the (small) query set, so
+    the plan is a single scan of the corpus with no shuffle until the
+    per-query top-k (a k-row-per-group window on query_id).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — exact, O(n^2/2).
+    Use on a subsample or within LSH buckets at scale."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _hyperplane_signature(vec_col, dim: int, n_planes: int, seed: str = "lsh"):
+    """Sign-LSH signature as an array<int> of 0/1 bits.  Plane components are
+    pseudo-random ±1 derived from xxhash64(seed, plane, dim-index) — fully
+    deterministic, no stored model, identical on every executor."""
+    def bit(p: int):
+        # dot(v, plane_p) where plane_p[d] = ±1 from the hash parity.
+        # closure factory: zip_with's merge lambda must be strictly 2-arg.
+        def component(v, d):
+            return v.cast("double") * (
+                F.xxhash64(F.concat_ws("_", F.lit(seed), F.lit(p), d.cast("string")))
+                .bitwiseAND(F.lit(1))
+                .cast("double")
+                * 2
+                - 1
+            )
+
+        s = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)), component),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.array(*[bit(p) for p in range(n_planes)])
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: (query_id, rank, neighbor_id, sim).
+
+    Signature -> band -> bucket join -> exact cosine only within candidates.
+    With b bands of r planes, P[candidate] = 1-(1-p^r)^b where p = 1 - θ/π:
+    near-duplicate angles almost surely collide, orthogonal ones rarely.
+    Tune r to the corpus similarity gap: high-sim corpora afford r=8+ (strong
+    pruning); weak-signal corpora (top-k cosine ~0.4, p~0.63) need r=2..4 or
+    recall collapses — recall 1-(1-p^r)^b governs the choice.
+    At 100 TB the bucket join replaces the cross join — shuffle volume drops
+    from |Q|x|N| to the bucket occupancy."""
+    r = n_planes // bands
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
+            .withColumn("sig", _hyperplane_signature(F.col(f"{prefix}_vec"), dim, n_planes))
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("band"),
+                                F.hash(F.slice("sig", i * r + 1, r)).alias("bucket"),
+                            )
+                            for i in range(bands)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+        )
+
+    qb = banded(queries, "q")
+    cb = banded(corpus, "c")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )

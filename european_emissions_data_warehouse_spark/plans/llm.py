@@ -1,10 +1,304 @@
-"""LLM-data-pipeline extensions (SURVEY.md §2.3) — filled in incrementally.
+"""LLM-data-pipeline extensions (SURVEY.md §2.3) over the `documents` and
+`embeddings` tables: dedup family, similarity search, text analysis,
+multimodal plumbing.
 
-Dedup family, similarity search, text analysis, multimodal plumbing over the
-`documents` / `embeddings` tables.
+Oracle coverage: exact dedup, n-gram Jaccard, text stats, language ID,
+cosine pairs, brute-force ANN and media features are fully
+DuckDB-expressible.  The hash-sketch operators (MinHash LSH, SimHash,
+hyperplane LSH, fingerprinting) depend on Spark's xxhash64/murmur3 and get
+the driver's rows-only determinism check instead — by design, not omission.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    bpe_token_count,
+    char_count,
+    predict_lang,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    ws_token_count,
+)
+from european_emissions_data_warehouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from european_emissions_data_warehouse_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from european_emissions_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs at threshold 0.4."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.4)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                        FOR i IN range(1, GREATEST(len(toks) - 4, 1) + 1)]) AS shingles
+  FROM base
+), sh AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, UNNEST(shingles) AS shingle FROM sh0
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (rows-only check: xxhash64 has no DuckDB
+    equivalent).  32 hashes, 8 bands — steep around jaccard ~0.4."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.35)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=6 pairs (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM c, q WHERE nid != qid
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ROUND(sim, 4) AS sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only: hyperplanes derive from
+    xxhash64).  Recall vs q_ann_topk is the quality metric, measured in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = lsh_topk(queries, emb, dim=64, k=5, n_planes=16, bands=8)
+    return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine pairs >= 0.3 over a deterministic 10% subsample —
+    the embedding-space near-dup operator (threshold is corpus-tuned; this
+    synthetic corpus tops out ~0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    out = cosine_neardup_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+ORACLE_COSINE_PAIRS = """
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+FROM s a, s b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + quality heuristics — pure JVM expressions
+    (scan-speed at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        char_count(t).alias("n_chars_text"),
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stop_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+           / (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars_text, ws_tokens, bpe_tokens, punct_ratio, stop_ratio,
+       ((CASE WHEN n_chars_text >= 100 THEN 1.0 ELSE n_chars_text / 100.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
+        + LEAST(1.0, stop_ratio * 4)) / 3 AS quality
+FROM m
+"""
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        predict_lang(F.col("text")).alias("pred_lang"),
+        "lang",
+        (predict_lang(F.col("text")) == F.col("lang")).alias("is_match"),
+    )
+
+
+_LANG_HITS_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+    for lang, pat in LANG_MARKERS.items()
+}
+
+ORACLE_LANG_PREDICT = rf"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_LANG_HITS_SQL['en']} AS h_en,
+         {_LANG_HITS_SQL['de']} AS h_de,
+         {_LANG_HITS_SQL['fr']} AS h_fr,
+         {_LANG_HITS_SQL['es']} AS h_es,
+         {_LANG_HITS_SQL['zh']} AS h_zh
+  FROM documents
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+              WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+              WHEN h_de = GREATEST(h_de, h_fr, h_es, h_zh) THEN 'de'
+              WHEN h_fr = GREATEST(h_fr, h_es, h_zh) THEN 'fr'
+              WHEN h_es = GREATEST(h_es, h_zh) THEN 'es'
+              ELSE 'zh' END AS pred_lang
+  FROM hits
+)
+SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM pred
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint (rows-only: xxhash64-based).
+    Output keeps the 4-minima fingerprint as separate long columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint(F.col("text"), k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("full_hash"),
+        fp[0].alias("fp0"),
+        fp[1].alias("fp1"),
+        fp[2].alias("fp2"),
+        fp[3].alias("fp3"),
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: documents re-typed as media assets
+    (utf-8 payload), features extracted via Arrow-batched mapInPandas with
+    the deterministic fake codec (real codecs absent in this container —
+    operators/multimodal.py)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(media, fake=True)
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT doc_id AS asset_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+       CAST(octet_length(encode(text))
+            + ascii(substr(text, 1, 1)) * 31
+            + ascii(substr(text, length(text), 1)) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "cosine_pairs": q_cosine_pairs,
+    "text_stats": q_text_stats,
+    "lang_predict": q_lang_predict,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "cosine_pairs": ORACLE_COSINE_PAIRS,
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_predict": ORACLE_LANG_PREDICT,
+    "media_features": ORACLE_MEDIA_FEATURES,
+}

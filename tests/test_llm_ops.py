@@ -1,0 +1,73 @@
+"""Quality/behavior tests for the LLM-pipeline operators beyond the oracle
+gate: LSH recall vs brute force, sketch sanity, multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from european_emissions_data_warehouse_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from european_emissions_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """The approximate path must recover most of the exact top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(queries, emb, dim=64, k=5, n_planes=16, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_minhash_catches_ngram_pairs(spark, sf_dir):
+    """MinHash candidates should cover most true Jaccard>=0.5 pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    if not truth:
+        pytest.skip("no true near-dup pairs at this sf")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.7, f"minhash recall too low: {recall:.2f}"
+
+
+def test_multimodal_real_codec_raises(spark, sf_dir):
+    """Without fake=True the decode stub must fail loudly, not fabricate."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_media_features(media, fake=False).collect()
+
+
+def test_multimodal_batch_shape(spark, sf_dir):
+    """The Arrow path must preserve ids 1:1 and drop the payload column."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, fake=True)
+    assert "payload" not in feats.columns
+    assert feats.count() == media.count()
+    joined = feats.join(
+        media.select("asset_id", F.length("payload").alias("true_len")), "asset_id"
+    )
+    assert joined.filter(F.col("n_bytes") != F.col("true_len")).count() == 0
