@@ -1,0 +1,143 @@
+"""Incremental ingest — the reference's event-driven path, Spark-native.
+
+Reference mechanism (SURVEY.md §3.1): S3 ObjectCreated -> Lambda ->
+Glue job -> CSV sink -> second Lambda -> Postgres COPY + ON CONFLICT upsert
+(reference aws_service_classes.py:805-815, lambda_handler_etl.py:5-12,
+lambda_handler_warehouse.py:79-106).  Five process boundaries to get one
+file into the warehouse.
+
+Spark-native equivalent: a Structured Streaming file source watching the
+landing directory.  `trigger(availableNow=True)` reproduces exactly the
+drop-a-file-and-it-ingests semantics — each new file becomes a micro-batch,
+processed then committed to the checkpoint, and the query drains and stops
+(so it composes with batch orchestration).  The warehouse upsert runs in
+`foreachBatch` via the same merge operator the batch path uses (O16 parity:
+last write wins on the logical key).
+
+Exactly-once story: the file-source checkpoint deduplicates *inputs* across
+restarts; the merge makes re-processing *idempotent* on the key — together
+they match the reference's at-least-once delivery + idempotent upsert
+(SURVEY.md §2.2 streaming row).
+
+At scale: maxFilesPerTrigger bounds micro-batch size; the merge's anti-join
+broadcasts the (small) incoming batch against the warehouse, so steady-state
+cost is one warehouse scan per trigger — switch the sink to a transactional
+format (Delta/Iceberg MERGE) to avoid even that rewrite."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from european_emissions_data_warehouse_spark.operators.merge import (
+    dedupe_last,
+    upsert_anti_join,
+)
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (the raw-bucket stand-in)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(src_dir)
+
+
+def run_incremental_upsert(
+    stream: DataFrame,
+    warehouse_path: str,
+    checkpoint_path: str,
+    key: Sequence[str],
+    order_by: Sequence[str],
+) -> None:
+    """Drain all currently-available files into the warehouse with
+    last-write-wins merge semantics, then stop (availableNow).
+
+    Each micro-batch: collapse intra-batch key collisions (later-file-wins,
+    mirroring the reference's sequential per-file imports), then merge into
+    the existing warehouse parquet.  The read-modify-overwrite footgun
+    (SURVEY.md §7.4: mode('overwrite') deletes the input it is still lazily
+    reading) is avoided by writing the merged result to a staging directory
+    and atomically renaming — never a driver-side collect, so the pattern
+    holds at any warehouse size."""
+    spark = stream.sparkSession
+    key = list(key)
+
+    def swap_dirs(staging: str, final: str) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        final_p = jvm.org.apache.hadoop.fs.Path(final)
+        staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+        if fs.exists(final_p):
+            fs.delete(final_p, True)
+        fs.rename(staging_p, final_p)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        cleaned = dedupe_last(batch, key, order_by)
+        try:
+            old = spark.read.parquet(warehouse_path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            staging = f"{warehouse_path}__staging_{batch_id}"
+            upsert_anti_join(old, cleaned, key).write.mode("overwrite").parquet(staging)
+            swap_dirs(staging, warehouse_path)
+        else:
+            cleaned.write.mode("overwrite").parquet(warehouse_path)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_windowed_counts(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming twin of plans.analytics.q_events_hourly: event-time tumbling
+    window with a watermark for late data, append-mode parquet sink.
+
+    The watermark bounds state: windows older than max(event_time) - watermark
+    finalize and emit; later-arriving events for them are dropped — the
+    explicit late-data policy the reference never had (its Lambda chain would
+    silently double-import)."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

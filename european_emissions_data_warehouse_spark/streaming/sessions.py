@@ -1,0 +1,109 @@
+"""Stateful streaming sessionization — applyInPandasWithState.
+
+The streaming twin of plans.analytics.q_sessionize (lag + cumulative-sum
+batch idiom): per-user sessions closed after a 30-minute inactivity gap.
+Batch can see the whole timeline; a stream cannot, so state carries the open
+session (start, last-seen, count, value-sum) across micro-batches and a
+processing-time timeout flushes sessions whose gap elapsed between batches.
+
+This is the engine's custom-stateful-operator template (SURVEY.md §2.3
+guidance: applyInPandasWithState for semantics the built-in windowed aggs
+can't express — session windows with per-key state and timeouts).
+
+State size = one small tuple per active user — at 100 TB of events the
+bound is active keys, not data volume, and the state store shards with the
+shuffle partitions of the groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, session_value double"
+)
+STATE_SCHEMA = "start long, last long, n long, total double"
+
+GAP_SECONDS = 30 * 60
+
+
+def _epoch_us(ts: pd.Timestamp) -> int:
+    return int(ts.value // 1000)  # pandas stores ns
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = GAP_SECONDS, timeout_ms: int = 60_000
+) -> DataFrame:
+    """Emit closed sessions (user_id, start, end, n_events, session_value).
+
+    Within a micro-batch the rows of one user arrive as pandas frames; the
+    running session folds in event order.  A session closes when the gap to
+    the next event exceeds `gap_seconds`, or on state timeout when the
+    stream goes quiet."""
+
+    def fold(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "session_value": [total],
+                }
+            )
+            return
+
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t = _epoch_us(ts)
+                if start is None:
+                    start, last, n, total = t, t, 1, float(value)
+                elif t - last > gap_seconds * 1_000_000:
+                    closed.append((start, last, n, total))
+                    start, last, n, total = t, t, 1, float(value)
+                else:
+                    last = t
+                    n += 1
+                    total += float(value)
+
+        if start is not None:
+            state.update((start, last, n, total))
+            state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "session_value": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,169 @@
+"""Structured Streaming tests: availableNow file ingest + upsert parity with
+the reference's S3-event semantics, windowed counts, stateful sessions."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.merge import check_unique
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+from european_emissions_data_warehouse_spark.streaming.ingest import (
+    run_incremental_upsert,
+    run_windowed_counts,
+    stream_from_directory,
+)
+from european_emissions_data_warehouse_spark.streaming.sessions import (
+    sessionize_stateful,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    # materialized with µs timestamps (the nanos parquet needs load_table)
+    return load_table(spark, sf_dir, "events")
+
+
+def test_file_drop_ingest_with_upsert(spark, events_batch, tmp_path):
+    """Drop file 1, drain; drop file 2 with overlapping keys, drain —
+    the warehouse must show last-write-wins on event_id, like the
+    reference's re-ingest path (lambda_handler_warehouse.py:95-101)."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events_batch.filter(F.col("event_id") < 100)
+    first.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    def drain():
+        stream = stream_from_directory(
+            spark, landing, spark.read.parquet(landing).schema
+        )
+        run_incremental_upsert(
+            stream, warehouse, ckpt, key=["event_id"], order_by=["ts", "value"]
+        )
+
+    drain()
+    wh1 = spark.read.parquet(warehouse)
+    assert wh1.count() == first.count()
+
+    # second drop: 50 updated events (value bumped) + 20 new ones
+    updates = (
+        events_batch.filter(F.col("event_id") < 50)
+        .withColumn("value", F.lit(12345.0))
+    )
+    news = events_batch.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 120)
+    )
+    updates.unionByName(news).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+
+    wh2 = spark.read.parquet(warehouse)
+    assert wh2.count() == first.count() + 20
+    assert check_unique(wh2, ["event_id"]) == 0
+    assert (
+        wh2.filter((F.col("event_id") < 50) & (F.col("value") != 12345.0)).count() == 0
+    )
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_checkpoint_no_reprocess(spark, events_batch, tmp_path):
+    """Draining twice without new files must not change the warehouse
+    (file-source checkpoint = the exactly-once input ledger)."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.limit(50).coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    for _ in range(2):
+        run_incremental_upsert(
+            stream_from_directory(spark, landing, schema),
+            warehouse,
+            ckpt,
+            key=["event_id"],
+            order_by=["ts"],
+        )
+    assert spark.read.parquet(warehouse).count() == 50
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_batch, tmp_path):
+    """Streaming tumbling-window agg == batch groupBy for every *finalized*
+    window.  In append mode a window emits only once the watermark passes
+    its end, so the trailing partial hour (window_end > max event time)
+    stays in state — excluded from the truth set accordingly."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.coalesce(2).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    run_windowed_counts(
+        stream_from_directory(spark, landing, schema), out, ckpt, watermark="0 seconds"
+    )
+    streamed = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    max_ts = events_batch.agg(F.max("ts")).first()[0]
+    batch = (
+        events_batch.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
+    """applyInPandasWithState session counts == the batch lag+cumsum
+    sessionization for sessions that closed (every user's history is in one
+    drain here, so all but the final open session per user emit)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    small = events_batch.filter(F.col("user_id") < 20)
+    small.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    stream = stream_from_directory(spark, landing, schema)
+    sessions = sessionize_stateful(stream)
+    (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = spark.read.parquet(out)
+
+    # batch truth: closed sessions only (drop each user's last session)
+    from european_emissions_data_warehouse_spark.plans.analytics import q_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_all = q_sessionize(spark, str("/root/testdata/sf0.001")).filter(
+        F.col("user_id") < 20
+    )
+    last_per_user = batch_all.groupBy("user_id").agg(
+        F.max("session_id").alias("session_id")
+    )
+    closed_truth = batch_all.join(last_per_user, ["user_id", "session_id"], "left_anti")
+
+    assert streamed.count() == closed_truth.count()
+    s = {(r.user_id, r.n_events) for r in streamed.collect()}
+    t = {(r.user_id, r.n_events) for r in closed_truth.collect()}
+    assert s == t
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
