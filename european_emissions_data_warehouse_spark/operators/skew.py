@@ -1,0 +1,76 @@
+"""Skew-handling operators for hot keys at scale.
+
+AQE's skew-join splitting (on by default in session.py) handles most skew in
+sort-merge joins by subdividing oversized partitions at runtime.  These
+operators cover the cases AQE does not:
+
+- `salted_join` — explicit salting for shuffle joins where one side has a
+  pathological hot key (a single key holding >1 executor-partition of rows).
+  The skewed side gets a deterministic salt in [0, n); the other side is
+  replicated n times (one copy per salt).  The join key becomes
+  (key, salt), spreading each hot key over n tasks.  Replication cost is
+  |other| × n — use for moderate `other` sizes; for tiny `other`, broadcast
+  already solves skew outright.
+
+- `salted_count_distinct` — exact COUNT(DISTINCT x) per group without a
+  single hot reducer per group: stage 1 groups by (key, hash(x) % n) so each
+  group's distinct-set is partitioned across n tasks (a value lands in
+  exactly one salt bucket — per-bucket distinct counts are disjoint), stage 2
+  sums the n partial counts.  Turns one giant shuffle group into n bounded
+  ones; exact, unlike approx_count_distinct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the skewed side salted and the other side replicated.
+
+    Output equals ``skewed.join(other, key, how)`` exactly; only the
+    physical key distribution changes.  The salt derives from the skewed
+    row's own key hash plus a per-row component, so it needs no random state
+    and stays deterministic within a run."""
+    key = list(key)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in key], F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).cast("int")
+    s = skewed.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = s.join(o, [*key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_key: Sequence[str],
+    distinct_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-group distinct count via two-phase salted aggregation.
+
+    Equivalent to ``df.groupBy(*group_key).agg(count_distinct(distinct_col))``
+    but no single task ever holds a whole group's distinct set."""
+    group_key = list(group_key)
+    bucketed = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts))
+    )
+    partial = bucketed.groupBy(*group_key, "__salt").agg(
+        F.count_distinct(distinct_col).alias("__partial")
+    )
+    return partial.groupBy(*group_key).agg(
+        F.sum("__partial").alias(f"n_distinct_{distinct_col}")
+    )

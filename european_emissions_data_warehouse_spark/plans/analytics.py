@@ -505,6 +505,258 @@ ORDER BY user_id, session_id
 """
 
 
+# --- subqueries ---------------------------------------------------------------
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.5x the global average — scalar subquery via
+    Spark SQL (Catalyst plans the aggregate once, broadcasts the scalar)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+def q_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers richer than their nation's average — the correlated-subquery
+    shape, decorrelated by hand into groupBy + broadcast join-back (exactly
+    the rewrite Catalyst's decorrelation performs; explicit here so the join
+    side is provably broadcast at any fact size)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+ORACLE_CORRELATED = """
+SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+# --- pivot --------------------------------------------------------------------
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per priority, one column per status.
+    Explicit value list keeps the plan a single pass (no distinct-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- explode / generator ------------------------------------------------------
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 lowercase whitespace tokens across the corpus — the
+    explode-then-aggregate generator shape (UDTF surface).  Map-side combine
+    collapses the exploded rows before the 1-key-per-token shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_TOPK = r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents)
+WHERE token != ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# --- percentiles --------------------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of account balance per segment
+    (PERCENTILE_CONT semantics; Spark's sort-based exact percentile — the
+    approx_percentile sketch is the 100 TB swap-in, same call shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            _r2(F.percentile("c_acctbal", F.lit(0.25))).alias("p25"),
+            _r2(F.percentile("c_acctbal", F.lit(0.5))).alias("p50"),
+            _r2(F.percentile("c_acctbal", F.lit(0.75))).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(c_acctbal, 0.25), 2) AS p25,
+       ROUND(quantile_cont(c_acctbal, 0.50), 2) AS p50,
+       ROUND(quantile_cont(c_acctbal, 0.75), 2) AS p75
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HLL++ distinct users per event type next to the
+    exact count.  At 100 TB the sketch is the only affordable form (constant
+    memory, partial-mergeable); rows-only check — DuckDB's HLL yields
+    different estimates by construction, but ours is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- as-of join ---------------------------------------------------------------
+
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view at or
+    before it.  Spark lacks ASOF JOIN; the scalable composition is
+    union + per-key window with last_value(ignorenulls) — ONE shuffle on
+    user_id, no range explosion, state bounded by one carried row.  (The
+    merge-sort this induces is exactly how dedicated engines execute ASOF.)
+    Views are pre-deduped per (user, ts) so ties are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # views sort before purchases at equal ts (nulls_first on purchase_id),
+    # so a same-instant view is visible to the purchase — ASOF '>=' semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("purchase_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("asof_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_view_ts",
+            F.last(F.when(F.col("view_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "asof_view_id",
+            # integer microseconds: exact cross-engine (float epoch seconds
+            # would carry DuckDB's nanosecond tail that Spark truncates)
+            (F.unix_micros("ts") - F.unix_micros("asof_view_ts")).alias("micros_since_view"),
+        )
+    )
+
+
+ORACLE_ASOF = """
+WITH views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, v.view_id AS asof_view_id,
+       -- floor ns->us to match the engine's truncation (epoch_us rounds)
+       epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000 AS micros_since_view
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# --- range (interval) join ----------------------------------------------------
+
+
+def q_range_join_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events bucketed into daily 08:00-20:00 'peak' windows.
+    The interval dim is tiny (one row/day) and broadcast, so the range
+    predicate is evaluated map-side — the scalable pattern for
+    point-in-interval joins (no shuffle of the fact on a range key)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day") + F.expr("INTERVAL 8 HOURS")).alias("win_start"),
+            (F.col("day") + F.expr("INTERVAL 20 HOURS")).alias("win_end"),
+        )
+    )
+    return (
+        ev.join(
+            F.broadcast(days),
+            (ev.ts >= days.win_start) & (ev.ts < days.win_end),
+        )
+        .groupBy(F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         date_trunc('day', ts) + INTERVAL 8 HOUR AS win_start,
+         date_trunc('day', ts) + INTERVAL 20 HOUR AS win_end
+  FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events e JOIN days d ON e.ts >= d.win_start AND e.ts < d.win_end
+GROUP BY window_start ORDER BY window_start
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -523,6 +775,14 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "scalar_subquery": q_scalar_subquery,
+    "correlated_above_avg": q_correlated_above_nation_avg,
+    "pivot_status": q_pivot_status,
+    "token_topk": q_token_topk,
+    "percentiles": q_percentiles,
+    "approx_distinct": q_approx_distinct,
+    "asof_join": q_asof_purchase_view,
+    "range_join_peak": q_range_join_peak,
 }
 
 ORACLES = {
@@ -543,4 +803,11 @@ ORACLES = {
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
+    "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+    "correlated_above_avg": ORACLE_CORRELATED,
+    "pivot_status": ORACLE_PIVOT_STATUS,
+    "token_topk": ORACLE_TOKEN_TOPK,
+    "percentiles": ORACLE_PERCENTILES,
+    "asof_join": ORACLE_ASOF,
+    "range_join_peak": ORACLE_RANGE_JOIN,
 }

@@ -66,9 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"), schema)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer `div`, not `/`: epoch-ns exceeds double's 2^53 exact-integer
+        # range, so float division here corrupts the low microsecond digit
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), schema)
 
 

@@ -107,3 +107,51 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def run_sessionize_drain(
+    sessions: "DataFrame",
+    out_path: str,
+    checkpoint_path: str,
+    poll_interval_s: float = 1.0,
+    max_wait_s: float = 300.0,
+) -> None:
+    """Drain-and-stop runner for the stateful sessionizer.
+
+    `trigger(availableNow=True)` never self-terminates for a stateful query
+    with processing-time timeouts — Spark keeps scheduling micro-batches so
+    pending timeouts can fire (state is always possible future work).  That
+    is the right behavior for the continuous production stream; for the
+    batch-drain use-case we emulate the reference's run-to-completion
+    semantics by polling query progress and stopping once the drain is
+    provably done: a batch consumed zero input AND the state store is empty
+    (every session flushed by data or timeout)."""
+    import time
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    try:
+        while q.isActive and time.time() - t0 < max_wait_s:
+            lp = q.lastProgress
+            if lp is not None:
+                state_ops = lp.get("stateOperators") or [{}]
+                drained = (
+                    lp.get("numInputRows", 1) == 0
+                    and state_ops[0].get("numRowsTotal", 1) == 0
+                )
+                if drained:
+                    break
+            time.sleep(poll_interval_s)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(30)

@@ -1,0 +1,39 @@
+"""Skew operators must be result-identical to their plain equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.skew import (
+    salted_count_distinct,
+    salted_join,
+)
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    # a 5-row "dim" on a low-cardinality key: every key is hot by construction
+    dim = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("status_n"))
+    )
+    plain = orders.join(dim, ["o_orderstatus"]).select("o_orderkey", "status_n")
+    salted = salted_join(orders, dim, ["o_orderstatus"], n_salts=4).select(
+        "o_orderkey", "status_n"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_distinct_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n_distinct_user_id"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, salted_count_distinct(ev, ["event_type"], "user_id").collect()))
+    assert got == want

@@ -16,6 +16,7 @@ from european_emissions_data_warehouse_spark.streaming.ingest import (
     stream_from_directory,
 )
 from european_emissions_data_warehouse_spark.streaming.sessions import (
+    run_sessionize_drain,
     sessionize_stateful,
 )
 
@@ -127,9 +128,12 @@ def test_windowed_counts_match_batch(spark, events_batch, tmp_path):
 
 
 def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
-    """applyInPandasWithState session counts == the batch lag+cumsum
-    sessionization for sessions that closed (every user's history is in one
-    drain here, so all but the final open session per user emit)."""
+    """applyInPandasWithState sessions == the batch lag+cumsum sessionization.
+    All data arrives in one micro-batch; in-batch gaps close sessions by
+    data, and each user's final (open) session closes via the processing-time
+    timeout — so the streamed output covers ALL batch sessions.  The query is
+    stopped by the drain helper: availableNow alone never terminates a
+    stateful query with pending-timeout work."""
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -138,32 +142,18 @@ def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
     schema = spark.read.parquet(landing).schema
 
     stream = stream_from_directory(spark, landing, schema)
-    sessions = sessionize_stateful(stream)
-    (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    sessions = sessionize_stateful(stream, timeout_ms=3_000)
+    run_sessionize_drain(sessions, out, ckpt, max_wait_s=120)
     streamed = spark.read.parquet(out)
 
-    # batch truth: closed sessions only (drop each user's last session)
+    # batch truth: every session (the timeout flushes open ones too)
     from european_emissions_data_warehouse_spark.plans.analytics import q_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_all = q_sessionize(spark, str("/root/testdata/sf0.001")).filter(
+    truth = q_sessionize(spark, str("/root/testdata/sf0.001")).filter(
         F.col("user_id") < 20
     )
-    last_per_user = batch_all.groupBy("user_id").agg(
-        F.max("session_id").alias("session_id")
-    )
-    closed_truth = batch_all.join(last_per_user, ["user_id", "session_id"], "left_anti")
-
-    assert streamed.count() == closed_truth.count()
-    s = {(r.user_id, r.n_events) for r in streamed.collect()}
-    t = {(r.user_id, r.n_events) for r in closed_truth.collect()}
+    assert streamed.count() == truth.count()
+    s = sorted((r.user_id, r.n_events) for r in streamed.collect())
+    t = sorted((r.user_id, r.n_events) for r in truth.collect())
     assert s == t
     shutil.rmtree(str(tmp_path), ignore_errors=True)
