@@ -33,7 +33,11 @@ HEADLINE = [
     "running_total",
     "events_hourly",
     "sessionize",
+    "asof_join",
+    "range_join_peak",
+    "token_topk",
     "dedup_exact",
+    "ngram_jaccard",
     "minhash_neardup",
     "ann_topk",
     "text_stats",

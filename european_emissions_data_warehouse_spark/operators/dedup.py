@@ -54,16 +54,102 @@ def _shingles(text_col, k: int, unit: str):
     return word_shingles(text_col, k) if unit == "word" else char_shingles(text_col, k)
 
 
+# Rolling-gram machinery: k-gram *identities* as integers, never as strings.
+# One xxhash64 pass over tokens, then each k-gram position is a rolling
+# polynomial over the token hashes — ANSI-safe 31-bit arithmetic
+# (acc<2^31 * C<2^31 + h<2^31 < 2^62, masked back to 31 bits each step).
+_MASK, _C1, _C2 = 0x7FFFFFFF, 0x01000193, 0x0100012D
+
+_fold31 = lambda c: c.bitwiseXOR(F.shiftright(c, 32)).bitwiseAND(F.lit(_MASK))  # noqa: E731
+_fold31b = lambda c: F.shiftright(c, 16).bitwiseXOR(c).bitwiseAND(F.lit(_MASK))  # noqa: E731
+
+
+def _split_tokens(text_col, unit: str):
+    if unit == "word":
+        return F.split(F.trim(text_col), r"\s+")
+    return F.split(text_col, "")
+
+
+def _rolling_grams(docs: DataFrame, id_col: str, text_col: str, k: int, unit: str) -> DataFrame:
+    """(id, hs array<long>) — one 31-bit gram per k-gram position, as an
+    in-row array (narrow, no shuffle).  For operators that *aggregate* the
+    array in place (MinHash's array_min) — never explode this array: Spark
+    evaluates an interpreted higher-order-function child once per generated
+    row, turning explode(transform(...)) into O(n²) work.  Exploding
+    consumers use :func:`shingle_index`'s window form instead."""
+    # Token hashes materialized in their own projection: inlining the
+    # transform into every element_at reference below would re-evaluate it
+    # per reference (no CSE in interpreted HOF eval).
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(_split_tokens(F.col(text_col), unit), lambda t: _fold31(F.xxhash64(t))).alias("th"),
+    )
+    th = F.col("th")
+    n_pos = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
+
+    def gram_at(i):
+        acc = F.element_at(th, i)
+        for j in range(1, k):
+            nxt = F.coalesce(F.element_at(th, i + F.lit(j)), F.lit(0))
+            acc = (acc * F.lit(_C1) + nxt).bitwiseAND(F.lit(_MASK))
+        return acc
+
+    return hashed.select("id", F.transform(F.sequence(F.lit(1), n_pos), gram_at).alias("hs"))
+
+
 def shingle_index(
     docs: DataFrame, id_col: str, text_col: str, k: int = 5, unit: str = "word"
 ) -> DataFrame:
     """Inverted index: (shingle, id, n_shingles) — one row per distinct
-    shingle per doc.  `unit` picks word n-grams (selective on natural
-    language) or char k-grams (robust to tokenization)."""
-    with_sh = docs.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), k, unit).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles").cast("long"))
-    return with_sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+    shingle per doc, shingle as a 62-bit gram hash (8-byte join keys instead
+    of n-gram strings: cheaper to build, hash, and shuffle; collision odds
+    ~n²/2⁶² per doc are below the float-noise floor).
+
+    Whole-stage-codegen shape: explode raw tokens (native split — generators
+    over interpreted HOF arrays re-evaluate per output row, see
+    :func:`_rolling_grams`), hash each token once, then form each position's
+    k-gram with window LEADs over token order.  Two independent 31-bit
+    polynomials pack into the 62-bit identity.  One shuffle on doc id
+    (window + distinct share it)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_split_tokens(F.col(text_col), unit)).alias("pos", "tok"),
+    )
+    th = toks.select(
+        "id",
+        "pos",
+        _fold31(F.xxhash64("tok")).alias("h1"),
+        _fold31b(F.xxhash64("tok", F.lit(1))).alias("h2"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+
+    def poly(hcol: str, mult: int):
+        acc = F.col(hcol)
+        for j in range(1, k):
+            acc = (acc * F.lit(mult) + F.coalesce(F.lead(hcol, j).over(w), F.lit(0))).bitwiseAND(
+                F.lit(_MASK)
+            )
+        return acc
+
+    n_toks = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    grams = th.select(
+        "id",
+        "pos",
+        (poly("h1", _C1) * F.lit(1 << 31) + poly("h2", _C2)).alias("shingle"),
+        n_toks.alias("n_toks"),
+    )
+    # valid k-gram start positions; docs shorter than k keep pos 0 (single
+    # zero-padded gram — mirrors the whole-text shingle of the string form)
+    idx = (
+        grams.filter((F.col("pos") <= F.col("n_toks") - k) | (F.col("pos") == 0))
+        .select("id", "shingle")
+        .distinct()
+    )
+    return idx.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("id")).cast("long")
+    ).select("id", "n_shingles", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -112,58 +198,24 @@ def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, k: int = 5, unit: str = "word",
     num_hashes: int = 32
 ) -> DataFrame:
-    """(id, sig array<long>[num_hashes]) — the classic universal-hash MinHash:
-    each shingle is xxhash64'd ONCE, then the i-th signature slot is the min
-    of an integer permutation a_i*h + b_i of that base hash.  One expensive
-    string-hash pass + num_hashes cheap integer passes, all narrow (no
-    shuffle); ~10x cheaper than re-hashing the string per slot."""
-    # MinHash never needs the shingle *string*, only an integer identity for
-    # it — so hash each token ONCE, then form k-gram identities with a
-    # rolling polynomial over the token hashes.  This skips the expensive
-    # slice+array_join string construction per shingle position entirely.
-    # All arithmetic stays in 31-bit space (ANSI mode forbids wrap-around
-    # longs: acc<2^31 * C<2^31 + h<2^31 < 2^62, then mask back to 31 bits).
-    _MASK, _C = 0x7FFFFFFF, 0x01000193  # FNV-ish odd multiplier
-    fold31 = lambda c: c.bitwiseXOR(F.shiftright(c, 32)).bitwiseAND(F.lit(_MASK))  # noqa: E731
+    """(id, sig array<long>[num_hashes]) — classic universal-hash MinHash:
+    each k-gram gets an integer identity from one token-hash pass + a rolling
+    polynomial (never a shingle string), then the i-th signature slot is the
+    min of an integer permutation a_i*h + b_i over the gram hashes.  All
+    narrow (no shuffle); ~10x cheaper than hashing shingle strings per slot."""
+    sh = _rolling_grams(docs, id_col, text_col, k, unit)
 
-    if unit == "word":
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    else:  # char unit: one token per k-char window start is equivalent cost
-        toks = F.split(F.col(text_col), "")
-
-    # Materialize token hashes as their own column in a separate projection:
-    # inlining the transform expression into every element_at reference below
-    # would re-evaluate it per reference (no CSE in interpreted HOF eval).
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: fold31(F.xxhash64(t))).alias("th"),
-    )
-    th = F.col("th")
-    n_pos = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
-
-    def gram_at(i):
-        acc = F.element_at(th, i)
-        for j in range(1, k):
-            nxt = F.coalesce(F.element_at(th, i + F.lit(j)), F.lit(0))
-            acc = (acc * F.lit(_C) + nxt).bitwiseAND(F.lit(_MASK))
-        return acc
-
-    sh = hashed.select(
-        "id", F.transform(F.sequence(F.lit(1), n_pos), gram_at).alias("hs")
-    )
-
+    # Unrolled: one flat transform per slot with literal constants (odd
+    # multiplier -> bijection mod 2^31; products stay < 2^62 under ANSI).
+    # A single nested-lambda form was tried and is ~4x slower per row —
+    # nested HOF eval overhead beats the larger-but-flat tree's compile cost.
     def perm(i: int):
-        # deterministic multiplier/offset per slot (golden-ratio mixing),
-        # odd multiplier -> bijection mod 2^31
         a = ((2 * i + 1) * 0x9E3779B9) & 0x7FFFFFFF | 1
         b = (i * 0x85EBCA6B) & 0x7FFFFFFF
         return lambda h: h * F.lit(a) + F.lit(b)
 
     sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), perm(i)))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(F.col("hs"), perm(i))) for i in range(num_hashes)]
     )
     return sh.withColumn("sig", sig).drop("hs")
 

@@ -389,6 +389,95 @@ ORDER BY status, priority
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube (one
+    shuffle; Catalyst expands to a single Expand+Aggregate)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+# --- JSON functions -----------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: parse events.props (a JSON object string) with a
+    typed from_json and aggregate on the extracted field — schema-on-read
+    stays JVM-side (Jackson), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("k").alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- CSV source round-trip ----------------------------------------------------
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 CSV-scan parity end-to-end: write nation as CSV (header, quoted),
+    read it back with an explicit schema, join+aggregate.  The oracle
+    computes the same result from parquet — equality proves the CSV
+    writer/reader path is lossless for the engine's types."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{tempfile.gettempdir()}/eedw_csv_roundtrip_nation"
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    from european_emissions_data_warehouse_spark.sources.readers import read_csv
+
+    back = read_csv(spark, path, schema=nation.schema)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(back), cust.c_nationkey == back.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # --- scalar function surface ------------------------------------------------
 
 
@@ -772,6 +861,9 @@ QUERIES = {
     "set_ops": q_set_ops,
     "rollup_region": q_rollup,
     "cube_status": q_cube,
+    "grouping_sets": q_grouping_sets,
+    "json_extract": q_json_extract,
+    "csv_roundtrip": q_csv_roundtrip,
     "scalar_funcs": q_scalar_funcs,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
@@ -800,6 +892,9 @@ ORACLES = {
     "set_ops": ORACLE_SET_OPS,
     "rollup_region": ORACLE_ROLLUP,
     "cube_status": ORACLE_CUBE,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "json_extract": ORACLE_JSON_EXTRACT,
+    "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
