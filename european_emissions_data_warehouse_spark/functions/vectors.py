@@ -34,3 +34,40 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns (double)."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def embedding_stats_udf():
+    """Arrow-batched pandas UDF: per-vector (norm, mean, absmax) as a struct.
+
+    The engine's vectorized-Python template — the path for numerics the
+    built-in HOFs can't express (learned quantizers, model scoring).  Sums
+    accumulate sequentially in float64 so results match a C++ engine's
+    left-to-right reduction bit-for-bit (numpy's pairwise summation would
+    differ in the last ulp and break exact oracle comparison).
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: Series -> DataFrame (struct output) is expressed via the
+    # default SCALAR eval type, which the hint-inference path doesn't cover
+    @pandas_udf("struct<l2_norm double, mean double, absmax double>")
+    def stats(vecs):
+        out = {"l2_norm": [], "mean": [], "absmax": []}
+        for v in vecs:
+            sq = 0.0
+            s = 0.0
+            m = 0.0
+            for x in v:
+                x = float(x)
+                sq += x * x
+                s += x
+                if abs(x) > m:
+                    m = abs(x)
+            n = len(v)
+            out["l2_norm"].append(sq ** 0.5)
+            out["mean"].append(s / n if n else 0.0)
+            out["absmax"].append(m)
+        return pd.DataFrame(out)
+
+    return stats

@@ -254,6 +254,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized-Python surface: per-embedding stats via an Arrow-batched
+    pandas UDF (functions/vectors.py) — the template for numerics beyond the
+    built-in HOFs.  Sequential float64 accumulation keeps it bit-exact vs
+    the DuckDB oracle."""
+    from european_emissions_data_warehouse_spark.functions.vectors import embedding_stats_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = embedding_stats_udf()(F.col("embedding")).alias("s")
+    return emb.select("vec_id", stats).select(
+        "vec_id",
+        F.round("s.l2_norm", 6).alias("l2_norm"),
+        F.round("s.mean", 6).alias("vec_mean"),
+        F.round("s.absmax", 6).alias("vec_absmax"),
+    )
+
+
+ORACLE_EMBEDDING_STATS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+       ROUND(list_sum(e) / len(e), 6) AS vec_mean,
+       ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS vec_absmax
+FROM v
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -290,6 +317,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_predict": q_lang_predict,
     "doc_fingerprint": q_doc_fingerprint,
+    "embedding_stats": q_embedding_stats,
     "media_features": q_media_features,
 }
 
@@ -300,5 +328,6 @@ ORACLES = {
     "cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_predict": ORACLE_LANG_PREDICT,
+    "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
 }

@@ -1,0 +1,55 @@
+"""Property-based checks (hypothesis) of the merge/upsert algebra.
+
+The reference's ON CONFLICT upsert has three laws worth pinning beyond
+example tests (reference scripts/lambda_handler_warehouse.py:95-101):
+
+1. form equivalence — the anti-join and window merge strategies agree;
+2. idempotence — merging the same batch twice changes nothing;
+3. key uniqueness — any merge output satisfies the UNIQUE constraint.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from european_emissions_data_warehouse_spark.operators.merge import (
+    check_unique,
+    dedupe_last,
+    upsert_anti_join,
+    upsert_window,
+)
+
+# rows: (key, value).  Small key space forces collisions; value carries
+# which side/row wins.
+row = st.tuples(st.integers(0, 5), st.integers(0, 1000))
+frame = st.lists(row, min_size=0, max_size=12)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter("k is not null")
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeLaws:
+    @given(old=frame, new=frame)
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_forms_agree_and_unique(self, spark, old, new):
+        old_df = dedupe_last(_df(spark, old), ["k"], ["v"])
+        new_df = dedupe_last(_df(spark, new), ["k"], ["v"])
+        a = sorted(map(tuple, upsert_anti_join(old_df, new_df, ["k"]).collect()))
+        w = sorted(map(tuple, upsert_window(old_df, new_df, ["k"]).collect()))
+        assert a == w
+        assert check_unique(upsert_anti_join(old_df, new_df, ["k"]), ["k"]) == 0
+
+    @given(old=frame, new=frame)
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_idempotent(self, spark, old, new):
+        old_df = dedupe_last(_df(spark, old), ["k"], ["v"])
+        new_df = dedupe_last(_df(spark, new), ["k"], ["v"])
+        once = upsert_anti_join(old_df, new_df, ["k"])
+        twice = upsert_anti_join(once, new_df, ["k"])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
