@@ -1,0 +1,65 @@
+"""Physical-plan regression guards: the optimizations the engine's scale
+story depends on must be visible in the executed plan, not just intended.
+
+Each assertion pins a plan property called out in README.md / SURVEY.md §4:
+filters and projections reach the parquet scan, dimension joins broadcast,
+global top-k avoids a full sort, and the one-shuffle queries stay one-shuffle.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(entry_mod.queries()["filter_pred"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)" in plan
+    # column pruning: only the 4 referenced columns in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read_schema and "p_retailprice" not in read_schema
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = _formatted(entry_mod.queries()["projection"](spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_brand" in read_schema and "p_name" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _executed(entry_mod.queries()["region_revenue"](spark, sf_dir))
+    # 4 joins (orders, customer, nation, region against lineitem) — all
+    # broadcast; the only Exchanges are for the final agg/sort
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _executed(entry_mod.queries()["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_queries_shuffle_once(spark, sf_dir):
+    # running_total: both window functions share the user partition — one
+    # exchange total (AQE may add AQEShuffleRead wrappers, count real ones)
+    plan = _executed(entry_mod.queries()["running_total"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_etl_flagship_merge_is_only_shuffle_work(spark, sf_dir):
+    # the parity flagship: narrow chain + merge; no more than 2 hash
+    # exchanges (anti-join key + none for broadcast dim decode)
+    plan = _executed(entry_mod.entry(spark))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

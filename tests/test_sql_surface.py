@@ -1,0 +1,63 @@
+"""The ad-hoc SQL surface: register_tables + spark.sql replaces the
+reference's 'connect a SQL client to RDS' path (SURVEY.md §3.3).  Arbitrary
+ANSI SQL over the lake must agree with the DataFrame API."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.sources.readers import (
+    load_table,
+    register_tables,
+)
+
+
+def test_sql_over_registered_lake_matches_dataframe(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    api = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("n_name")
+    )
+    assert [tuple(r) for r in sql.collect()] == [tuple(r) for r in api.collect()]
+
+
+def test_sql_ddl_ctas_and_query(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS urgent_orders")
+    spark.sql(
+        """
+        CREATE TABLE urgent_orders USING parquet AS
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+    try:
+        n_tbl = spark.sql("SELECT COUNT(*) AS n FROM urgent_orders").first().n
+        n_src = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert n_tbl == n_src
+    finally:
+        spark.sql("DROP TABLE IF EXISTS urgent_orders")
