@@ -1,0 +1,73 @@
+"""Lake maintenance: small-file compaction and layout rewrite.
+
+Streaming ingest (streaming/ingest.py) and frequent merges leave parquet
+directories with many small files; at 100 TB, scan cost becomes dominated by
+file-open overhead and the driver's listing.  Compaction rewrites a
+directory into right-sized files (aiming at `spark.sql.files.maxPartitionBytes`
+so one file ≈ one scan split), optionally sorted so downstream predicate
+columns cluster into row groups (min/max pruning — the parquet-native
+analogue of Z-ordering on one dimension).
+
+The rewrite uses the same staging-then-swap protocol as the streaming merge
+(write to `<path>__compact`, atomic rename) so readers never observe a
+half-rewritten directory; the read-before-overwrite footgun (SURVEY.md §7.4)
+is avoided the same way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    n, total = 0, 0
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += status.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: Sequence[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target_file_mb files.
+
+    Returns (files_before, files_after).  With `sort_by`, rows are
+    range-sorted across and within files so min/max row-group stats prune
+    scans on those columns."""
+    n_before, total_bytes = _dir_stats(spark, path)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        # repartitionByRange + sortWithinPartitions: global clustering on the
+        # sort key, one shuffle, each output file covers a disjoint key range
+        out = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_target)
+
+    staging = f"{path}__compact"
+    out.write.mode("overwrite").parquet(staging)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    final_p = jvm.org.apache.hadoop.fs.Path(path)
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(final_p, True)
+    fs.rename(staging_p, final_p)
+
+    n_after, _ = _dir_stats(spark, path)
+    return n_before, n_after
