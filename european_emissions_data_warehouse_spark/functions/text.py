@@ -120,6 +120,26 @@ def word_shingles(text: Column, n: int = 5) -> Column:
     )
 
 
+# Conservative PII patterns, identical RE2/Java semantics in Spark and DuckDB
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def clean_text(text: Column) -> Column:
+    """Normalization pass for training-data prep: collapse whitespace runs,
+    strip control characters, trim.  Pure JVM regexp — scan speed."""
+    no_ctrl = F.regexp_replace(text, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    one_space = F.regexp_replace(no_ctrl, r"\s+", " ")
+    return F.trim(one_space)
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace emails/phone-number-shaped spans with typed placeholder
+    tokens — the standard pre-training redaction pass."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
 def rolling_fingerprint(text: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing-style document fingerprint: the w smallest xxhash64 values
     over the k-shingle set (array<long>, sorted).  Two documents sharing

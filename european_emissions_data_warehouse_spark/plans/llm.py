@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 
 from european_emissions_data_warehouse_spark.functions.text import (
     BPE_TOKEN_RE,
+    EMAIL_RE,
     LANG_MARKERS,
+    PHONE_RE,
     bpe_token_count,
     char_count,
+    clean_text,
+    mask_pii,
     predict_lang,
     punct_ratio,
     quality_score,
@@ -211,6 +215,39 @@ FROM m
 """
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning + PII-masking pass: whitespace/control normalization, then
+    email/phone redaction — the standard pre-training scrub, all JVM regexp.
+    Output keeps lengths so the oracle can check the transform bothways."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = mask_pii(clean_text(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(cleaned).cast("long").alias("len_clean"),
+        F.substring(cleaned, 1, 80).alias("head"),
+    )
+
+
+ORACLE_TEXT_CLEAN = r"""
+WITH c AS (
+  SELECT doc_id, length(text) AS len_raw,
+         regexp_replace(
+           regexp_replace(
+             trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+               '\s+', ' ', 'g')),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS cleaned
+  FROM documents
+)
+SELECT doc_id, CAST(len_raw AS BIGINT) AS len_raw,
+       CAST(length(cleaned) AS BIGINT) AS len_clean,
+       substr(cleaned, 1, 80) AS head
+FROM c
+"""
+
+
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled `lang` column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -327,6 +364,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "cosine_pairs": q_cosine_pairs,
     "text_stats": q_text_stats,
+    "text_clean": q_text_clean,
     "lang_predict": q_lang_predict,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_stats": q_embedding_stats,
@@ -339,6 +377,7 @@ ORACLES = {
     "ann_topk": ORACLE_ANN_TOPK,
     "cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats": ORACLE_TEXT_STATS,
+    "text_clean": ORACLE_TEXT_CLEAN,
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
