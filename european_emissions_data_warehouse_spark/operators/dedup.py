@@ -280,28 +280,42 @@ _SIMHASH_BITS = 63  # stay inside a signed 64-bit long
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint long): per-token xxhash64, ±1 vote per bit, sign of
-    the vote sum sets the bit.  Statically unrolled to 63 built-in bit
-    expressions — wide but shuffle-free."""
-    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    with_h = docs.select(F.col(id_col).alias("id"), hashes.alias("hs"))
+    the vote sum sets the bit.
 
-    def bit_vote(i: int):
-        # sum over tokens of (bit_i ? +1 : -1), positive -> bit set.
-        # closure factory keeps the merge lambda strictly 2-arg (a 3-arg
-        # lambda is rejected/misread by PySpark's arity inspection).
-        def merge(acc, h):
-            return acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-
-        vote = F.aggregate(F.col("hs"), F.lit(0), merge)
-        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
+    Shape: explode tokens (native regexp generator), one hash per token,
+    then ONE hash-aggregate computing all 63 bit-count sums as columnar
+    codegen aggregates.  bit_i is set iff 2*S_i > n (S_i = tokens with bit i
+    on) — identical votes to the per-bit array-aggregate form, but every
+    pass is whole-stage codegen instead of 63 interpreted HOF reductions,
+    and the shuffle is the partial-aggregated (id, 63 counts) rows only."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    with_h = toks.select("id", h.alias("h"))
+    sums = with_h.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+            for i in range(_SIMHASH_BITS)
+        ],
+    )
     fp = reduce(
-        lambda acc, i: acc.bitwiseOR(F.shiftleft(bit_vote(i), i)),
+        lambda acc, i: acc.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"s{i}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                i,
+            )
+        ),
         range(_SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    return with_h.select("id", fp.alias("fingerprint"))
+    return sums.select("id", fp.alias("fingerprint"))
 
 
 def simhash_pairs(
