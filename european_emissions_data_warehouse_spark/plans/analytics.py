@@ -721,6 +721,25 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted exact COUNT(DISTINCT): each group's distinct-set is
+    hash-partitioned over 16 salt buckets so no reducer ever holds a whole
+    hot group (operators/skew.py).  Result-identical to the plain form —
+    the oracle is the plain form."""
+    from european_emissions_data_warehouse_spark.operators.skew import (
+        salted_count_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+ORACLE_SALTED_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HLL++ distinct users per event type next to the
     exact count.  At 100 TB the sketch is the only affordable form (constant
@@ -873,6 +892,7 @@ QUERIES = {
     "token_topk": q_token_topk,
     "percentiles": q_percentiles,
     "approx_distinct": q_approx_distinct,
+    "salted_distinct": q_salted_distinct,
     "asof_join": q_asof_purchase_view,
     "range_join_peak": q_range_join_peak,
 }
@@ -903,6 +923,7 @@ ORACLES = {
     "pivot_status": ORACLE_PIVOT_STATUS,
     "token_topk": ORACLE_TOKEN_TOPK,
     "percentiles": ORACLE_PERCENTILES,
+    "salted_distinct": ORACLE_SALTED_DISTINCT,
     "asof_join": ORACLE_ASOF,
     "range_join_peak": ORACLE_RANGE_JOIN,
 }
