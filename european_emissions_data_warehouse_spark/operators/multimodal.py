@@ -29,20 +29,6 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_real(payload: bytes, media_type: str) -> tuple[int, int]:
-    """Real decode path — requires PIL/ffmpeg, absent in this container."""
-    raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/soundfile) are not available in this "
-        "environment; run with fake=True for the deterministic stub"
-    )
-
-
-def _decode_fake(payload: bytes, media_type: str) -> tuple[int, int]:
-    """Deterministic stand-in: pseudo width/height from payload length."""
-    n = len(payload)
-    return (n % 640, (n * 7) % 480)
-
-
 def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -51,7 +37,20 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     Arrow moves the binary column zero-copy into pandas; the decode runs
     per-batch in Python, the only place Python belongs in this engine.
     """
-    decode = _decode_fake if fake else _decode_real
+    # Bind the decode behavior into the closure (not a module-level function
+    # reference): cloudpickle ships closures by value, so the UDF runs on
+    # workers that cannot import this package (driver launched from another
+    # cwd, cluster without the repo on PYTHONPATH).
+    if fake:
+        def decode(payload: bytes, media_type: str) -> tuple[int, int]:
+            n = len(payload)
+            return (n % 640, (n * 7) % 480)
+    else:
+        def decode(payload: bytes, media_type: str) -> tuple[int, int]:
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg/soundfile) are not available in "
+                "this environment; run with fake=True for the deterministic stub"
+            )
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -33,8 +33,6 @@ STATE_SCHEMA = "start long, last long, n long, total double"
 GAP_SECONDS = 30 * 60
 
 
-def _epoch_us(ts: pd.Timestamp) -> int:
-    return int(ts.value // 1000)  # pandas stores ns
 
 
 def sessionize_stateful(
@@ -75,7 +73,7 @@ def sessionize_stateful(
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, value in zip(pdf["ts"], pdf["value"]):
-                t = _epoch_us(ts)
+                t = int(ts.value // 1000)  # inline (module refs don't pickle to workers)
                 if start is None:
                     start, last, n, total = t, t, 1, float(value)
                 elif t - last > gap_seconds * 1_000_000:
