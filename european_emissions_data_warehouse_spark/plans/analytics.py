@@ -594,6 +594,66 @@ ORDER BY user_id, session_id
 """
 
 
+def q_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function window surface: ntile/percent_rank/cume_dist/rank
+    over a deterministic total order (tie-broken on the key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )
+
+
+ORACLE_RANKING_FUNCS = """
+SELECT c_mktsegment, c_custkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(RANK() OVER w AS BIGINT) AS rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF surface): quantity-weighted average price per
+    return flag via a pandas GROUPED_AGG UDF.  Cent-precision prices times
+    integer quantities are exactly representable doubles, so the sum — and
+    therefore the ratio — is order-independent and matches the oracle
+    bit-for-bit despite parallel accumulation."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: this module's `from __future__ import annotations`
+    # stringifies hints, which the Series->scalar inference can't resolve
+    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
+    def weighted_avg(price, qty):
+        s = 0.0
+        w = 0.0
+        for p, q in zip(price, qty):
+            s += p * q
+            w += q
+        return s / w if w else 0.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_avg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- subqueries ---------------------------------------------------------------
 
 
@@ -875,6 +935,8 @@ QUERIES = {
     "running_total": q_running_total,
     "top3_per_segment": q_top3_per_segment,
     "lag_lead": q_lag_lead,
+    "ranking_funcs": q_ranking_funcs,
+    "weighted_avg_udaf": q_weighted_avg_udaf,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "set_ops": q_set_ops,
@@ -907,6 +969,8 @@ ORACLES = {
     "running_total": ORACLE_RUNNING_TOTAL,
     "top3_per_segment": ORACLE_TOP3_PER_SEGMENT,
     "lag_lead": ORACLE_LAG_LEAD,
+    "ranking_funcs": ORACLE_RANKING_FUNCS,
+    "weighted_avg_udaf": ORACLE_WEIGHTED_AVG,
     "semi_join": ORACLE_SEMI_JOIN,
     "anti_join": ORACLE_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
