@@ -56,6 +56,10 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its registered explicit schema."""
+    # timestamps in the lake are naive-UTC; pin the session so date_format/
+    # date_trunc render identically under any host timezone (DuckDB oracles
+    # treat the same parquet values as naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = TESTDATA_SCHEMAS.get(name)
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS,false): illegal for Spark's reader.
