@@ -454,10 +454,13 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back with an explicit schema, join+aggregate.  The oracle
     computes the same result from parquet — equality proves the CSV
     writer/reader path is lossless for the engine's types."""
+    import os
+    import re
     import tempfile
 
     nation = load_table(spark, sf_dir, "nation")
-    path = f"{tempfile.gettempdir()}/eedw_csv_roundtrip_nation"
+    tag = re.sub(r"\W", "_", sf_dir)
+    path = f"{tempfile.gettempdir()}/eedw_csv_roundtrip_nation{tag}_{os.getpid()}"
     nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     from european_emissions_data_warehouse_spark.sources.readers import read_csv
 
