@@ -70,19 +70,60 @@ def quality_score(text: Column) -> Column:
     return (length_ok + punct_ok + stop_ok) / 3
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts (long columns)."""
-    lower = F.lower(text)
-    return {
-        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0))).cast("long")
-        for lang, pat in LANG_MARKERS.items()
-    }
+# word -> language lookup derived from LANG_MARKERS (words are disjoint
+# across languages); zh is a char class handled separately
+_MARKER_WORDS: dict[str, str] = {
+    w: lang
+    for lang, pat in LANG_MARKERS.items()
+    if lang != "zh"
+    for w in pat[3:-3].split("|")
+}
+_COMBINED_MARKER_RE = (
+    r"\b(" + "|".join(_MARKER_WORDS) + r")\b|" + LANG_MARKERS["zh"]
+)
 
 
-def predict_lang(text: Column) -> Column:
-    """Argmax language by marker hits, 'en' winning ties, 'und' when no
-    marker fires.  Deterministic tie-break order: en > de > fr > es > zh."""
-    scores = lang_scores(text)
+def marker_hits(text: Column) -> Column:
+    """All language-marker hits in one combined regexp pass (array<string>).
+
+    The per-language word inventories are disjoint and boundary-anchored, so
+    the union regex finds exactly the same non-overlapping matches as five
+    separate per-language passes.  IMPORTANT: materialize this as its own
+    column (one projection) before feeding `lang_scores` — the per-language
+    filters reference it several times, and interpreted HOF eval re-computes
+    inlined children per reference."""
+    return F.regexp_extract_all(F.lower(text), F.lit(_COMBINED_MARKER_RE), F.lit(0))
+
+
+def lang_scores(hits: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (long columns) from a materialized
+    `marker_hits` column: in-row set-membership filters over the small hit
+    array — 5x less regex CPU than per-language passes, still narrow."""
+    by_lang: dict[str, Column] = {}
+    for lang in LANG_MARKERS:
+        if lang == "zh":
+            member = lambda t: t.rlike(LANG_MARKERS["zh"])  # noqa: E731
+        else:
+            words = [w for w, l in _MARKER_WORDS.items() if l == lang]
+
+            # closure factory, NOT a default arg: a second parameter (even
+            # defaulted) makes PySpark emit the (element, index) filter
+            # variant.  array_contains over a literal array because
+            # Column.isin can't take lambda variables.
+            def member_for(ws):
+                arr = F.array(*[F.lit(w) for w in ws])
+                return lambda t: F.array_contains(arr, t)
+
+            member = member_for(words)
+        by_lang[lang] = F.size(F.filter(hits, member)).cast("long")
+    return by_lang
+
+
+def predict_lang(hits: Column) -> Column:
+    """Argmax language by marker hits (from a materialized `marker_hits`
+    column), 'en' winning ties, 'und' when no marker fires.  Deterministic
+    tie-break order: en > de > fr > es > zh."""
+    scores = lang_scores(hits)
     best = None
     best_score = None
     for lang in ["en", "de", "fr", "es", "zh"]:

@@ -249,13 +249,21 @@ FROM c
 
 
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID vs the labeled `lang` column."""
+    """Heuristic language ID vs the labeled `lang` column.  Marker hits are
+    extracted in ONE combined regexp pass, materialized, then classified
+    with in-row set filters (functions/text.py marker_hits)."""
+    from european_emissions_data_warehouse_spark.functions.text import marker_hits
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    with_hits = docs.select(
+        "doc_id", "lang", marker_hits(F.col("text")).alias("__hits")
+    )
+    pred = predict_lang(F.col("__hits"))
+    return with_hits.select(
         "doc_id",
-        predict_lang(F.col("text")).alias("pred_lang"),
+        pred.alias("pred_lang"),
         "lang",
-        (predict_lang(F.col("text")) == F.col("lang")).alias("is_match"),
+        (pred == F.col("lang")).alias("is_match"),
     )
 
 
