@@ -37,6 +37,7 @@ HEADLINE = [
     "range_join_peak",
     "token_topk",
     "dedup_exact",
+    "corpus_prep",
     "ngram_jaccard",
     "minhash_neardup",
     "ann_topk",

@@ -248,6 +248,67 @@ FROM c
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-corpus pipeline — clean/mask -> quality filter
+    -> exact dedup (keep smallest id per cleaned text) -> token budget.
+    One narrow pass plus the dedup's single hash shuffle; each stage is the
+    operator tested individually elsewhere, composed here end-to-end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", mask_pii(clean_text(F.col("text"))).alias("ctext")
+    )
+    scored = cleaned.withColumn("quality", quality_score(F.col("ctext"))).filter(
+        F.col("quality") >= 0.5
+    )
+    w = Window.partitionBy("ctext").orderBy("doc_id")
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.select(
+        "doc_id",
+        bpe_token_count(F.col("ctext")).alias("bpe_tokens"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+ORACLE_CORPUS_PREP = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+               '\s+', ' ', 'g')),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS ctext
+  FROM documents
+), m AS (
+  SELECT doc_id, ctext,
+         length(ctext) AS n_chars,
+         len(regexp_extract_all(ctext, '[^\sA-Za-z0-9]')) / length(ctext) AS punct_ratio,
+         len(regexp_extract_all(lower(ctext),
+             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+           / (CASE WHEN length(trim(ctext)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(ctext), '\s+')) END) AS stop_ratio
+  FROM cleaned
+), q AS (
+  SELECT doc_id, ctext,
+         ((CASE WHEN n_chars >= 100 THEN 1.0 ELSE n_chars / 100.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                  ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
+          + LEAST(1.0, stop_ratio * 4)) / 3 AS quality
+  FROM m
+), kept AS (
+  SELECT * FROM q WHERE quality >= 0.5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ctext ORDER BY doc_id) = 1
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ctext, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+       ROUND(quality, 6) AS quality
+FROM kept
+"""
+
+
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled `lang` column.  Marker hits are
     extracted in ONE combined regexp pass, materialized, then classified
@@ -373,6 +434,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "text_stats": q_text_stats,
     "text_clean": q_text_clean,
+    "corpus_prep": q_corpus_prep,
     "lang_predict": q_lang_predict,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_stats": q_embedding_stats,
@@ -386,6 +448,7 @@ ORACLES = {
     "cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats": ORACLE_TEXT_STATS,
     "text_clean": ORACLE_TEXT_CLEAN,
+    "corpus_prep": ORACLE_CORPUS_PREP,
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
