@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from european_emissions_data_warehouse_spark.operators.merge import (
@@ -102,6 +103,40 @@ def run_incremental_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def purchase_view_stream_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior view by the
+    same user within the attribution window.
+
+    Both sides carry event-time watermarks and the join predicate bounds the
+    time skew (view_ts <= purchase_ts <= view_ts + window), so Spark can
+    expire join state: each side buffers only rows younger than
+    watermark + window — bounded state at any stream rate, the prerequisite
+    for running this on an unbounded feed."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"), "purchase_value")
 
 
 def run_windowed_counts(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from european_emissions_data_warehouse_spark.operators.merge import check_unique
 from european_emissions_data_warehouse_spark.sources.readers import load_table
 from european_emissions_data_warehouse_spark.streaming.ingest import (
+    purchase_view_stream_join,
     run_incremental_upsert,
     run_windowed_counts,
     stream_from_directory,
@@ -125,6 +126,82 @@ def test_windowed_counts_match_batch(spark, events_batch, tmp_path):
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, events_batch, tmp_path):
+    """Stream-stream purchase↔view attribution join == the equivalent batch
+    join (all data in one drain, so no watermark-dropped rows)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    stream = stream_from_directory(spark, landing, schema)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = purchase_view_stream_join(purchases, views)
+    (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = spark.read.parquet(out)
+
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("purchase_value"),
+    )
+    v = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"), "purchase_value")
+
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment(spark, events_batch, tmp_path):
+    """Stream-static join: each micro-batch enriches against a broadcast
+    dimension (no watermark or state needed — the static side is re-read
+    per batch, so dim updates are picked up between triggers)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    tiers = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("basic").alias("tier"),
+    )
+    stream = stream_from_directory(spark, landing, schema)
+    enriched = stream.join(F.broadcast(tiers), "user_id", "left").select(
+        "event_id", "user_id", "tier", "value"
+    )
+    (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == events_batch.count()
+    assert got.filter(F.col("tier").isNull()).count() == 0  # all users < 200
 
 
 def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
