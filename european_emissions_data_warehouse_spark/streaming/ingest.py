@@ -139,6 +139,26 @@ def purchase_view_stream_join(
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"), "purchase_value")
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — first occurrence of each key wins, duplicate
+    arrivals within the watermark horizon are dropped.
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state to keys younger
+    than the watermark (plain dropDuplicates on a stream accumulates every
+    key ever seen — unbounded at 100 TB/day).  The horizon is the
+    deduplication guarantee: duplicates farther apart than the watermark
+    pass through and are caught by the idempotent warehouse merge instead
+    (defense in depth, same as the reference's ON CONFLICT backstop)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key)
+    )
+
+
 def run_windowed_counts(
     stream: DataFrame,
     out_path: str,

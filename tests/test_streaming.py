@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from european_emissions_data_warehouse_spark.operators.merge import check_unique
 from european_emissions_data_warehouse_spark.sources.readers import load_table
 from european_emissions_data_warehouse_spark.streaming.ingest import (
+    dedup_stream,
     purchase_view_stream_join,
     run_incremental_upsert,
     run_windowed_counts,
@@ -170,6 +171,54 @@ def test_stream_stream_join_matches_batch(spark, events_batch, tmp_path):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_drops_in_horizon_duplicates(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark: a landing dir containing each event
+    twice must yield each event_id exactly once after one drain."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = events_batch.limit(200)
+    base.unionByName(base).coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    deduped = dedup_stream(
+        stream_from_directory(spark, landing, schema), ["event_id"]
+    )
+    (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert check_unique(got, ["event_id"]) == 0
+
+
+def test_rate_limited_ingest_batches(spark, events_batch, tmp_path):
+    """maxFilesPerTrigger=1 over 3 landed files: three micro-batches drain
+    sequentially, and the merged warehouse equals the all-at-once result."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        events_batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    stream = stream_from_directory(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    run_incremental_upsert(stream, warehouse, ckpt, key=["event_id"], order_by=["ts"])
+    wh = spark.read.parquet(warehouse)
+    assert wh.count() == events_batch.count()
+    assert check_unique(wh, ["event_id"]) == 0
 
 
 def test_stream_static_enrichment(spark, events_batch, tmp_path):
