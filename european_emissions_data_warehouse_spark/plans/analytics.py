@@ -551,6 +551,82 @@ ORDER BY hour, event_type
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h width, 1h slide): every event lands in
+    two overlapping windows — Catalyst expands to one generator + agg, the
+    same plan shape Structured Streaming uses for sliding aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _r2(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS w_start FROM events
+  UNION
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+)
+SELECT strftime(s.w_start, '%Y-%m-%d %H:%M') AS window_start, e.event_type,
+       COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN starts s
+  ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 2 HOUR
+GROUP BY s.w_start, e.event_type
+ORDER BY window_start, event_type
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in gap-based session windows (session_window, 30 min) — the
+    declarative form of q_sessionize's lag+cumsum idiom; identical grouping,
+    and the window's end is last_event + gap by definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _r2(F.sum("value")).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap — lag + cumulative
     flag-sum, the standard two-window idiom (one shuffle on user_id).  The
@@ -950,6 +1026,8 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "scalar_funcs": q_scalar_funcs,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
+    "session_window": q_session_window,
     "sessionize": q_sessionize,
     "scalar_subquery": q_scalar_subquery,
     "correlated_above_avg": q_correlated_above_nation_avg,
@@ -984,6 +1062,8 @@ ORACLES = {
     "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_sliding": ORACLE_EVENTS_SLIDING,
+    "session_window": ORACLE_SESSION_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
     "scalar_subquery": ORACLE_SCALAR_SUBQUERY,
     "correlated_above_avg": ORACLE_CORRELATED,
