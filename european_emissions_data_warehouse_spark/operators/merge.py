@@ -81,6 +81,45 @@ def with_surrogate_key(df: DataFrame, order_by: Sequence[str], name: str = "id")
     )
 
 
+def scd2_from_changelog(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    tie_break: Sequence[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log — the
+    warehouse-history extension of the O16 upsert (the reference's
+    ON CONFLICT keeps only the latest value, lambda_handler_warehouse.py:95-101;
+    SCD2 keeps every value with its validity interval).
+
+    Steps, all within one shuffle on ``key``:
+    1. collapse same-instant duplicates per (key, ts) keeping the row that
+       sorts last by ``tie_break`` (later-file-wins, SURVEY.md §2.1);
+    2. drop rows where ``attr_col`` equals the previous value (no change);
+    3. each surviving change opens an interval ``[ts, next_change_ts)``;
+       the open interval (``valid_to`` null) is the current row.
+
+    Scale: windows partition on the dimension key — high cardinality, no
+    skew concentration; state per key is one carried row.  Result invariants
+    (tested): per key, intervals are contiguous, non-overlapping, and exactly
+    one row is current.
+    """
+    key = list(key)
+    latest = dedupe_last(df, [*key, ts_col], list(tie_break) if tie_break else [ts_col])
+    w = Window.partitionBy(*key).orderBy(ts_col)
+    changes = (
+        latest.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def check_unique(df: DataFrame, key: Sequence[str]) -> int:
     """UNIQUE-constraint validation (reference lambda_handler_warehouse.py:63).
     Returns the number of violating keys (0 == constraint holds)."""

@@ -1004,6 +1004,324 @@ GROUP BY window_start ORDER BY window_start
 """
 
 
+# --- correlated EXISTS / IN subqueries ---------------------------------------
+
+
+def q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders in a quarter with at least
+    one lineitem shipped after the order date.  Catalyst decorrelates the
+    EXISTS into a left-semi join on l_orderkey — the date filter on orders
+    prunes the probe side *before* the shuffle, so the join input is a
+    fraction of the fact table at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLE_EXISTS_LATE)
+
+
+ORACLE_EXISTS_LATE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_in_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped IN-subquery with grouped HAVING: orders whose total
+    lineitem quantity exceeds a high-water mark.  The subquery aggregates
+    *before* the semi join, so the IN-list side is one row per qualifying
+    order (tiny) and AQE broadcasts it."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLE_IN_SUBQUERY)
+
+
+ORACLE_IN_SUBQUERY = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+# --- full outer join ----------------------------------------------------------
+
+
+def q_full_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two asymmetric per-nation aggregates (rich
+    customers vs overdrawn suppliers) — both sides pre-aggregated to one row
+    per key before the join, so the full-outer shuffle moves 25 rows however
+    large the inputs are: aggregate-then-join, the scalable order."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    rich = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    neg = (
+        supp.filter(F.col("s_acctbal") < 0)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_neg_suppliers"))
+    )
+    return (
+        rich.join(neg, rich.c_nationkey == neg.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+            F.coalesce("n_neg_suppliers", F.lit(0)).alias("n_neg_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH rich AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+), neg AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_neg_suppliers
+  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+)
+SELECT COALESCE(rich.nk, neg.nk) AS nationkey,
+       COALESCE(n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(n_neg_suppliers, 0) AS n_neg_suppliers
+FROM rich FULL OUTER JOIN neg ON rich.nk = neg.nk
+ORDER BY nationkey
+"""
+
+
+# --- conditional aggregation (FILTER clause) ---------------------------------
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — one scan computing several differently-
+    filtered aggregates (the FILTER-clause surface).  At scale this replaces
+    N filtered passes with one: all predicates evaluate map-side inside the
+    same partial aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+            F.coalesce(
+                _r2(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))),
+                F.lit(0.0),
+            ).alias("f_revenue"),
+            F.coalesce(
+                _r2(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")))),
+                F.lit(0.0),
+            ).alias("o_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2), 0.0) AS f_revenue,
+       COALESCE(ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2), 0.0) AS o_revenue
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# --- ordered string aggregation ----------------------------------------------
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg surface): nations per
+    region as a sorted CSV.  collect_list + array_sort makes the ordering
+    explicit — collect_list alone is partition-order-dependent, a
+    nondeterminism footgun at any parallelism."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# --- RANGE window frames ------------------------------------------------------
+
+
+def q_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per customer, trailing-30-day spend at each
+    order (RANGE BETWEEN 30 PRECEDING, over a day-number order key).  RANGE
+    frames bound state by *value* distance, not row count — same-day peers
+    share one frame, so the result is deterministic under ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.withColumn(
+        "day_no",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).cast("long"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return days.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        _r2(F.sum("o_totalprice").over(w)).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+WITH days AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_no,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+FROM days
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- array higher-order functions --------------------------------------------
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: transform /
+    aggregate (fold) / filter / array_max, all JVM-side Catalyst expressions.
+    The float→double transform is materialized once in its own projection —
+    re-referencing a HOF expression in Python re-plans the whole subtree per
+    reference (see operators/dedup.py for the general pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    )
+    return vd.select(
+        "vec_id",
+        "label",
+        F.size("vd").cast("long").alias("dim"),
+        F.round(F.aggregate("vd", F.lit(0.0), lambda acc, x: acc + x * x), 4).alias("sq_norm"),
+        F.size(F.filter("vd", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.array_max("vd").alias("max_val"),
+    )
+
+
+ORACLE_ARRAY_HOF = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val
+FROM embeddings
+"""
+
+
+# --- generator with ordinality (posexplode) ----------------------------------
+
+
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY surface): tokenize each document
+    and recover per-document first/last token via position-aware aggregates.
+    The generator and the min_by/max_by fold both combine map-side, so the
+    exploded rows never shuffle — only one small row per document does."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("lst"))
+    pos = toks.select("doc_id", F.posexplode("lst").alias("pos", "token"))
+    return (
+        pos.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min_by("token", "pos").alias("first_token"),
+            F.max_by("token", "pos").alias("last_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_POSITIONS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS lst FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(len(lst))) AS i, lst FROM toks
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       arg_min(lst[i + 1], i) AS first_token,
+       arg_max(lst[i + 1], i) AS last_token
+FROM pos GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- SCD2 dimension history ---------------------------------------------------
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the orders change log:
+    each customer's order-priority history as validity intervals
+    (operators/merge.py scd2_from_changelog — the history-keeping extension
+    of the reference's last-write-wins upsert, SURVEY.md O16)."""
+    from european_emissions_data_warehouse_spark.operators.merge import scd2_from_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
+    hist = scd2_from_changelog(
+        log, ["o_custkey"], "o_orderdate", "o_orderpriority", tie_break=["o_orderkey"]
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH dedup AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), changes AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+  FROM dedup WHERE rn = 1
+), hist AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS vf,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS vt
+  FROM changes WHERE prev IS NULL OR prev != o_orderpriority
+)
+SELECT o_custkey, o_orderpriority AS priority,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       COALESCE(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+       CAST(vt IS NULL AS INT) AS is_current
+FROM hist
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -1038,6 +1356,15 @@ QUERIES = {
     "salted_distinct": q_salted_distinct,
     "asof_join": q_asof_purchase_view,
     "range_join_peak": q_range_join_peak,
+    "exists_late_orders": q_exists_late_orders,
+    "in_subquery_big_orders": q_in_subquery_big_orders,
+    "full_outer_nation": q_full_outer_nation,
+    "conditional_agg": q_conditional_agg,
+    "string_agg_nations": q_string_agg,
+    "range_frame_spend": q_range_frame_spend,
+    "array_hof": q_array_hof,
+    "token_positions": q_token_positions,
+    "scd2_dim": q_scd2_dim,
 }
 
 ORACLES = {
@@ -1073,4 +1400,13 @@ ORACLES = {
     "salted_distinct": ORACLE_SALTED_DISTINCT,
     "asof_join": ORACLE_ASOF,
     "range_join_peak": ORACLE_RANGE_JOIN,
+    "exists_late_orders": ORACLE_EXISTS_LATE,
+    "in_subquery_big_orders": ORACLE_IN_SUBQUERY,
+    "full_outer_nation": ORACLE_FULL_OUTER,
+    "conditional_agg": ORACLE_CONDITIONAL_AGG,
+    "string_agg_nations": ORACLE_STRING_AGG,
+    "range_frame_spend": ORACLE_RANGE_FRAME,
+    "array_hof": ORACLE_ARRAY_HOF,
+    "token_positions": ORACLE_TOKEN_POSITIONS,
+    "scd2_dim": ORACLE_SCD2,
 }
