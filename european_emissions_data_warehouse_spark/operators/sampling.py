@@ -1,0 +1,83 @@
+"""Dataset sampling and splitting operators for training-data pipelines.
+
+A corpus headed for model training needs (a) reproducible train/valid/test
+splits that never move a document between splits as the corpus grows, and
+(b) stratified downsampling to rebalance skewed strata (e.g. languages).
+Neither exists in the reference (its one pipeline is pure ETL,
+scripts/etl_process.py:81-93); both are north-star extensions in the spirit
+of SURVEY.md §2.3.
+
+Scale notes (100 TB):
+- `split_by_hash` is a pure map-side expression — no shuffle, no state, no
+  RNG. Membership depends only on the key, so adding documents never
+  reassigns existing ones (critical to avoid train/test leakage across
+  corpus versions), and any engine can recompute it (the DuckDB oracle runs
+  the same arithmetic verbatim).
+- `stratified_sample` is Spark's Bernoulli sampleBy: map-side, seeded,
+  per-stratum fractions. No driver collect, no global pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Multiplicative integer hash, Knuth's 2^32 golden-ratio constant. All
+# arithmetic stays below 2^62 (ANSI mode would throw on 64-bit overflow):
+# the key is folded into [0, 2^30) before the multiply, and the high bits
+# of the product are used for the bucket (the low bits of a multiplicative
+# hash cycle badly for sequential keys).
+_KNUTH = 2654435761
+_FOLD = 1 << 30
+_MOD32 = 1 << 32
+
+
+def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key — integer
+    +,*,%,div only, so the exact expression is portable to any SQL engine."""
+    h = f"((({key_col} + {salt}) % {_FOLD}) * {_KNUTH}) % {_MOD32}"
+    return F.expr(f"(({h}) div 65536) % {n_buckets}")
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("valid", 10), ("test", 10)),
+    salt: int = 40503,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hash-bucketing ``key_col``.
+
+    ``splits`` are (name, percent) pairs summing to 100. A row's label is a
+    pure function of its key: stable under corpus growth, re-partitioning,
+    and engine choice.
+    """
+    pcts = [p for _, p in splits]
+    if sum(pcts) != 100:
+        raise ValueError(f"split percents must sum to 100, got {sum(pcts)}")
+    bucket = hash_bucket(key_col, 100, salt)
+    col = None
+    cum = 0
+    for name, pct in splits[:-1]:
+        cum += pct
+        col = F.when(bucket < cum, name) if col is None else col.when(bucket < cum, name)
+    last = splits[-1][0]
+    col = F.lit(last) if col is None else col.otherwise(last)
+    return df.withColumn(out_col, col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (``DataFrame.sampleBy``).
+
+    Strata absent from ``fractions`` are dropped (fraction 0) — rebalancing
+    and filtering in one pass. Exact row counts are binomial, not exact
+    quotas; for hard quotas compose with a per-stratum row_number cap.
+    """
+    return df.sampleBy(strata_col, dict(fractions), seed)

@@ -423,6 +423,51 @@ FROM documents
 """
 
 
+# --- sampling / splits -------------------------------------------------------
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/valid/test split by multiplicative key
+    hash (operators/sampling.py split_by_hash): pure map-side integer
+    arithmetic, no RNG — a document's split never changes as the corpus
+    grows, and the oracle recomputes the identical assignment in SQL."""
+    from european_emissions_data_warehouse_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_by_hash(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang,
+         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified Bernoulli sample rebalancing the language skew
+    (en downsampled hardest).  Seeded-RNG membership has no cross-engine
+    twin — rows-only determinism check; tests/test_sampling.py pins the
+    subset property and per-stratum rates."""
+    from european_emissions_data_warehouse_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    return stratified_sample(docs.select("doc_id", "lang"), "lang", fractions, seed=42)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -439,6 +484,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_stats": q_embedding_stats,
     "media_features": q_media_features,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -452,4 +499,5 @@ ORACLES = {
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
+    "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
 }

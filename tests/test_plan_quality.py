@@ -58,6 +58,28 @@ def test_window_queries_shuffle_once(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    # correlated EXISTS must become a semi join, not a per-row subquery
+    plan = _executed(entry_mod.queries()["exists_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_range_frame_shuffles_once(spark, sf_dir):
+    # both RANGE-frame window functions share the customer partition
+    plan = _executed(entry_mod.queries()["range_frame_spend"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_split_by_hash_is_map_side_only(spark, sf_dir):
+    # the split assignment itself must add no exchange: project over scan
+    from european_emissions_data_warehouse_spark.operators.sampling import split_by_hash
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    df = split_by_hash(load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    plan = _executed(df)
+    assert "Exchange" not in plan, plan
+
+
 def test_etl_flagship_merge_is_only_shuffle_work(spark, sf_dir):
     # the parity flagship: narrow chain + merge; no more than 2 hash
     # exchanges (anti-join key + none for broadcast dim decode)
