@@ -191,6 +191,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Cluster near-duplicate pairs into connected components:
+    (id, component) with component = the smallest id reachable through the
+    pair graph.  This is the step that turns pairwise near-dup evidence into
+    dedup *groups* (keep component, drop the rest).
+
+    Iterative min-label propagation: each round, every node takes the min of
+    its own label and its neighbors' labels; fixpoint when no label changes.
+    Rounds needed = graph diameter — near-dup clusters are shallow (a
+    handful), not web-graph deep.  Each round is one join + one groupBy-min
+    shuffle, both keyed on node id.  ``localCheckpoint`` truncates the plan
+    lineage per round — without it the loop builds an exponentially deep
+    plan.  At trillion-edge scale swap the loop body for the
+    large-star/small-star rewrite; the driver loop shape is identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

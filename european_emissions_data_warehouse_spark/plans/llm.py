@@ -89,6 +89,49 @@ FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: exact n-gram Jaccard pairs (threshold 0.4) fed
+    into iterative min-label connected components
+    (operators/dedup.py connected_components) — the step that turns pair
+    evidence into dedup groups.  The one genuinely iterative algorithm in
+    the engine; the oracle replays it as a DuckDB recursive CTE."""
+    from european_emissions_data_warehouse_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.4)
+    comps = connected_components(pairs)
+    return comps.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
+ORACLE_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                        FOR i IN range(1, GREATEST(len(toks) - 4, 1) + 1)]) AS shingles
+  FROM base
+), sh AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, UNNEST(shingles) AS shingle FROM sh0
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (rows-only check: xxhash64 has no DuckDB
     equivalent).  32 hashes, 8 bands — steep around jaccard ~0.4."""
@@ -471,6 +514,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "ann_topk": q_ann_topk,
@@ -491,6 +535,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "ann_topk": ORACLE_ANN_TOPK,
     "cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats": ORACLE_TEXT_STATS,

