@@ -1275,6 +1275,99 @@ FROM pos GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- date spine / dense time series ------------------------------------------
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense month×status grid with zero-fill: sequence+explode generates the
+    calendar spine engine-side (no driver loop), cross join with the status
+    dim, left join to the monthly aggregate.  The spine is tiny whatever the
+    fact size, so both joins broadcast; the only fact-sized work is the
+    pre-aggregation — aggregate-then-join again."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.select(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    statuses = orders.select("o_orderstatus").distinct()
+    grid = spine.crossJoin(statuses)
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"), "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(monthly, ["month", "o_orderstatus"], "left")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+ORACLE_DATE_SPINE = """
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+), statuses AS (
+  SELECT DISTINCT o_orderstatus FROM orders
+), monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT strftime(g.month, '%Y-%m') AS month, g.o_orderstatus AS o_orderstatus,
+       COALESCE(n, 0) AS n_orders
+FROM (SELECT month, o_orderstatus FROM spine CROSS JOIN statuses) g
+LEFT JOIN monthly m ON g.month = m.month AND g.o_orderstatus = m.o_orderstatus
+ORDER BY month, g.o_orderstatus
+"""
+
+
+# --- map-typed columns --------------------------------------------------------
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column round trip: build a status→count map per year with
+    map_from_entries over a sorted entry list (collect_list alone is
+    partition-order-dependent — sorting makes the map construction
+    deterministic), then inspect it with element_at / map_keys /
+    cardinality.  The map lives entirely JVM-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("order_year").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return maps.select(
+        "order_year",
+        F.size("m").cast("long").alias("n_statuses"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_f"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("statuses"),
+    ).orderBy("order_year")
+
+
+ORACLE_MAP_FUNCS = """
+WITH per AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT order_year,
+       COUNT(*) AS n_statuses,
+       COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS n_f,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM per GROUP BY order_year ORDER BY order_year
+"""
+
+
 # --- SCD2 dimension history ---------------------------------------------------
 
 
@@ -1365,6 +1458,8 @@ QUERIES = {
     "array_hof": q_array_hof,
     "token_positions": q_token_positions,
     "scd2_dim": q_scd2_dim,
+    "date_spine": q_date_spine,
+    "map_funcs": q_map_funcs,
 }
 
 ORACLES = {
@@ -1409,4 +1504,6 @@ ORACLES = {
     "array_hof": ORACLE_ARRAY_HOF,
     "token_positions": ORACLE_TOKEN_POSITIONS,
     "scd2_dim": ORACLE_SCD2,
+    "date_spine": ORACLE_DATE_SPINE,
+    "map_funcs": ORACLE_MAP_FUNCS,
 }

@@ -466,6 +466,52 @@ FROM documents
 """
 
 
+# --- Python UDTF --------------------------------------------------------------
+
+
+def q_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (the user-extensible table-function surface): segment
+    each document into sentences, one output row per sentence with its word
+    count, via LATERAL correlation in SQL.  Deliberately simple logic so the
+    oracle can replay it; real segmenters drop into the same shape.  UDTFs
+    are row-at-a-time Python — the slow path by design; batch text ops in
+    this engine use built-ins (token_topk) or Arrow (media_features)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no: long, n_words: long")
+    class SentenceSplit:
+        def eval(self, text: str):
+            sents = (s.strip(" ") for s in text.split("."))
+            for i, s in enumerate(s for s in sents if s != ""):
+                yield i + 1, len(s.split())
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_no, s.n_words
+        FROM documents, LATERAL sentence_split(text) s
+        """
+    )
+
+
+ORACLE_SENTENCE_UDTF = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, '.') AS lst FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(len(lst))) AS i, lst FROM toks
+), t AS (
+  SELECT doc_id, i, trim(lst[i + 1]) AS s FROM pos
+), ne AS (
+  SELECT doc_id, i, s FROM t WHERE s != ''
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS sent_no,
+       CAST(len(string_split_regex(s, '\s+')) AS BIGINT) AS n_words
+FROM ne
+"""
+
+
 # --- sampling / splits -------------------------------------------------------
 
 
@@ -530,6 +576,7 @@ QUERIES = {
     "media_features": q_media_features,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
+    "sentence_udtf": q_sentence_udtf,
 }
 
 ORACLES = {
@@ -545,4 +592,5 @@ ORACLES = {
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "sentence_udtf": ORACLE_SENTENCE_UDTF,
 }
