@@ -163,6 +163,107 @@ ORDER BY n_name
 """
 
 
+def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue filter: a pure scan-side query —
+    every predicate (date range, discount band, quantity cap) pushes to the
+    parquet scan, the aggregate is a single scalar.  The canonical test that
+    filters actually reach the reader (asserted in test_plan_quality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_FILTER = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: conditional numerator over a
+    part join, monthly.  part is the broadcast side; the ratio is computed
+    from two sums in the same aggregate — one scan, one broadcast, one
+    2-row-per-month exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                6,
+            ).alias("promo_pct"),
+            _r2(F.sum(disc)).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY ship_month ORDER BY ship_month
+"""
+
+
+def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join predicate: OR-of-AND brand/size/
+    quantity bands evaluated *after* the equi-join on partkey.  Catalyst
+    keeps the equi-key as the join condition and the disjunction as a
+    post-join filter (visible in .explain) — the join never degrades to a
+    nested-loop over the OR."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 25))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 35))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_DISJUNCT_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 # --- sorts / limits / top-k -------------------------------------------------
 
 
@@ -1460,6 +1561,9 @@ QUERIES = {
     "scd2_dim": q_scd2_dim,
     "date_spine": q_date_spine,
     "map_funcs": q_map_funcs,
+    "revenue_filter": q_revenue_filter,
+    "promo_revenue": q_promo_revenue,
+    "disjunct_revenue": q_disjunct_revenue,
 }
 
 ORACLES = {
@@ -1506,4 +1610,7 @@ ORACLES = {
     "scd2_dim": ORACLE_SCD2,
     "date_spine": ORACLE_DATE_SPINE,
     "map_funcs": ORACLE_MAP_FUNCS,
+    "revenue_filter": ORACLE_REVENUE_FILTER,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "disjunct_revenue": ORACLE_DISJUNCT_REVENUE,
 }

@@ -58,6 +58,14 @@ def test_window_queries_shuffle_once(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def test_revenue_filter_pushes_all_predicates(spark, sf_dir):
+    # Q6 shape: date range + discount band + quantity cap all reach the scan
+    plan = _formatted(entry_mod.queries()["revenue_filter"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
 def test_exists_decorrelates_to_semi_join(spark, sf_dir):
     # correlated EXISTS must become a semi join, not a per-row subquery
     plan = _executed(entry_mod.queries()["exists_late_orders"](spark, sf_dir))
