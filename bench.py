@@ -42,6 +42,10 @@ HEADLINE = [
     "minhash_neardup",
     "ann_topk",
     "text_stats",
+    "revenue_filter",
+    "scd2_dim",
+    "train_test_split",
+    "dedup_components",
 ]
 
 
