@@ -58,6 +58,7 @@ def run_incremental_upsert(
     checkpoint_path: str,
     key: Sequence[str],
     order_by: Sequence[str],
+    output_mode: str = "append",
 ) -> None:
     """Drain all currently-available files into the warehouse with
     last-write-wins merge semantics, then stop (availableNow).
@@ -98,6 +99,7 @@ def run_incremental_upsert(
 
     (
         stream.writeStream.foreachBatch(merge_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

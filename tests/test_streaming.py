@@ -253,6 +253,47 @@ def test_stream_static_enrichment(spark, events_batch, tmp_path):
     assert got.filter(F.col("tier").isNull()).count() == 0  # all users < 200
 
 
+def test_transform_with_state_totals_match_batch(spark, events_batch, tmp_path):
+    """transformWithStateInPandas (state-v2 API): per-user running totals
+    maintained across 3 rate-limited micro-batches must equal the batch
+    groupBy — the streaming-materialized-view contract.  Skips where the
+    protobuf channel dependency is absent (state.py state_v2_available)."""
+    from european_emissions_data_warehouse_spark.streaming.state import (
+        running_totals,
+        run_totals_drain,
+        state_v2_available,
+    )
+
+    if not state_v2_available():
+        pytest.skip("transformWithState needs protobuf (not in this environment)")
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        events_batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    stream = stream_from_directory(spark, landing, schema, max_files_per_trigger=1)
+    totals = running_totals(stream)
+    run_totals_drain(totals, warehouse, ckpt)
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(warehouse).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
+    assert check_unique(spark.read.parquet(warehouse), ["user_id"]) == 0
+
+
 def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
     """applyInPandasWithState sessions == the batch lag+cumsum sessionization.
     All data arrives in one micro-batch; in-batch gaps close sessions by
