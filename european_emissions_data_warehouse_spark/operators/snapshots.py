@@ -1,0 +1,150 @@
+"""Snapshot-versioned parquet tables: linear history, time travel, rollback.
+
+The reference's durability story is a Postgres transaction per load
+(scripts/lambda_handler_warehouse.py:73,106 — SURVEY.md O17); a data lake
+has no transaction manager, so this module supplies the minimal equivalent
+the way lakehouse formats do it: an **append-only commit log** beside the
+data.
+
+Layout:
+
+    <table>/_commits/00000042        text file naming the snapshot's data dir
+    <table>/data_v00000042/          immutable parquet snapshot
+
+A commit writes its data dir, then publishes a manifest via
+write-temp + rename-without-overwrite.  On HDFS-compatible filesystems that
+rename is atomic and fails if the destination exists — which makes the
+commit a compare-and-swap: two writers racing to the same version number
+produce one winner and one clean ``ConcurrentCommitError`` (optimistic
+concurrency, the same protocol as a Delta/Iceberg log commit).  Readers
+resolve the max committed version; a reader never sees a half-written
+snapshot because data dirs are immutable once their manifest exists.
+
+Rollback re-publishes an old snapshot as a *new* version (history is never
+rewritten); vacuum deletes data dirs no commit in the retained window
+references.  At 100 TB the snapshot write is the ordinary output job —
+the log adds one tiny file per commit, and time travel is free (old dirs
+just remain until vacuumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — reload and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+
+
+class SnapshotTable:
+    """A versioned parquet table at ``path`` (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.commits_dir = f"{self.path}/_commits"
+
+    # --- log ------------------------------------------------------------
+
+    def _jpath(self, p: str):
+        jvm, _ = _fs(self.spark, p)
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def history(self) -> list[int]:
+        """Committed versions, ascending (empty for a fresh table)."""
+        jvm, fs = _fs(self.spark, self.path)
+        cd = self._jpath(self.commits_dir)
+        if not fs.exists(cd):
+            return []
+        out = []
+        for status in fs.listStatus(cd):
+            name = status.getPath().getName()
+            if name.isdigit():
+                out.append(int(name))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        h = self.history()
+        return h[-1] if h else None
+
+    def _manifest(self, version: int) -> str:
+        jvm, fs = _fs(self.spark, self.path)
+        p = self._jpath(f"{self.commits_dir}/{version:08d}")
+        if not fs.exists(p):
+            raise ValueError(f"version {version} does not exist at {self.path}")
+        stream = fs.open(p)
+        try:
+            return (
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
+            )
+        finally:
+            stream.close()
+
+    def _publish(self, version: int, data_dir: str) -> None:
+        jvm, fs = _fs(self.spark, self.path)
+        fs.mkdirs(self._jpath(self.commits_dir))
+        tmp = f"{self.commits_dir}/.tmp_{version:08d}"
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(data_dir, "utf-8"))
+        finally:
+            out.close()
+        final = self._jpath(f"{self.commits_dir}/{version:08d}")
+        # rename-without-overwrite = atomic CAS on HDFS-compatible FS
+        if not fs.rename(self._jpath(tmp), final):
+            fs.delete(self._jpath(tmp), False)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed concurrently"
+            )
+
+    # --- write ----------------------------------------------------------
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next snapshot; returns its version."""
+        version = (self.latest_version() if self.history() else -1)
+        version = (version if version is not None else -1) + 1
+        data_dir = f"data_v{version:08d}"
+        df.write.mode("overwrite").parquet(f"{self.path}/{data_dir}")
+        self._publish(version, data_dir)
+        return version
+
+    def rollback(self, version: int) -> int:
+        """Re-publish an old snapshot as the new latest (history preserved);
+        returns the new version number."""
+        data_dir = self._manifest(version)
+        new_version = (self.latest_version() or 0) + 1
+        self._publish(new_version, data_dir)
+        return new_version
+
+    # --- read -----------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"no commits yet at {self.path}")
+        return self.spark.read.parquet(f"{self.path}/{self._manifest(version)}")
+
+    # --- maintenance ----------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data dirs referenced only by commits older than the last
+        ``keep_last``; returns the deleted dir names.  Time travel reaches
+        only retained versions afterwards."""
+        history = self.history()
+        keep_versions = history[-keep_last:] if keep_last > 0 else []
+        keep_dirs = {self._manifest(v) for v in keep_versions}
+        all_dirs = {self._manifest(v) for v in history}
+        jvm, fs = _fs(self.spark, self.path)
+        removed = []
+        for d in sorted(all_dirs - keep_dirs):
+            fs.delete(self._jpath(f"{self.path}/{d}"), True)
+            removed.append(d)
+        return removed

@@ -1,0 +1,74 @@
+"""SnapshotTable contracts (operators/snapshots.py): linear history, time
+travel, rollback-as-new-commit, CAS conflict detection, vacuum retention."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.snapshots import (
+    ConcurrentCommitError,
+    SnapshotTable,
+)
+from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_commit_read_time_travel(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v0 = t.commit(nation.filter(F.col("n_nationkey") < 10))
+    v1 = t.commit(nation)
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == nation.count()
+    assert t.read(0).count() == nation.filter(F.col("n_nationkey") < 10).count()
+    assert t.history() == [0, 1]
+
+
+def test_rollback_preserves_history(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.filter(F.col("n_nationkey") < 5))
+    t.commit(nation)
+    v2 = t.rollback(0)
+    assert v2 == 2
+    assert t.history() == [0, 1, 2]
+    # latest now shows v0's rows; v1 still reachable
+    assert t.read().count() == t.read(0).count()
+    assert t.read(1).count() == nation.count()
+
+
+def test_concurrent_commit_detected(spark, nation, tmp_path):
+    t1 = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t1.commit(nation)
+    # both writers target version 1; the slower publisher must fail cleanly
+    t1.commit(nation.limit(5))
+    with pytest.raises(ConcurrentCommitError):
+        t2._publish(1, "data_v_imposter")
+
+
+def test_vacuum_drops_only_unreferenced(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(3))
+    t.commit(nation.limit(7))
+    t.commit(nation)
+    removed = t.vacuum(keep_last=2)
+    assert removed == ["data_v00000000"]
+    assert t.read(1).count() == 7
+    assert t.read().count() == nation.count()
+    with pytest.raises(Exception):
+        t.read(0).count()
+
+
+def test_rollback_target_survives_vacuum(spark, nation, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(2))
+    t.commit(nation)
+    t.rollback(0)  # v2 references v0's data dir
+    removed = t.vacuum(keep_last=1)
+    # v0's dir is referenced by retained v2 — only v1's dir may go
+    assert removed == ["data_v00000001"]
+    assert t.read().count() == 2
