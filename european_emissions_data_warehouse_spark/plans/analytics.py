@@ -1376,6 +1376,48 @@ FROM pos GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- null semantics + hashing scalars ----------------------------------------
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface over a null-producing JSON parse: null-safe
+    equality (<=>), NULLIF/NVL2, try_divide (null, not error, on /0 — the
+    ANSI-mode-safe form), null-skipping GREATEST, and deterministic content
+    hashing (md5/sha2) — all codegen scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("k").eqNullSafe(F.lit(1)).cast("int").alias("k_is_1"),
+        F.nullif("event_type", F.lit("view")).alias("type_not_view"),
+        F.nvl2("k", F.lit("has_k"), F.lit("no_k")).alias("k_state"),
+        # raw IEEE division/compare — bit-identical cross-engine; ROUND on a
+        # quotient is NOT (Spark rounds shortest-decimal, DuckDB the binary)
+        F.try_divide("value", "k").alias("value_per_k"),
+        F.greatest("value", F.col("k").cast("double")).alias("hi"),
+        F.md5("event_type").alias("type_md5"),
+        F.sha2("event_type", 256).alias("type_sha256"),
+    )
+
+
+ORACLE_NULL_HANDLING = """
+SELECT event_id,
+       CAST(CAST(json_extract(props, '$.k') AS INT) IS NOT DISTINCT FROM 1 AS INT) AS k_is_1,
+       NULLIF(event_type, 'view') AS type_not_view,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 'has_k' ELSE 'no_k' END AS k_state,
+       value / NULLIF(CAST(json_extract(props, '$.k') AS INT), 0) AS value_per_k,
+       GREATEST(value, CAST(CAST(json_extract(props, '$.k') AS INT) AS DOUBLE)) AS hi,
+       md5(event_type) AS type_md5,
+       sha256(event_type) AS type_sha256
+FROM events
+"""
+
+
 # --- date spine / dense time series ------------------------------------------
 
 
@@ -1564,6 +1606,7 @@ QUERIES = {
     "revenue_filter": q_revenue_filter,
     "promo_revenue": q_promo_revenue,
     "disjunct_revenue": q_disjunct_revenue,
+    "null_handling": q_null_handling,
 }
 
 ORACLES = {
@@ -1613,4 +1656,5 @@ ORACLES = {
     "revenue_filter": ORACLE_REVENUE_FILTER,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "disjunct_revenue": ORACLE_DISJUNCT_REVENUE,
+    "null_handling": ORACLE_NULL_HANDLING,
 }

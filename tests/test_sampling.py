@@ -63,6 +63,46 @@ def test_stratified_sample_subset_and_rates(spark):
         assert abs(rate - frac) < 0.2, (lang, rate, frac)
 
 
+class TestSplitLaws:
+    """Property-based laws of the hash splitter (hypothesis): total
+    partition, determinism, bucket range, and growth stability for
+    arbitrary keys and split tables."""
+
+    import pytest as _pytest
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(
+        st.integers(min_value=0, max_value=2**40), unique=True, min_size=1, max_size=30
+    )
+    pcts = st.sampled_from([(50, 50), (80, 10, 10), (99, 1), (34, 33, 33), (100,)])
+
+    @given(keys=keys, pcts=pcts)
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_total_partition_and_stability(self, spark, keys, pcts):
+        from european_emissions_data_warehouse_spark.operators.sampling import (
+            hash_bucket,
+            split_by_hash,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        splits = tuple((f"s{i}", p) for i, p in enumerate(pcts))
+        out = split_by_hash(df, "doc_id", splits=splits)
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        # total partition: every key labeled, labels drawn from the table
+        assert set(rows) == set(keys)
+        assert set(rows.values()) <= {name for name, _ in splits}
+        # determinism + growth stability: a subset sees identical labels
+        sub = split_by_hash(df.limit(max(1, len(keys) // 2)), "doc_id", splits=splits)
+        assert all(rows[r["doc_id"]] == r["split"] for r in sub.collect())
+        # bucket range
+        b = df.select(hash_bucket("doc_id").alias("b")).agg(
+            F.min("b").alias("lo"), F.max("b").alias("hi")
+        ).collect()[0]
+        assert 0 <= b["lo"] and b["hi"] <= 99
+
+
 def test_stratified_sample_drops_unlisted_strata(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     only_en = stratified_sample(docs, "lang", {"en": 1.0}, seed=7)
