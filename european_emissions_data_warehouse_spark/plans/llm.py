@@ -466,6 +466,123 @@ FROM documents
 """
 
 
+# --- training-batch construction ---------------------------------------------
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: documents in a
+    deterministic order, running token cumsum, a pack boundary every 2048
+    tokens (pack_id = tokens-before div 2048).  One global-ordered window
+    here for cross-engine determinism; at corpus scale, salt doc ids into
+    shards and pack within each shard (same expressions partitioned by
+    shard) — packing quality is unchanged and the sort parallelizes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_token_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = toks.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("pack_id", F.expr("tok_before div 2048"))
+    return (
+        packed.groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
+        .orderBy("pack_id")
+    )
+
+
+ORACLE_SEQUENCE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM toks
+)
+SELECT tok_before // 2048 AS pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 500-char windows on a 400-char stride
+    (100-char overlap) via sequence+posexplode — the generator runs
+    engine-side with no Python, and chunks are emitted as (len, md5) so the
+    oracle proves content equality without shipping chunk bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.greatest(F.col("n_chars") - 1, F.lit(0)), F.lit(400).cast("long"))
+        ).alias("chunk_no", "start"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.expr("substring(text, CAST(start AS INT) + 1, 500)").alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_no")
+
+
+ORACLE_DOC_CHUNKS = """
+WITH starts AS (
+  SELECT doc_id, text, unnest(range(0, GREATEST(n_chars, 1), 400)) AS start
+  FROM documents
+)
+SELECT doc_id, start // 400 AS chunk_no,
+       CAST(length(substr(text, CAST(start AS INT) + 1, 500)) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(start AS INT) + 1, 500)) AS chunk_md5
+FROM starts ORDER BY doc_id, chunk_no
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format: posexplode to
+    (label, dim, component) triples, one partial-aggregable shuffle — scales
+    to billions of vectors.  Components are fixed-point scaled (floor of
+    x·2^20) before summing so the aggregate is an exact integer sum:
+    order-independent, hence bit-reproducible across any partitioning and
+    identical to the oracle (float sums are neither)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    scaled = comp.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1048576).alias("xs"),
+    )
+    return (
+        scaled.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("xs") / (F.count(F.lit(1)) * F.lit(1048576.0))).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH comp AS (
+  SELECT label, unnest(range(len(embedding))) AS dim, embedding AS e FROM embeddings
+), scaled AS (
+  SELECT label, CAST(dim AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e[CAST(dim AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS xs
+  FROM comp
+)
+SELECT label, dim, COUNT(*) AS n_vecs, SUM(xs) / (COUNT(*) * 1048576.0) AS centroid
+FROM scaled GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 # --- Python UDTF --------------------------------------------------------------
 
 
@@ -577,6 +694,9 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "sentence_udtf": q_sentence_udtf,
+    "sequence_pack": q_sequence_pack,
+    "doc_chunks": q_doc_chunks,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES = {
@@ -593,4 +713,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "sentence_udtf": ORACLE_SENTENCE_UDTF,
+    "sequence_pack": ORACLE_SEQUENCE_PACK,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
 }
