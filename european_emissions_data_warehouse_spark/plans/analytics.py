@@ -1376,6 +1376,80 @@ FROM pos GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- navigation window functions ---------------------------------------------
+
+
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (first/last/nth value) over an explicit
+    full-partition frame.  The default frame ends at CURRENT ROW — the
+    classic last_value footgun — so the frame is pinned to UNBOUNDED
+    FOLLOWING; still one shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+ORACLE_WINDOW_NAV = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- outer generator ----------------------------------------------------------
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer (LEFT JOIN LATERAL semantics): documents whose filtered
+    token list is empty still produce one null row, so no document vanishes
+    from the output — the invariant that distinguishes the outer generator
+    from plain explode, pinned by n_rows = max(n, 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda t: F.length(t) >= 12
+        ).alias("lst"),
+    )
+    ex = toks.select("doc_id", F.explode_outer("lst").alias("token"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("token").alias("n_long_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_EXPLODE_OUTER = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) >= 12)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS BIGINT) AS n_rows,
+       CAST(n AS BIGINT) AS n_long_tokens
+FROM t ORDER BY doc_id
+"""
+
+
 # --- null semantics + hashing scalars ----------------------------------------
 
 
@@ -1607,6 +1681,8 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "disjunct_revenue": q_disjunct_revenue,
     "null_handling": q_null_handling,
+    "window_nav": q_window_nav,
+    "explode_outer": q_explode_outer,
 }
 
 ORACLES = {
@@ -1657,4 +1733,6 @@ ORACLES = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "disjunct_revenue": ORACLE_DISJUNCT_REVENUE,
     "null_handling": ORACLE_NULL_HANDLING,
+    "window_nav": ORACLE_WINDOW_NAV,
+    "explode_outer": ORACLE_EXPLODE_OUTER,
 }

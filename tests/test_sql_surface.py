@@ -61,3 +61,17 @@ def test_sql_ddl_ctas_and_query(spark, sf_dir):
         assert n_tbl == n_src
     finally:
         spark.sql("DROP TABLE IF EXISTS urgent_orders")
+
+
+def test_sql_insert_into(spark, sf_dir):
+    """INSERT INTO (values + select) on a catalog parquet table — the load
+    path of the delegated SQL surface beyond CTAS."""
+    spark.sql("DROP TABLE IF EXISTS ins_demo")
+    spark.sql("CREATE TABLE ins_demo (k INT, v STRING) USING parquet")
+    try:
+        spark.sql("INSERT INTO ins_demo VALUES (1, 'a'), (2, 'b')")
+        spark.sql("INSERT INTO ins_demo SELECT 3, 'c'")
+        got = sorted((r.k, r.v) for r in spark.sql("SELECT * FROM ins_demo").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_demo")
