@@ -1376,6 +1376,44 @@ FROM pos GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- lenient typing (try_cast) ------------------------------------------------
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient typed import: try_cast yields null instead of aborting on
+    malformed values — the tolerant counterpart of the engine's ANSI-strict
+    O15 typed scan (which matches the reference's Postgres COPY abort).
+    Splitting o_orderpriority on '-' yields mixed numeric/word tokens, so
+    both branches are exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    toks = orders.select(
+        "o_orderpriority", F.explode(F.split("o_orderpriority", "-")).alias("tok")
+    )
+    parsed = toks.withColumn("n", F.expr("try_cast(tok AS INT)"))
+    return (
+        parsed.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("n").alias("n_numeric"),
+            F.sum("n").cast("long").alias("numeric_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TRY_CAST = """
+WITH toks AS (
+  SELECT o_orderpriority, unnest(string_split(o_orderpriority, '-')) AS tok
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_tokens,
+       COUNT(TRY_CAST(tok AS INT)) AS n_numeric,
+       CAST(SUM(TRY_CAST(tok AS INT)) AS BIGINT) AS numeric_sum
+FROM toks GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --- navigation window functions ---------------------------------------------
 
 
@@ -1683,6 +1721,7 @@ QUERIES = {
     "null_handling": q_null_handling,
     "window_nav": q_window_nav,
     "explode_outer": q_explode_outer,
+    "try_cast_import": q_try_cast,
 }
 
 ORACLES = {
@@ -1735,4 +1774,5 @@ ORACLES = {
     "null_handling": ORACLE_NULL_HANDLING,
     "window_nav": ORACLE_WINDOW_NAV,
     "explode_outer": ORACLE_EXPLODE_OUTER,
+    "try_cast_import": ORACLE_TRY_CAST,
 }

@@ -88,6 +88,36 @@ def test_split_by_hash_is_map_side_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_sql_broadcast_hint_is_honored(spark, sf_dir):
+    # the /*+ BROADCAST */ hint surface: the hinted side must broadcast even
+    # if statistics would pick a shuffle join
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    df = spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer) */ c_name, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name
+        """
+    )
+    assert "BroadcastHashJoin" in _executed(df)
+
+
+def test_cache_table_uses_in_memory_scan(spark, sf_dir):
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_c")
+    spark.catalog.cacheTable("nation_c")
+    try:
+        df = spark.sql("SELECT COUNT(*) AS n FROM nation_c")
+        df.collect()  # materialize the cache
+        assert "InMemoryRelation" in _executed(df)
+    finally:
+        spark.catalog.uncacheTable("nation_c")
+
+
 def test_etl_flagship_merge_is_only_shuffle_work(spark, sf_dir):
     # the parity flagship: narrow chain + merge; no more than 2 hash
     # exchanges (anti-join key + none for broadcast dim decode)
