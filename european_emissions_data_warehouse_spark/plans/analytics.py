@@ -1376,6 +1376,53 @@ FROM pos GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- bucketed co-located join -------------------------------------------------
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical design in the query set: bucket orders and lineitem on the
+    join key at write time (operators/bucketing.py), then join the
+    catalog-backed tables — at warehouse scale the join plans with zero
+    Exchange (asserted in tests/test_bucketing.py; at toy SF the broadcast
+    strategy may win instead, which is also shuffle-free).  The oracle is
+    the plain join: bucketing must never change results, only plans."""
+    import os
+    import re
+
+    from european_emissions_data_warehouse_spark.operators.bucketing import (
+        cluster_for_join,
+    )
+
+    tag = re.sub(r"\W", "_", sf_dir) + f"_{os.getpid()}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    bo, bl = cluster_for_join(
+        spark, orders, li, ["o_orderkey"], f"bo_{tag}", f"bl_{tag}", n_buckets=8
+    )
+    return (
+        bo.join(bl, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_custkey, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # --- lenient typing (try_cast) ------------------------------------------------
 
 
@@ -1722,6 +1769,7 @@ QUERIES = {
     "window_nav": q_window_nav,
     "explode_outer": q_explode_outer,
     "try_cast_import": q_try_cast,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
@@ -1775,4 +1823,5 @@ ORACLES = {
     "window_nav": ORACLE_WINDOW_NAV,
     "explode_outer": ORACLE_EXPLODE_OUTER,
     "try_cast_import": ORACLE_TRY_CAST,
+    "bucketed_join": ORACLE_BUCKETED_JOIN,
 }
