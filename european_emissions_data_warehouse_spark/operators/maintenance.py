@@ -18,7 +18,26 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def z_value(c1: Column, c2: Column, bits: int = 16) -> Column:
+    """Bit-interleaved Z-order key for two non-negative integer columns
+    (c1's bit i lands at 2i+1, c2's at 2i).  Sorting by this key clusters
+    rows that are close in *both* dimensions, so parquet row-group min/max
+    stats prune scans filtered on either column — the multi-dimensional
+    extension of compact_parquet's single-key range clustering.  Pure
+    shift/and/or expressions: whole-stage codegen, no UDF; 2*bits ≤ 62 keeps
+    the key in a signed long under ANSI mode."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
 
 
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -68,6 +87,41 @@ def compact_parquet(
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(final_p, True)
     fs.rename(staging_p, final_p)
+
+    n_after, _ = _dir_stats(spark, path)
+    return n_before, n_after
+
+
+def cluster_zorder(
+    spark: SparkSession,
+    path: str,
+    col1: str,
+    col2: str,
+    target_file_mb: int = 128,
+    bits: int = 16,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory Z-order-clustered on two integer columns:
+    compute the interleaved key, range-partition and sort by it, write, and
+    atomically swap — data-skipping then works for filters on either column
+    (compact_parquet's staging/swap protocol, same crash safety).  Returns
+    (files_before, files_after)."""
+    n_before, total_bytes = _dir_stats(spark, path)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    zed = df.withColumn("__z", z_value(F.col(col1), F.col(col2), bits))
+    out = (
+        zed.repartitionByRange(n_target, "__z").sortWithinPartitions("__z").drop("__z")
+    )
+
+    staging = f"{path}__zorder"
+    out.write.mode("overwrite").parquet(staging)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
 
     n_after, _ = _dir_stats(spark, path)
     return n_before, n_after
