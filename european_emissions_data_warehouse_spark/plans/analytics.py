@@ -1423,6 +1423,41 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-fact join in the graded set: the lineitem side is
+    salted into 8 sub-keys and orders replicated per salt
+    (operators/skew.py salted_join) — each hot orderkey spreads over 8
+    tasks.  The oracle is the plain join: salting must never change
+    results, only the physical key distribution."""
+    from european_emissions_data_warehouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    return (
+        salted_join(li, orders, ["l_orderkey"], n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # --- lenient typing (try_cast) ------------------------------------------------
 
 
@@ -1770,6 +1805,7 @@ QUERIES = {
     "explode_outer": q_explode_outer,
     "try_cast_import": q_try_cast,
     "bucketed_join": q_bucketed_join,
+    "salted_join_hot": q_salted_join,
 }
 
 ORACLES = {
@@ -1824,4 +1860,5 @@ ORACLES = {
     "explode_outer": ORACLE_EXPLODE_OUTER,
     "try_cast_import": ORACLE_TRY_CAST,
     "bucketed_join": ORACLE_BUCKETED_JOIN,
+    "salted_join_hot": ORACLE_SALTED_JOIN,
 }
