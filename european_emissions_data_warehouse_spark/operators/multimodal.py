@@ -73,6 +73,52 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(features, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "asset_id long, frame_no long, frame_bytes long, frame_md5 string"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, every: int = 2, fake: bool = False
+) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    ``frame_size``-byte frames, keep every ``every``-th, one output row per
+    kept frame — mapInPandas with a row-multiplying output, the shape a real
+    video frame-sampler (ffmpeg keyframe extraction) drops into.
+
+    The codec is the stub (module docstring): ``fake=True`` treats the
+    payload itself as the frame stream so the plumbing — batch iteration,
+    per-asset explosion, binary slicing, digest — is exercised and
+    oracle-checked; without it this raises like the other codec paths.
+    Frames are emitted as (length, md5) digests: at scale you return the
+    frame bytes for downstream encode, but never carry them past the stage
+    that consumes them."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg/soundfile) are not available in this "
+            "environment; run with fake=True for the deterministic stub"
+        )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            ids, nos, sizes, digests = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                n_frames = max(1, math.ceil(len(p) / frame_size))
+                for fi in range(0, n_frames, every):
+                    chunk = p[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(aid)
+                    nos.append(fi)
+                    sizes.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_no": nos, "frame_bytes": sizes, "frame_md5": digests}
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table as a media table (utf-8 payload),
     so the multimodal plumbing is exercised against real testdata."""

@@ -466,6 +466,37 @@ FROM documents
 """
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.py sample_frames):
+    ASCII documents as fake media payloads, 64-byte frames, every 2nd kept,
+    one row per sampled frame with a content digest.  Restricted to lang=en
+    so the oracle can slice by character (byte == char for ASCII)."""
+    from european_emissions_data_warehouse_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    media = documents_as_media(docs)
+    return sample_frames(media, frame_size=64, every=2, fake=True).orderBy(
+        "asset_id", "frame_no"
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH en AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en'
+), idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, GREATEST(CAST(CEIL(length(text) / 64.0) AS BIGINT), 1), 2)) AS fi
+  FROM en
+)
+SELECT doc_id AS asset_id, fi AS frame_no,
+       CAST(length(substr(text, CAST(fi * 64 AS INT) + 1, 64)) AS BIGINT) AS frame_bytes,
+       md5(substr(text, CAST(fi * 64 AS INT) + 1, 64)) AS frame_md5
+FROM idx ORDER BY asset_id, frame_no
+"""
+
+
 # --- training-batch construction ---------------------------------------------
 
 
@@ -691,6 +722,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_stats": q_embedding_stats,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "sentence_udtf": q_sentence_udtf,
@@ -711,6 +743,7 @@ ORACLES = {
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
+    "media_frames": ORACLE_MEDIA_FRAMES,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "sentence_udtf": ORACLE_SENTENCE_UDTF,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
