@@ -693,6 +693,52 @@ FROM b GROUP BY split, lang ORDER BY split, lang
 """
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with probability
+    equal to its quality score, decided by deterministic key hash (bucket <
+    quality·10000) — no RNG, so the curated subset is reproducible and
+    grows monotonically with the corpus (operators/sampling.py hash_bucket;
+    the standard pretraining-curation downsample where low-quality text is
+    kept at reduced rate rather than hard-filtered)."""
+    from european_emissions_data_warehouse_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        scored.withColumn("bucket", hash_bucket("doc_id", 10000))
+        .filter(F.col("bucket") < F.col("quality") * 10000.0)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_WEIGHTED_SAMPLE = r"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars_text,
+         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+           / (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS stop_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         ((CASE WHEN n_chars_text >= 100 THEN 1.0 ELSE n_chars_text / 100.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                  ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
+          + LEAST(1.0, stop_ratio * 4)) / 3 AS quality,
+         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+  FROM m
+)
+SELECT doc_id, lang, quality FROM q
+WHERE bucket < quality * 10000.0
+ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified Bernoulli sample rebalancing the language skew
     (en downsampled hardest).  Seeded-RNG membership has no cross-engine
@@ -724,6 +770,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "train_test_split": q_train_test_split,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "stratified_sample": q_stratified_sample,
     "sentence_udtf": q_sentence_udtf,
     "sequence_pack": q_sequence_pack,
@@ -745,6 +792,7 @@ ORACLES = {
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+    "quality_weighted_sample": ORACLE_QUALITY_WEIGHTED_SAMPLE,
     "sentence_udtf": ORACLE_SENTENCE_UDTF,
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "doc_chunks": ORACLE_DOC_CHUNKS,
