@@ -1423,6 +1423,98 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer, top 20.
+    Filter on the return flag prunes the fact before the orders join; the
+    customer/nation sides broadcast; TakeOrderedAndProject caps the sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_returned_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics funnel: per user, first view → any later purchase;
+    conversion rate grouped by first-view day.  Two aggregates over one
+    shuffle on user_id (min-view / min-qualifying-purchase via conditional
+    aggregation), then a tiny per-day rollup — no self-join of the event
+    fact against itself."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+        .filter(F.col("first_view").isNotNull())
+        .withColumn(
+            "converted",
+            (F.col("last_purchase").isNotNull() & (F.col("last_purchase") >= F.col("first_view"))).cast("long"),
+        )
+    )
+    return (
+        per_user.groupBy(F.date_format("first_view", "yyyy-MM-dd").alias("first_view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.sum("converted").alias("n_converted"),
+            # raw long/long division: identical IEEE result cross-engine
+            (F.sum("converted") / F.count(F.lit(1))).alias("conversion_rate"),
+        )
+        .orderBy("first_view_day")
+    )
+
+
+ORACLE_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+), flagged AS (
+  SELECT first_view,
+         CAST(last_purchase IS NOT NULL AND last_purchase >= first_view AS BIGINT) AS converted
+  FROM per_user WHERE first_view IS NOT NULL
+)
+SELECT strftime(first_view, '%Y-%m-%d') AS first_view_day,
+       COUNT(*) AS n_viewers,
+       SUM(converted) AS n_converted,
+       SUM(converted) / COUNT(*) AS conversion_rate
+FROM flagged
+GROUP BY first_view_day
+ORDER BY first_view_day
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated fact-fact join in the graded set: the lineitem side is
     salted into 8 sub-keys and orders replicated per salt
@@ -1806,6 +1898,8 @@ QUERIES = {
     "try_cast_import": q_try_cast,
     "bucketed_join": q_bucketed_join,
     "salted_join_hot": q_salted_join,
+    "returned_revenue_top": q_returned_revenue_top,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLES = {
@@ -1861,4 +1955,6 @@ ORACLES = {
     "try_cast_import": ORACLE_TRY_CAST,
     "bucketed_join": ORACLE_BUCKETED_JOIN,
     "salted_join_hot": ORACLE_SALTED_JOIN,
+    "returned_revenue_top": ORACLE_RETURNED_REVENUE,
+    "funnel_conversion": ORACLE_FUNNEL,
 }
