@@ -32,10 +32,16 @@ def save_bucketed(
     key: Sequence[str],
     n_buckets: int = 16,
     sort: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed, bucket-sorted managed table."""
+    """Persist ``df`` as a bucketed, bucket-sorted table.  With ``path`` the
+    table is external (data at an explicit writable location — use this when
+    the session's warehouse dir may be read-only, e.g. a driver launched
+    from a read-only cwd); otherwise managed in the session warehouse."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *key)
     writer = writer.sortBy(*(sort if sort is not None else key))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
@@ -47,10 +53,13 @@ def cluster_for_join(
     left_table: str,
     right_table: str,
     n_buckets: int = 16,
+    base_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Co-locate two DataFrames for repeated joining on ``key``: bucket both
     at the same count, return the catalog-backed frames.  The first join
     after this call (and every one after) plans without an Exchange."""
-    save_bucketed(left, left_table, key, n_buckets)
-    save_bucketed(right, right_table, key, n_buckets)
+    lp = f"{base_path}/{left_table}" if base_path else None
+    rp = f"{base_path}/{right_table}" if base_path else None
+    save_bucketed(left, left_table, key, n_buckets, path=lp)
+    save_bucketed(right, right_table, key, n_buckets, path=rp)
     return spark.table(left_table), spark.table(right_table)

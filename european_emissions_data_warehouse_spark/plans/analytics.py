@@ -1402,8 +1402,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_quantity")
         .withColumnRenamed("l_orderkey", "o_orderkey")
     )
+    import tempfile
+
     bo, bl = cluster_for_join(
-        spark, orders, li, ["o_orderkey"], f"bo_{tag}", f"bl_{tag}", n_buckets=8
+        spark,
+        orders,
+        li,
+        ["o_orderkey"],
+        f"bo_{tag}",
+        f"bl_{tag}",
+        n_buckets=8,
+        # explicit writable location: the driver may run from a read-only cwd,
+        # where the cwd-derived managed warehouse dir is not writable
+        base_path=f"{tempfile.gettempdir()}/eedw_bucketed",
     )
     return (
         bo.join(bl, "o_orderkey")
