@@ -1434,6 +1434,120 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped arg-min per group: for each part, the supplier whose
+    lineitem offered the lowest unit price (deterministic tie-break on
+    suppkey) — the row_number-over-ordered-window idiom for "the row that
+    achieves the group minimum", one shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        priced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            # raw IEEE division above; identical cross-engine
+            "unit_price",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT l_partkey, l_suppkey AS cheapest_suppkey, unit_price
+FROM priced WHERE rn = 1 ORDER BY l_partkey
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps: each user's longest run of consecutive active days.
+    The classic grouping key is day_number − row_number — constant within a
+    consecutive run — so streaks fall out of two ordered windows and an
+    aggregate, all sharing one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    runs = days.withColumn("grp", F.col("day_no") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"), F.count(F.lit(1)).alias("n_streaks"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_no
+  FROM events
+), runs AS (
+  SELECT user_id, day_no,
+         day_no - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue via a window
+    sum over the whole (pre-aggregated) result — the share computation runs
+    over one row per nation, never over the fact table."""
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "revenue",
+        # share of a sum of 2-decimal-rounded terms: identical IEEE both sides
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("share"),
+    ).orderBy("n_name")
+
+
+ORACLE_PERCENT_OF_TOTAL = """
+WITH per_nation AS (
+  SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue, revenue / SUM(revenue) OVER () AS share
+FROM per_nation ORDER BY n_name
+"""
+
+
 def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: revenue lost to returned items per customer, top 20.
     Filter on the return flag prunes the fact before the orders join; the
@@ -1911,6 +2025,9 @@ QUERIES = {
     "salted_join_hot": q_salted_join,
     "returned_revenue_top": q_returned_revenue_top,
     "funnel_conversion": q_funnel_conversion,
+    "cheapest_supplier": q_cheapest_supplier,
+    "user_streaks": q_user_streaks,
+    "percent_of_total": q_percent_of_total,
 }
 
 ORACLES = {
@@ -1968,4 +2085,7 @@ ORACLES = {
     "salted_join_hot": ORACLE_SALTED_JOIN,
     "returned_revenue_top": ORACLE_RETURNED_REVENUE,
     "funnel_conversion": ORACLE_FUNNEL,
+    "cheapest_supplier": ORACLE_CHEAPEST_SUPPLIER,
+    "user_streaks": ORACLE_USER_STREAKS,
+    "percent_of_total": ORACLE_PERCENT_OF_TOTAL,
 }
