@@ -1434,6 +1434,32 @@ GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def q_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: nation-name pairs within Levenshtein
+    distance 7 — the fuzzy-match primitive (entity resolution, dedup of
+    near-identical names).  The dimension self-pair is tiny and broadcast;
+    at scale, prefilter candidates by length band or q-gram LSH before
+    paying edit distance on every pair."""
+    a = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("name_a"))
+    b = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 7)
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_NAME_SIMILARITY = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 7
+ORDER BY name_a, name_b
+"""
+
+
 def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped arg-min per group: for each part, the supplier whose
     lineitem offered the lowest unit price (deterministic tie-break on
@@ -2028,6 +2054,7 @@ QUERIES = {
     "cheapest_supplier": q_cheapest_supplier,
     "user_streaks": q_user_streaks,
     "percent_of_total": q_percent_of_total,
+    "name_similarity": q_name_similarity,
 }
 
 ORACLES = {
@@ -2088,4 +2115,5 @@ ORACLES = {
     "cheapest_supplier": ORACLE_CHEAPEST_SUPPLIER,
     "user_streaks": ORACLE_USER_STREAKS,
     "percent_of_total": ORACLE_PERCENT_OF_TOTAL,
+    "name_similarity": ORACLE_NAME_SIMILARITY,
 }
