@@ -65,19 +65,45 @@ def dedupe_last(df: DataFrame, key: Sequence[str], order_by: Sequence[str]) -> D
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def with_surrogate_key(df: DataFrame, order_by: Sequence[str], name: str = "id") -> DataFrame:
-    """O13 surrogate key over an explicit deterministic ordering.
+def with_surrogate_key(
+    df: DataFrame,
+    order_by: Sequence[str],
+    name: str = "id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """O13 surrogate key over an explicit deterministic ordering —
+    zipWithIndex-style two-pass, no single-partition sort.
 
-    A global ``row_number`` needs a total order — that is a single-partition
-    sort, fine for warehouse-dimension scale.  For 100 TB fact tables use
-    ``monotonically_increasing_id()`` (partition-local, no shuffle) or
-    ``zipWithIndex``-style offsets instead; the reference's SERIAL gives no
-    cross-rebuild stability either (SURVEY.md §2.1), so unstable ids are
-    explicitly within parity.
+    Pass 1 range-partitions on ``order_by`` (same shuffle a global sort
+    would use, but the per-partition sort stays parallel), counts rows per
+    partition, and turns the counts into cumulative offsets (driver-side:
+    O(#partitions) rows, bounded by cluster parallelism, not data size).
+    Pass 2 assigns ``offset + partition-local row_number`` via a window
+    PARTITIONED by the physical partition id — no global window anywhere in
+    the plan.  Ids are dense, 1-based, and identical to a global
+    ``row_number`` ordered by ``order_by`` (ids depend only on the total
+    order, not on where range boundaries fall), so dimension-scale callers
+    and the DuckDB oracle see the exact same result.  The reference's SERIAL
+    gives no cross-rebuild stability either (SURVEY.md §2.1,
+    scripts/lambda_handler_warehouse.py:54), so tie ordering beyond
+    ``order_by`` is explicitly unspecified.
     """
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, F.row_number().over(w).cast("long")).select(
-        name, *[c for c in df.columns]
+    spark = df.sparkSession
+    n = num_shards or max(spark.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_by])
+    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    base = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], base))
+        base += row["__n"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        tagged.join(F.broadcast(off_df), "__pid")
+        .withColumn(name, (F.col("__off") + F.row_number().over(w)).cast("long"))
+        .select(name, *df.columns)
     )
 
 

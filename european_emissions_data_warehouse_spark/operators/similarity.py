@@ -104,30 +104,28 @@ def ivf_build_centroids(
     n_centroids: int = 16,
     n_iters: int = 3,
 ) -> DataFrame:
-    """Deterministic IVF coarse quantizer: k-means with id-strided init.
+    """Deterministic IVF coarse quantizer: k-means with id-stratified init.
 
-    Init: the vector with the smallest id in each of n_centroids id-range
-    strides (deterministic, no RNG, stable across runs/executors).  Each
-    Lloyd iteration: assign every vector to its nearest centroid (broadcast
-    centroids — the only data motion is one shuffle for the element-wise
-    mean).  Element-wise means via posexplode + groupBy(cid, dim): dims are
-    small (embedding width), so the exploded frame is |corpus| x dim rows of
-    three numeric columns — cheap, fully codegen.
+    Init: bucket ids into n_centroids strata by residue (``id % k``) and
+    take the min-id vector of each stratum — deterministic, no RNG, stable
+    across runs/executors, and crucially NO global sort: one tiny aggregate
+    (k rows) plus a broadcast semi-join, so the init scales to any corpus
+    size (the previous id-ranked form funneled the whole corpus through a
+    single-partition ``row_number`` window).  Each Lloyd iteration: assign
+    every vector to its nearest centroid (broadcast centroids — the only
+    data motion is one shuffle for the element-wise mean).  Element-wise
+    means via posexplode + groupBy(cid, dim): dims are small (embedding
+    width), so the exploded frame is |corpus| x dim rows of three numeric
+    columns — cheap, fully codegen.
 
     Returns (centroid_id int, centroid array<double>).
     """
-    from pyspark.sql import Window
-
-    # id-strided init: rank ids, take every (n/k)-th vector
-    ranked = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("rn", F.row_number().over(Window.orderBy("id")) - 1)
-    n = ranked.count()
-    stride = max(n // n_centroids, 1)
-    centroids = (
-        ranked.filter((F.col("rn") % stride == 0) & (F.col("rn") < stride * n_centroids))
-        .withColumn("centroid_id", (F.col("rn") / stride).cast("int"))
-        .select("centroid_id", F.col("v").cast("array<double>").alias("centroid"))
+    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    firsts = vecs.groupBy(
+        F.pmod(F.col("id"), F.lit(n_centroids)).cast("int").alias("centroid_id")
+    ).agg(F.min("id").alias("id"))
+    centroids = F.broadcast(firsts).join(vecs, "id").select(
+        "centroid_id", F.col("v").cast("array<double>").alias("centroid")
     )
 
     for _ in range(n_iters):

@@ -541,7 +541,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1540,9 +1540,12 @@ FROM streaks GROUP BY user_id ORDER BY user_id
 
 
 def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ratio-to-report: each nation's share of global revenue via a window
-    sum over the whole (pre-aggregated) result — the share computation runs
-    over one row per nation, never over the fact table."""
+    """Ratio-to-report: each nation's share of global revenue.  The grand
+    total is a scalar aggregate of the per-nation rollup, re-attached with a
+    broadcast cross join — partial aggregation does all the work and no
+    window ever sees a single-partition exchange, so the same plan holds if
+    the grouping key were high-cardinality (the ``SUM() OVER ()`` idiom
+    would funnel every group through one reducer)."""
     cust = F.broadcast(load_table(spark, sf_dir, "customer"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     orders = load_table(spark, sf_dir, "orders")
@@ -1552,13 +1555,17 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(_r2(F.sum("o_totalprice")).alias("revenue"))
     )
-    w = Window.partitionBy()
-    return per_nation.select(
-        "n_name",
-        "revenue",
-        # share of a sum of 2-decimal-rounded terms: identical IEEE both sides
-        (F.col("revenue") / F.sum("revenue").over(w)).alias("share"),
-    ).orderBy("n_name")
+    total = per_nation.agg(F.sum("revenue").alias("__total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "revenue",
+            # share of a sum of 2-decimal-rounded terms: identical IEEE both sides
+            (F.col("revenue") / F.col("__total")).alias("share"),
+        )
+        .orderBy("n_name")
+    )
 
 
 ORACLE_PERCENT_OF_TOTAL = """
@@ -1658,8 +1665,8 @@ WITH per_user AS (
 )
 SELECT strftime(first_view, '%Y-%m-%d') AS first_view_day,
        COUNT(*) AS n_viewers,
-       SUM(converted) AS n_converted,
-       SUM(converted) / COUNT(*) AS conversion_rate
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS BIGINT) / COUNT(*) AS conversion_rate
 FROM flagged
 GROUP BY first_view_day
 ORDER BY first_view_day

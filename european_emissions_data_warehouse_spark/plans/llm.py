@@ -501,41 +501,55 @@ FROM idx ORDER BY asset_id, frame_no
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing for training batches: documents in a
-    deterministic order, running token cumsum, a pack boundary every 2048
-    tokens (pack_id = tokens-before div 2048).  One global-ordered window
-    here for cross-engine determinism; at corpus scale, salt doc ids into
-    shards and pack within each shard (same expressions partitioned by
-    shard) — packing quality is unchanged and the sort parallelizes."""
+    """Greedy sequence packing for training batches, sharded for scale:
+    documents are salted into shards by doc id, each shard packs
+    independently (deterministic doc order within the shard, running token
+    cumsum, a pack boundary every 2048 tokens).  The cumsum window
+    PARTITIONS by shard, so no single-partition sort exists anywhere in the
+    plan — each shard's sort runs on its own reducer and the shard count
+    scales with the cluster.  Packing quality is unchanged vs a global
+    order (packs never mix shards, which training doesn't care about); a
+    pack is identified by (shard, pack_id)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", ws_token_count(F.col("text")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"doc_id % {PACK_SHARDS}").alias("shard"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     packed = toks.withColumn(
         "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     ).withColumn("pack_id", F.expr("tok_before div 2048"))
     return (
-        packed.groupBy("pack_id")
+        packed.groupBy("shard", "pack_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("pack_tokens"))
-        .orderBy("pack_id")
+        .orderBy("shard", "pack_id")
     )
 
 
+PACK_SHARDS = 8
+
 ORACLE_SEQUENCE_PACK = r"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, doc_id % 8 AS shard,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
   FROM toks
 )
-SELECT tok_before // 2048 AS pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
-FROM c GROUP BY 1 ORDER BY 1
+SELECT shard, CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

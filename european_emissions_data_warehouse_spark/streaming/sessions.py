@@ -70,8 +70,14 @@ def sessionize_stateful(
             n, total = 0, 0.0
 
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A user's rows may span several Arrow chunks delivered in arbitrary
+        # order; sorting per-chunk would fold events out of time order and
+        # manufacture spurious gap-closures.  Concat first, sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1000)  # inline (module refs don't pickle to workers)
                 if start is None:

@@ -54,12 +54,72 @@ def duck(sf_dir):
     con.close()
 
 
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "date":
+        return "date"
+    if s.startswith("array"):
+        return "list"
+    if s == "string":
+        return "str"
+    return s
+
+
+def _arrow_family(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return "list"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    return str(t)
+
+
 @pytest.mark.parametrize("name", CHECKED)
 def test_oracle_match(spark, sf_dir, duck, name):
     sdf = QUERIES[name](spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # Dtype-family drift guard: the driver's value hash is dtype-aware
+    # (DuckDB SUM(BIGINT) -> HUGEINT surfaces as decimal128 via Arrow and
+    # hash-mismatches Spark's BIGINT even when values are identical), so
+    # assert per-column type families agree before comparing values.
+    # NB: a second duck.execute() on the same connection invalidates the
+    # pending result, so fetch the arrow schema first, then re-run for rows.
+    arrow_types = {
+        f.name: _arrow_family(f.type)
+        for f in duck.execute(ORACLES[name]).fetch_arrow_table().schema
+    }
+    spark_types = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    drift = {
+        c: (spark_types[c], arrow_types[c])
+        for c in spark_types
+        if c in arrow_types and spark_types[c] != arrow_types[c]
+    }
+    assert not drift, f"{name}: dtype family drift (spark, oracle): {drift}"
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

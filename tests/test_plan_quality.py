@@ -123,3 +123,25 @@ def test_etl_flagship_merge_is_only_shuffle_work(spark, sf_dir):
     # exchanges (anti-join key + none for broadcast dim decode)
     plan = _executed(entry_mod.entry(spark))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_no_window_over_single_partition_anywhere(spark, sf_dir):
+    """No graded query may sort the whole input through one reducer to feed
+    a window function (VERDICT r1: sequence_pack + surrogate_key were the
+    only two; both are now sharded).  A global aggregate's final-stage
+    `Exchange SinglePartition` is fine — the partial agg did the work — so
+    the assertion targets only Window/WindowGroupLimit operators whose
+    input exchange is single-partition."""
+    import re
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        plan = _executed(fn(spark, sf_dir))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow(GroupLimit)?\b", ln):
+                below = "\n".join(lines[i + 1 : i + 4])
+                if "Exchange SinglePartition" in below:
+                    offenders[name] = ln.strip()
+                    break
+    assert not offenders, offenders
