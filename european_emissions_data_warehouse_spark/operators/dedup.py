@@ -377,10 +377,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming) with hamming <=
     max_hamming.  Pigeonhole banding: split the fingerprint into
-    max_hamming+1 16-bit bands — any pair within the Hamming ball agrees on
-    at least one band, so the candidate join is equality-keyed (shuffle on
-    16-bit band values, never all-pairs)."""
+    max_hamming+1 bands of ceil(63/(max_hamming+1)) bits — a pair within
+    the Hamming ball differs in at most max_hamming bits, so at least one
+    of the max_hamming+1 disjoint bands is identical and the candidate join
+    stays equality-keyed (never all-pairs).  Band width must shrink as the
+    ball grows: a fixed 16-bit slicing runs off the 63-bit fingerprint for
+    max_hamming >= 4, leaving constant-zero bands that degenerate into an
+    all-pairs join."""
     n_bands = max_hamming + 1
+    width = -(-_SIMHASH_BITS // n_bands)  # ceil: bands cover all 63 bits
+    mask = (1 << width) - 1
     fps = simhash(docs, id_col, text_col)
     banded = fps.select(
         "id",
@@ -390,7 +396,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("fingerprint", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        F.shiftright("fingerprint", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
                     )
                     for i in range(n_bands)
                 ]

@@ -68,6 +68,29 @@ def split_by_hash(
     return df.withColumn(out_col, col)
 
 
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    modulus: int = 10000,
+    salt: int = 40503,
+) -> DataFrame:
+    """Deterministic stratified downsample: keep a row iff its key-hash
+    bucket falls below the stratum's fraction — ``sampleBy`` semantics with
+    no RNG.  Membership is a pure function of (key, stratum fraction):
+    reproducible cross-engine (the DuckDB oracle runs the identical
+    arithmetic), stable under corpus growth, and map-side only (no shuffle,
+    no state — the same 100 TB story as ``split_by_hash``).  Strata absent
+    from ``fractions`` are dropped (fraction 0)."""
+    frac: Column | None = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(cond, F.lit(float(f)))
+    frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    return df.filter(hash_bucket(key_col, modulus, salt) < frac * modulus)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

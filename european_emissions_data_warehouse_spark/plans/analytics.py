@@ -981,19 +981,36 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates: HLL++ distinct users per event type next to the
-    exact count.  At 100 TB the sketch is the only affordable form (constant
-    memory, partial-mergeable); rows-only check — DuckDB's HLL yields
-    different estimates by construction, but ours is deterministic."""
+    """Sketch aggregates: HLL++ distinct users per event type, graded as a
+    tolerance verdict.  At 100 TB the sketch is the only affordable form
+    (constant memory, partial-mergeable), but the estimate is
+    engine-specific (DuckDB's HLL rounds differently by construction), so
+    the query emits the exact count (cross-engine-checkable) plus a boolean
+    'sketch within 5% of exact' (the sketch is configured at 2% rsd;
+    deterministic for a fixed dataset — HLL++ has no RNG)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count_distinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        )
+        .cast("bigint")
+        .alias("within_tol"),
+    ).orderBy("event_type")
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 # --- as-of join ---------------------------------------------------------------
@@ -2095,6 +2112,7 @@ ORACLES = {
     "token_topk": ORACLE_TOKEN_TOPK,
     "percentiles": ORACLE_PERCENTILES,
     "salted_distinct": ORACLE_SALTED_DISTINCT,
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
     "asof_join": ORACLE_ASOF,
     "range_join_peak": ORACLE_RANGE_JOIN,
     "exists_late_orders": ORACLE_EXISTS_LATE,

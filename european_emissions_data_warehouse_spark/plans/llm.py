@@ -133,16 +133,82 @@ FROM reach GROUP BY a ORDER BY doc_id
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (rows-only check: xxhash64 has no DuckDB
-    equivalent).  32 hashes, 8 bands — steep around jaccard ~0.4."""
+    """MinHash-LSH near-dup detection, graded as a recall verdict.  The
+    banded-signature candidates (32 hashes, 8 bands, steep around jaccard
+    ~0.4) are xxhash64-seeded — deterministic but not SQL-expressible — so
+    the query joins them against the EXACT >=0.9-Jaccard truth set and
+    emits the truth-set size (cross-engine-checkable) plus a recall>=0.85
+    boolean.  No RNG anywhere: measured recall is 26/27 at sf0.001 and
+    22/24 at sf0.01, stable across runs, so the verdict is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.35)
+    truth = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_pairs(docs, threshold=0.35).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_true_pairs",
+            (F.col("__n_hit") >= F.col("n_true_pairs") * 0.85)
+            .cast("bigint")
+            .alias("recall_ok"),
+        )
+    )
+
+
+_ORACLE_TRUE_PAIRS_09 = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                        FOR i IN range(1, GREATEST(len(toks) - 4, 1) + 1)]) AS shingles
+  FROM base
+), sh AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, UNNEST(shingles) AS shingle FROM sh0
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.9
+"""
+
+ORACLE_MINHASH_NEARDUP = f"""
+WITH truth AS ({_ORACLE_TRUE_PAIRS_09})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok
+FROM truth
+"""
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=6 pairs (rows-only check)."""
+    """SimHash Hamming<=6 near-dup detection, graded as a recall verdict
+    (same protocol as q_minhash_neardup: fingerprints are xxhash64-based,
+    so the emitted signal is the exact >=0.9-Jaccard truth-set size plus a
+    deterministic recall>=0.85 boolean; measured 26/27 at sf0.001, 24/24
+    at sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6)
+    truth = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    cand = simhash_pairs(docs, max_hamming=6).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_true_pairs",
+            (F.col("__n_hit") >= F.col("n_true_pairs") * 0.85)
+            .cast("bigint")
+            .alias("recall_ok"),
+        )
+    )
+
+
+ORACLE_SIMHASH_NEARDUP = ORACLE_MINHASH_NEARDUP
 
 
 # --- similarity search ------------------------------------------------------
@@ -175,24 +241,92 @@ FROM (
 """
 
 
+def _ann_verdict(
+    queries: DataFrame, corpus: DataFrame, approx: DataFrame, min_hits: int
+) -> DataFrame:
+    """Shared ANN grading: per query, the EXACT top-1 cosine (the real
+    cross-engine value check) plus two booleans — the approximate top-1
+    never exceeds the exact top-1 (guaranteed: exact top-1 is the max over
+    the whole corpus), and recall@5 vs the exact top-5 clears ``min_hits``
+    (deterministic: hyperplanes/centroids derive from xxhash64, no RNG)."""
+    exact = brute_force_topk(queries, corpus, k=5)
+    e1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("sim").alias("__exact1")
+    )
+    a1 = approx.filter(F.col("rank") == 1).select(
+        "query_id", F.col("sim").alias("__approx1")
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    return (
+        e1.join(a1, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round("__exact1", 4).alias("exact_top1_sim"),
+            F.coalesce(
+                F.col("__approx1") <= F.col("__exact1") + 1e-9, F.lit(True)
+            )
+            .cast("bigint")
+            .alias("top1_bounded"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= min_hits)
+            .cast("bigint")
+            .alias("recall5_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ORACLE_ANN_VERDICT = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM c, q WHERE nid != qid
+), r1 AS (
+  SELECT query_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, ROUND(sim, 4) AS exact_top1_sim,
+       CAST(1 AS BIGINT) AS top1_bounded, CAST(1 AS BIGINT) AS recall5_ok
+FROM r1 WHERE rnk = 1 ORDER BY query_id
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only: hyperplanes derive from
-    xxhash64).  Recall vs q_ann_topk is the quality metric, measured in
-    tests."""
+    """LSH-bucketed approximate top-5, graded as an exact-top1 + bound +
+    recall verdict (hyperplanes derive from xxhash64 — deterministic but
+    not SQL-expressible; measured per-query recall@5 is >=4/5 at both SFs,
+    graded at >=3/5)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = lsh_topk(queries, emb, dim=64, k=5, n_planes=16, bands=8)
-    return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    return _ann_verdict(queries, emb, out, min_hits=3)
+
+
+ORACLE_ANN_LSH = _ORACLE_ANN_VERDICT
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: deterministic k-means inverted lists, 4-of-16
-    probes (rows-only: the index is iterative, not SQL-expressible; recall
-    vs q_ann_topk is measured in tests)."""
+    """IVF approximate top-5 (deterministic k-means inverted lists, 4-of-16
+    probes), graded as an exact-top1 + bound + recall verdict (measured
+    per-query recall@5 is >=3/5 at both SFs, graded at >=2/5)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
-    return out.select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    return _ann_verdict(queries, emb, out, min_hits=2)
+
+
+ORACLE_ANN_IVF = _ORACLE_ANN_VERDICT
 
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,18 +534,35 @@ SELECT doc_id, pred_lang, lang, pred_lang = lang AS is_match FROM pred
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprint (rows-only: xxhash64-based).
-    Output keeps the 4-minima fingerprint as separate long columns."""
+    """Rolling-hash winnowing fingerprint, graded by structural invariants:
+    the 4 minima are xxhash64 values (not SQL-expressible), but their COUNT
+    equals least(4, distinct char-8-shingles) — an exact cross-engine check
+    of the shingling + selection plumbing — and they are ascending-sorted
+    by construction."""
     docs = load_table(spark, sf_dir, "documents")
     fp = rolling_fingerprint(F.col("text"), k=8, w=4)
-    return docs.select(
-        "doc_id",
-        F.xxhash64("text").alias("full_hash"),
-        fp[0].alias("fp0"),
-        fp[1].alias("fp1"),
-        fp[2].alias("fp2"),
-        fp[3].alias("fp3"),
+    fpc = F.col("__fp")
+    return (
+        docs.select("doc_id", fp.alias("__fp"))
+        .select(
+            "doc_id",
+            F.size(fpc).cast("bigint").alias("n_fp"),
+            (fpc == F.array_sort(fpc)).cast("bigint").alias("fp_sorted"),
+        )
+        .orderBy("doc_id")
     )
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_distinct([substr(text, CAST(i AS INT), 8)
+                            FOR i IN range(1, GREATEST(length(text) - 7, 1) + 1)])) AS n_sh
+  FROM documents
+)
+SELECT doc_id, CAST(LEAST(4, n_sh) AS BIGINT) AS n_fp, CAST(1 AS BIGINT) AS fp_sorted
+FROM s ORDER BY doc_id
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,15 +905,33 @@ ORDER BY doc_id
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified Bernoulli sample rebalancing the language skew
-    (en downsampled hardest).  Seeded-RNG membership has no cross-engine
-    twin — rows-only determinism check; tests/test_sampling.py pins the
-    subset property and per-stratum rates."""
-    from european_emissions_data_warehouse_spark.operators.sampling import stratified_sample
+    """Stratified downsample rebalancing the language skew (en downsampled
+    hardest), via the deterministic key-hash variant — membership is a pure
+    function of doc_id, so the oracle recomputes the identical subset in
+    SQL (the seeded ``sampleBy`` form stays available as
+    operators/sampling.py stratified_sample for RNG-tolerant callers)."""
+    from european_emissions_data_warehouse_spark.operators.sampling import (
+        stratified_sample_hash,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
-    return stratified_sample(docs.select("doc_id", "lang"), "lang", fractions, seed=42)
+    return stratified_sample_hash(
+        docs.select("doc_id", "lang"), "lang", fractions, key_col="doc_id"
+    ).orderBy("doc_id")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.8
+                          WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 0.8 ELSE 0.0 END) * 10000
+ORDER BY doc_id
+"""
 
 
 QUERIES = {
@@ -796,7 +965,13 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "minhash_neardup": ORACLE_MINHASH_NEARDUP,
+    "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "ann_topk": ORACLE_ANN_TOPK,
+    "ann_lsh": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "cosine_pairs": ORACLE_COSINE_PAIRS,
     "text_stats": ORACLE_TEXT_STATS,
     "text_clean": ORACLE_TEXT_CLEAN,
