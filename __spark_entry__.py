@@ -43,6 +43,7 @@ _GRADE_FIRST = [
     # llm.py north-star operators (never driver-graded in round 1)
     "dedup_exact",
     "ngram_jaccard",
+    "ngram_jaccard_capped",
     "dedup_components",
     "minhash_neardup",
     "simhash_neardup",
@@ -89,7 +90,6 @@ _GRADE_FIRST = [
     # flagship continuity picks (green in round 1)
     "etl_flagship",
     "upsert_lww",
-    "pricing_summary",
     "sessionize",
 ]
 

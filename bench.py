@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "corpus_prep",
     "ngram_jaccard",
+    "ngram_jaccard_capped",
     "minhash_neardup",
     "ann_topk",
     "text_stats",

@@ -159,16 +159,27 @@ def ngram_jaccard_pairs(
     k: int = 5,
     unit: str = "word",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
 
     Inverted-index join: |intersection| from counting co-occurring shingles,
     |union| = n_a + n_b - |intersection|.  The join key is the shingle, so
-    common shingles dominate cost — at scale, drop stop-shingles (document
-    frequency cap) before the self-join; word 5-grams keep shingles selective.
-    """
+    common shingles dominate cost: one viral boilerplate shingle shared by
+    m documents contributes m² join rows.  ``max_df`` is the stop-shingle
+    cap — shingles whose document frequency exceeds it are dropped BEFORE
+    the self-join, bounding any key's fan-out to max_df² while the union
+    denominator keeps the full per-doc shingle counts, so the capped
+    jaccard is a conservative underestimate (a pair can only lose
+    intersection mass, never gain it).  Set it at web-corpus scale; the
+    df pass shuffles on the same shingle key the join uses."""
+    from pyspark.sql import Window
+
     idx = shingle_index(docs, id_col, text_col, k, unit)
+    if max_df is not None:
+        dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        idx = idx.withColumn("__df", dfc).filter(F.col("__df") <= max_df).drop("__df")
     a = idx.select(
         F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
     )

@@ -802,22 +802,13 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 
 def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (UDAF surface): quantity-weighted average price per
-    return flag via a pandas GROUPED_AGG UDF.  Cent-precision prices times
-    integer quantities are exactly representable doubles, so the sum — and
-    therefore the ratio — is order-independent and matches the oracle
-    bit-for-bit despite parallel accumulation."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit eval type: this module's `from __future__ import annotations`
-    # stringifies hints, which the Series->scalar inference can't resolve
-    @pandas_udf("double", functionType=PandasUDFType.GROUPED_AGG)
-    def weighted_avg(price, qty):
-        s = 0.0
-        w = 0.0
-        for p, q in zip(price, qty):
-            s += p * q
-            w += q
-        return s / w if w else 0.0
+    return flag via a pandas GROUPED_AGG UDF (functions/udafs.py — the
+    type-hint form; eval type inferred from the (Series, Series) -> float
+    signature).  Cent-precision prices times integer quantities are exactly
+    representable doubles, so the sum — and therefore the ratio — is
+    order-independent and matches the oracle bit-for-bit despite parallel
+    accumulation."""
+    from european_emissions_data_warehouse_spark.functions.udafs import weighted_avg
 
     li = load_table(spark, sf_dir, "lineitem")
     return (

@@ -110,3 +110,33 @@ def write_warehouse(df: DataFrame, path: str) -> None:
     """O11 sink: atomic overwrite (reference writes CSV with mode=overwrite,
     scripts/etl_process.py:99-102; we standardize on Parquet, SURVEY.md §1.2)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def write_warehouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Literal warehouse-sink parity: load the result into a JDBC database
+    (the reference's end state is a queryable PostgreSQL table,
+    scripts/lambda_handler_warehouse.py:45-101, README.md:141-147).  Parquet
+    (`write_warehouse`) remains the primary sink — at 100 TB a JDBC load is
+    bounded by the database, not Spark — but a user replaying the
+    reference's flow into an actual Postgres gets it in one call:
+
+        write_warehouse_jdbc(df, "jdbc:postgresql://host/db", "emissions",
+                             properties={"user": ..., "password": ...})
+
+    Each partition opens one connection and streams `batchsize`-row inserts
+    (Spark's JDBC writer is per-partition parallel); cap partitions with
+    `df.coalesce(n)` to respect the database's connection limit.  Requires
+    the JDBC driver jar on the Spark classpath; no driver ships with this
+    container, so the test suite exercises the call path with a dry-run
+    guard only."""
+    writer = df.write.mode(mode).option("batchsize", batchsize)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, table, mode=mode, properties=properties or {})

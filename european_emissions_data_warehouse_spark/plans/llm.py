@@ -89,6 +89,42 @@ FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped near-dup pairs: shingles appearing in more than
+    20 documents are dropped before the inverted-index self-join
+    (operators/dedup.py ngram_jaccard_pairs max_df) — the guard that keeps
+    a viral boilerplate shingle from becoming an m² hot join key on a web
+    corpus.  The capped jaccard is a conservative underestimate; the oracle
+    applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.4, max_df=20)
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+                        FOR i IN range(1, GREATEST(len(toks) - 4, 1) + 1)]) AS shingles
+  FROM base
+), sh AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, UNNEST(shingles) AS shingle FROM sh0
+), capped AS (
+  SELECT doc_id, n_sh, shingle FROM (
+    SELECT doc_id, n_sh, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= 20
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.4
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clusters*: exact n-gram Jaccard pairs (threshold 0.4) fed
     into iterative min-label connected components
@@ -937,6 +973,7 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
@@ -964,6 +1001,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "minhash_neardup": ORACLE_MINHASH_NEARDUP,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -82,3 +82,24 @@ def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = T
     DBeaver to RDS and run SQL" surface (reference README.md:141-147)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fetch_to_lake(url: str, dest_path: str, timeout_s: float = 60.0) -> str:
+    """O18 HTTP dataset fetch (reference scripts/data_downloader.py:17-32):
+    download a public dataset file into the lake so the O1 scan can pick it
+    up.  Driver-side stdlib urllib — acquisition is a one-time, one-file
+    step in the reference's flow (a ~7 MB CSV), not a distributed concern;
+    files too big for one HTTP stream belong in a bulk transfer tool, not
+    the query engine.  Returns the destination path."""
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
+    tmp = dest_path + ".part"
+    with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(tmp, "wb") as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    os.replace(tmp, dest_path)  # atomic publish, no torn files for the scan
+    return dest_path

@@ -155,6 +155,14 @@ def run_sessionize_drain(
             time.sleep(poll_interval_s)
         if q.exception() is not None:
             raise q.exception()
+        # Give any in-flight micro-batch one poll interval to commit before
+        # stopping — stop() mid state-store write is harmless (the
+        # checkpoint recovers) but spams ERROR FileFormatWriter into test
+        # logs.  (processAllAvailable() is NOT usable here: with
+        # ProcessingTimeTimeout the engine schedules batches forever, so it
+        # never returns.)
+        if q.isActive:
+            time.sleep(poll_interval_s)
     finally:
         if q.isActive:
             q.stop()

@@ -114,3 +114,37 @@ def test_surrogate_key_deterministic(spark, fixture_rows):
     ids2 = with_surrogate_key(cleaned, WAREHOUSE_KEY).select("id", "Country").collect()
     assert sorted(map(tuple, ids1)) == sorted(map(tuple, ids2))
     assert {r.id for r in ids1} == {1, 2, 3}
+
+
+def test_jdbc_sink_call_path(spark, sf_dir):
+    """No JDBC driver jar ships in this container, so the sink can't reach a
+    database — but the call must get as far as JDBC driver resolution (i.e.
+    our option plumbing is correct and the failure is the documented missing
+    driver, not a Python-side error)."""
+    import pytest as _pytest
+
+    from european_emissions_data_warehouse_spark.plans.emissions import (
+        write_warehouse_jdbc,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_dir, "nation").limit(1)
+    with _pytest.raises(Exception, match="(?i)driver|jdbc"):
+        write_warehouse_jdbc(df, "jdbc:postgresql://localhost:1/none", "t")
+
+
+def test_fetch_to_lake_local_roundtrip(tmp_path):
+    """O18 fetch: file:// exercises the full stream-download + atomic-rename
+    path without a network."""
+    from european_emissions_data_warehouse_spark.sources.readers import fetch_to_lake
+
+    src = tmp_path / "src.csv"
+    src.write_bytes(b"a,b\n1,2\n" * 1000)
+    dest = str(tmp_path / "lake" / "raw.csv")
+    out = fetch_to_lake(src.as_uri(), dest)
+    assert out == dest
+    with open(dest, "rb") as f:
+        assert f.read() == src.read_bytes()
+    import os as _os
+
+    assert not _os.path.exists(dest + ".part")

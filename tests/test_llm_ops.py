@@ -96,3 +96,35 @@ def test_multimodal_batch_shape(spark, sf_dir):
         media.select("asset_id", F.length("payload").alias("true_len")), "asset_id"
     )
     assert joined.filter(F.col("n_bytes") != F.col("true_len")).count() == 0
+
+
+def test_stop_shingle_cap_tames_boilerplate_skew(spark):
+    """A boilerplate sentence shared by every document is a hot shingle key
+    (m docs -> m^2 join rows).  With max_df the boilerplate shingles are
+    dropped before the self-join: unrelated docs that only share boilerplate
+    fall below threshold, genuinely near-duplicate docs are still found, and
+    every capped jaccard is <= its uncapped value (conservative cap)."""
+    boiler = "the quick brown fox jumps over the lazy dog footer"
+    rows = [(i, f"doc number {i} carries payload token{i} alpha beta gamma " + boiler)
+            for i in range(40)]
+    # one true near-dup pair sharing a long unique body (no boilerplate)
+    body = " ".join(f"w{j}" for j in range(40))
+    rows += [(100, body + " tail one"), (101, body + " tail two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.2)
+    capped = ngram_jaccard_pairs(docs, k=5, unit="word", threshold=0.2, max_df=10)
+
+    un = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+
+    # boilerplate-only pairs exist uncapped, vanish capped
+    boiler_pairs_un = [p for p in un if p[0] < 40 and p[1] < 40]
+    boiler_pairs_cp = [p for p in cp if p[0] < 40 and p[1] < 40]
+    assert boiler_pairs_un, "fixture should produce boilerplate-driven pairs"
+    assert not boiler_pairs_cp, boiler_pairs_cp
+    # the true near-dup pair survives the cap
+    assert (100, 101) in cp
+    # conservative: capped jaccard never exceeds uncapped
+    for p, j in cp.items():
+        assert j <= un[p] + 1e-12, (p, j, un[p])
