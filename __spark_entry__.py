@@ -87,10 +87,10 @@ _GRADE_FIRST = [
     "user_streaks",
     "percent_of_total",
     "name_similarity",
-    # flagship continuity picks (green in round 1)
-    "etl_flagship",
-    "upsert_lww",
-    "sessionize",
+    # new this round (no prior CORRECTNESS row exists)
+    "order_count_histogram",
+    "top_supplier_revenue",
+    "idle_rich_customers",
 ]
 
 

@@ -253,6 +253,100 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
 
 
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rewrites
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    trillion-edge path promised in :func:`connected_components`'s docstring.
+
+    Min-label propagation needs diameter-many rounds and keeps every edge
+    alive each round; the star rewrites contract the graph itself — each
+    round rewires nodes directly toward their partition minimum, so round
+    count is O(log n) *independent of diameter* and the edge set shrinks
+    toward one star per component.  Each half-round is one groupBy-min plus
+    one join, both keyed on node id; ``localCheckpoint`` truncates lineage.
+
+    - large-star: every node's strictly-larger neighbors re-attach to the
+      minimum of its closed neighborhood (keeps the graph connected, never
+      grows edges above the original count).
+    - small-star: every node and its smaller neighbors re-attach to its
+      minimum smaller neighbor (the contraction step).
+
+    Fixpoint = the edge set is stable, at which point edges form stars
+    (root = component minimum).  Returns (id, component) for every node
+    that appears in ``pairs`` — identical contract to
+    :func:`connected_components` (equality property-tested on random
+    graphs, tests/test_components.py)."""
+
+    def canon(df: DataFrame, a: str, b: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(a), F.col(b)).alias("lo"),
+                F.greatest(F.col(a), F.col(b)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    edges = canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")), "u", "v"
+    ).localCheckpoint(eager=True)
+    n_nodes_seen = (
+        edges.select(F.col("lo").alias("id"))
+        .unionByName(edges.select(F.col("hi").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iters):
+        # large-star
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        mid = canon(large, "a", "b").localCheckpoint(eager=True)
+
+        # small-star (edges directed larger -> smaller)
+        down = mid.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            down.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        nxt = canon(out, "a", "b").localCheckpoint(eager=True)
+
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).count() == 0:
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} iterations"
+        )
+
+    # stars: every hi points at its component root (lo); roots label themselves
+    members = edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    roots = (
+        edges.select(F.col("lo").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labeled = members.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+    # isolated-after-contraction safety: every input node gets a label
+    return n_nodes_seen.join(labeled, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 

@@ -2010,6 +2010,105 @@ FROM hist
 """
 
 
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: the distribution of per-customer order counts,
+    zeros included.  Two aggregations at different grains: a left join
+    preserves order-less customers (count of a nullable column yields their
+    zero), then the per-customer counts histogram.  Both shuffles key on
+    high-cardinality columns (custkey, then the small count domain after a
+    partial agg) — no skew concentration at any corpus size."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_ORDER_COUNT_HISTOGRAM = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) achieving maximum total revenue —
+    argmax over an aggregate, expressed as the aggregate joined against its
+    own broadcast max (the scalar never funnels the fact table through one
+    reducer; ties all surface, like the SQL view+subquery original)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average positive balance and
+    no orders at all, rolled up by nation — a scalar AVG subquery (broadcast
+    back, never a global window) composed with an anti join (the NOT EXISTS
+    decorrelation) and a final small-key rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -2070,6 +2169,9 @@ QUERIES = {
     "user_streaks": q_user_streaks,
     "percent_of_total": q_percent_of_total,
     "name_similarity": q_name_similarity,
+    "order_count_histogram": q_order_count_histogram,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES = {
@@ -2132,4 +2234,7 @@ ORACLES = {
     "user_streaks": ORACLE_USER_STREAKS,
     "percent_of_total": ORACLE_PERCENT_OF_TOTAL,
     "name_similarity": ORACLE_NAME_SIMILARITY,
+    "order_count_histogram": ORACLE_ORDER_COUNT_HISTOGRAM,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
 }

@@ -52,3 +52,57 @@ def test_pair_endpoints_share_component(spark, sf_dir):
         .count()
     )
     assert bad_min == 0
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    """large-star/small-star must produce the identical (id, component)
+    labeling as min-label propagation — checked on seeded random graphs
+    with many components, long paths, and dense blobs."""
+    import random
+
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        # plus a path long enough to stress diameter handling (min-label
+        # needs diameter rounds — keep under its cap; star needs O(log n))
+        edges += [(200 + i, 201 + i) for i in range(18)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        ml = {(r.id, r.component) for r in connected_components(pairs).collect()}
+        st = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
+        assert st == ml, f"seed={seed}: star != min-label"
+
+
+def test_star_converges_past_min_label_diameter_limit(spark):
+    """The point of the star rewrites: a 40-node path exceeds min-label's
+    25-round cap (one hop flooded per round) but star-contraction halves
+    the diameter each round and finishes in O(log n)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    comps = connected_components_star(pairs)
+    assert comps.select("component").distinct().collect() == [(0,)]
+    assert comps.count() == 41
+
+
+def test_star_toy_graph(spark):
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
