@@ -119,6 +119,48 @@ def sample_frames(
     return media.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "asset_id long, n_in long, n_out long, out_md5 string"
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 256, fake: bool = False
+) -> DataFrame:
+    """Resize/downsample over binary payloads — the third multimodal verb
+    (decode / feature-extract / RESIZE / frame-sample).  A real
+    implementation decodes, rescales (image resize, audio downsample), and
+    re-encodes inside the same Arrow batch; the codec stub (module
+    docstring) instead strides the byte stream — every ``step``-th byte
+    with step = ceil(n/target) — the exact shape of nearest-neighbor
+    downsampling, deterministic and oracle-checkable.  Output carries
+    (in-size, out-size, digest); at scale you return the resized payload to
+    the next stage and never carry it further."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg/soundfile) are not available in this "
+            "environment; run with fake=True for the deterministic stub"
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            ids, n_ins, n_outs, digests = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                step = max(1, math.ceil(len(p) / target_bytes))
+                out = p[::step]
+                ids.append(aid)
+                n_ins.append(len(p))
+                n_outs.append(len(out))
+                digests.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(
+                {"asset_id": ids, "n_in": n_ins, "n_out": n_outs, "out_md5": digests}
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table as a media table (utf-8 payload),
     so the multimodal plumbing is exercised against real testdata."""

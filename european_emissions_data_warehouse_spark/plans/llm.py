@@ -701,6 +701,38 @@ FROM idx ORDER BY asset_id, frame_no
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.py resize_media): ASCII
+    documents as fake media payloads, byte-strided down to <=256 bytes,
+    one row per asset with in/out sizes and a content digest.  Restricted
+    to lang=en so the oracle can stride by character (byte == char for
+    ASCII)."""
+    from european_emissions_data_warehouse_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    media = documents_as_media(docs)
+    return resize_media(media, target_bytes=256, fake=True).orderBy("asset_id")
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH en AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
+), r AS (
+  SELECT doc_id, n, GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)) AS step, text FROM en
+), strided AS (
+  SELECT doc_id, n,
+         array_to_string([substr(text, CAST(i AS INT), 1)
+                          FOR i IN range(1, CAST(n AS INT) + 1, CAST(step AS INT))], '') AS out
+  FROM r
+)
+SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_in,
+       CAST(length(out) AS BIGINT) AS n_out, md5(out) AS out_md5
+FROM strided ORDER BY asset_id
+"""
+
+
 # --- training-batch construction ---------------------------------------------
 
 
@@ -1007,6 +1039,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "train_test_split": q_train_test_split,
     "quality_weighted_sample": q_quality_weighted_sample,
     "stratified_sample": q_stratified_sample,
@@ -1037,6 +1070,7 @@ ORACLES = {
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
+    "media_resize": ORACLE_MEDIA_RESIZE,
     "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
     "quality_weighted_sample": ORACLE_QUALITY_WEIGHTED_SAMPLE,
     "sentence_udtf": ORACLE_SENTENCE_UDTF,

@@ -22,7 +22,7 @@ import __spark_entry__ as e
 qs = e.queries()
 sf = "/root/testdata/sf0.001"
 for name in ("media_features", "embedding_stats", "weighted_avg_udaf",
-             "sentence_udtf", "media_frames",
+             "sentence_udtf", "media_frames", "media_resize",
              "bucketed_join"):  # writes tables: must not need a writable cwd
     n = qs[name](spark, sf).count()
     assert n > 0, name
