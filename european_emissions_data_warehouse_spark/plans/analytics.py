@@ -898,6 +898,39 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status counts back to long
+    (priority, status, n) rows — ``DataFrame.unpivot``, the inverse of
+    q_pivot_status.  Unpivot is a zero-shuffle projection (each input row
+    expands to its value-column rows map-side), so the only exchange in the
+    plan is the pivot aggregation it consumes."""
+    wide = q_pivot_status(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["n_f", "n_o", "n_p"],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .withColumn("status", F.upper(F.substring("status", 3, 1)))
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+ORACLE_UNPIVOT_STATUS = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, s.status, s.n
+FROM wide, LATERAL (VALUES ('F', n_f), ('O', n_o), ('P', n_p)) AS s(status, n)
+ORDER BY o_orderpriority, status
+"""
+
+
 # --- explode / generator ------------------------------------------------------
 
 
@@ -2172,6 +2205,7 @@ QUERIES = {
     "order_count_histogram": q_order_count_histogram,
     "top_supplier_revenue": q_top_supplier_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "unpivot_status": q_unpivot_status,
 }
 
 ORACLES = {
@@ -2237,4 +2271,5 @@ ORACLES = {
     "order_count_histogram": ORACLE_ORDER_COUNT_HISTOGRAM,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
+    "unpivot_status": ORACLE_UNPIVOT_STATUS,
 }
