@@ -202,6 +202,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    unit: str = "word",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least one
+    k-gram with any document in the evaluation set — (id, n_grams,
+    n_shared_grams, shared_frac), one row per contaminated training doc.
+
+    This is the exact n-gram overlap screen LLM pipelines run against held
+    out benchmarks before training (the GPT-3 appendix's 13-gram rule is
+    this operator with k=13).  Both sides reuse :func:`shingle_index`'s
+    62-bit rolling-gram identities, so the probe carries 8-byte keys, not
+    n-gram strings.  The eval side is a benchmark suite — thousands of
+    documents against a corpus of billions — so its distinct-gram set is
+    explicitly broadcast: the training corpus is never shuffled at all,
+    and the only exchange is the per-doc count aggregation over the
+    (rare) matching rows.
+    """
+    ti = shingle_index(train, id_col, text_col, k, unit)
+    eval_grams = (
+        shingle_index(eval_docs, id_col, text_col, k, unit)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        ti.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("id")
+        .agg(
+            F.min("n_shingles").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_shared_grams"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_shared_grams",
+            (F.col("n_shared_grams") / F.col("n_grams")).alias("shared_frac"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
 ) -> DataFrame:

@@ -1,0 +1,103 @@
+"""Corpus-quality operators for training-data pipelines (SURVEY.md §2.3):
+Gopher-style repetition signals and source-mixture reporting.
+
+These are the filters/reports an LLM data pipeline runs between ingest and
+tokenization (Rae et al. 2021 "Scaling Language Models" §A1.1 published the
+repetition heuristics; mixture weighting is the standard pre-sampling step).
+Everything is explode/groupBy/window over built-in expressions — JVM-side,
+shuffle-keyed on the document id, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.functions.text import ws_token_count
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics — the Gopher-rules repetition
+    family: (id, n_words, n_distinct_words, top_word_n, top_bigram_n,
+    dup_word_frac, top_word_frac, top_bigram_frac).
+
+    Shape: posexplode whitespace tokens once; unigram counts are one
+    groupBy(id, word) + one groupBy(id) roll-up, bigram counts reuse the
+    same exploded rows via a per-id LEAD window (the window and both
+    groupBys all shuffle on the id, so AQE coalesces them onto one
+    exchange footprint).  Fractions are single IEEE divisions of exact
+    counts — engine-reproducible bit-for-bit, no float accumulation.
+    At 100 TB this is the cheapest repetition screen there is: cost is
+    one token explode, and the groupBy keys (id, word) are unskewed by
+    construction.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    uni = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    uni_stats = uni.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_word_n"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = toks.withColumn("w2", F.lead("w").over(w)).filter(F.col("w2").isNotNull())
+    bigram_stats = (
+        bigrams.groupBy("id", "w", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    n_words = F.col("n_words")
+    return (
+        uni_stats.join(bigram_stats, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            "n_distinct_words",
+            "top_word_n",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            ((n_words - F.col("n_distinct_words")) / n_words).alias("dup_word_frac"),
+            (F.col("top_word_n") / n_words).alias("top_word_frac"),
+            F.when(
+                n_words > 1, F.coalesce("top_bigram_n", F.lit(0)) / (n_words - 1)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def source_mixture(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Training-mixture report: per source, document and token totals plus
+    each source's share of the corpus token budget — the numbers a sampling
+    schedule (mixture weights, epoch counts) is derived from.
+
+    Two aggregations: per-source totals (one shuffle on the group key),
+    then the grand total (a single-row aggregate) broadcast back across the
+    per-source rows.  Shares are one exact-BIGINT division each — no float
+    accumulation, so the report is bit-reproducible on any engine and any
+    partitioning.  The group-key cardinality is "number of sources"
+    (thousands at web scale), so every stage after the first partial
+    aggregation is negligible.
+    """
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__total_tokens")).alias("token_share"),
+            (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+        )
+    )

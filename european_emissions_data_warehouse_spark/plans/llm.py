@@ -539,6 +539,114 @@ FROM kept
 """
 
 
+# --- corpus quality / decontamination ----------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 7 != 0) sharing
+    at least one word-8-gram with the held-out eval slice (doc_id % 7 == 0)
+    — the GPT-3-style exact n-gram overlap screen.  The eval gram set is
+    broadcast (operators/dedup.py contamination_overlap), so the training
+    corpus never shuffles; grams travel as 62-bit rolling-hash identities,
+    never strings."""
+    from european_emissions_data_warehouse_spark.operators.dedup import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_overlap(train, eval_docs, k=8, unit="word").select(
+        F.col("id").alias("doc_id"), "n_grams", "n_shared_grams", "shared_frac"
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+                        FOR i IN range(1, GREATEST(len(toks) - 7, 1) + 1)]) AS shingles
+  FROM base
+), sh AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, UNNEST(shingles) AS shingle FROM sh0
+), eval_grams AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0
+)
+SELECT s.doc_id,
+       MIN(s.n_sh) AS n_grams,
+       COUNT(*) AS n_shared_grams,
+       COUNT(*) / MIN(s.n_sh) AS shared_frac
+FROM sh s JOIN eval_grams e USING (shingle)
+WHERE s.doc_id % 7 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition screen (operators/quality.py):
+    word totals, distinct-word and top-unigram/bigram concentrations.  One
+    token explode; every aggregate shuffles on the doc id."""
+    from european_emissions_data_warehouse_spark.operators.quality import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs).withColumnRenamed("id", "doc_id")
+
+
+ORACLE_REPETITION_SIGNALS = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), uni AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(toks) AS w FROM base)
+  GROUP BY doc_id, w
+), uni_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct_words,
+         MAX(c) AS top_word_n
+  FROM uni GROUP BY doc_id
+), big AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST([toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+                               FOR i IN range(1, GREATEST(len(toks) - 1, 0) + 1)]) AS bg
+        FROM base)
+  GROUP BY doc_id, bg
+), big_stats AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM big GROUP BY doc_id
+)
+SELECT u.doc_id, n_words, n_distinct_words, top_word_n,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       (n_words - n_distinct_words) / n_words AS dup_word_frac,
+       top_word_n / n_words AS top_word_frac,
+       CASE WHEN n_words > 1 THEN COALESCE(top_bigram_n, 0) / (n_words - 1) END AS top_bigram_frac
+FROM uni_stats u LEFT JOIN big_stats b USING (doc_id)
+"""
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report (operators/quality.py): per-source doc/token
+    totals and each source's share of the corpus token budget — the input
+    to any sampling schedule.  Exact-integer shares, one group-key shuffle
+    plus a broadcast grand total."""
+    from european_emissions_data_warehouse_spark.operators.quality import source_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mixture(docs)
+
+
+ORACLE_SOURCE_MIXTURE = r"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       n_tokens / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per) AS token_share,
+       n_tokens / n_docs AS tokens_per_doc
+FROM per
+"""
+
+
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled `lang` column.  Marker hits are
     extracted in ONE combined regexp pass, materialized, then classified
@@ -1034,6 +1142,9 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_clean": q_text_clean,
     "corpus_prep": q_corpus_prep,
+    "decontaminate": q_decontaminate,
+    "repetition_signals": q_repetition_signals,
+    "source_mixture": q_source_mixture,
     "lang_predict": q_lang_predict,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_stats": q_embedding_stats,
@@ -1066,6 +1177,9 @@ ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_clean": ORACLE_TEXT_CLEAN,
     "corpus_prep": ORACLE_CORPUS_PREP,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "repetition_signals": ORACLE_REPETITION_SIGNALS,
+    "source_mixture": ORACLE_SOURCE_MIXTURE,
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "media_features": ORACLE_MEDIA_FEATURES,

@@ -128,3 +128,53 @@ def test_stop_shingle_cap_tames_boilerplate_skew(spark):
     # conservative: capped jaccard never exceeds uncapped
     for p, j in cp.items():
         assert j <= un[p] + 1e-12, (p, j, un[p])
+
+
+def test_contamination_overlap_flags_shared_grams(spark):
+    """A train doc sharing a word-8-gram with any eval doc is flagged with
+    the right overlap count; a train doc sharing nothing stays absent."""
+    from european_emissions_data_warehouse_spark.operators.dedup import contamination_overlap
+
+    common = "a b c d e f g h"  # exactly one 8-gram
+    train = spark.createDataFrame(
+        [(1, common + " x y z"), (2, "p q r s t u v w x y")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "zz " + common + " qq")], "doc_id long, text string"
+    )
+    rows = {r.id: r for r in contamination_overlap(train, eval_docs, k=8).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_shared_grams == 1
+    assert rows[1].n_grams == 4  # 11 words -> 4 8-gram positions
+
+
+def test_repetition_signals_hand_counts(spark):
+    """Hand-checkable unigram/bigram concentrations, including the
+    single-bigram edge (n_words - 1 denominator)."""
+    from european_emissions_data_warehouse_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "u v")], "doc_id long, text string"
+    )
+    rows = {r.id: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    # bigrams of doc 1: "x x", "x x", "x y" -> top bigram count 2
+    assert (r1.n_words, r1.n_distinct_words, r1.top_word_n, r1.top_bigram_n) == (4, 2, 3, 2)
+    assert r1.dup_word_frac == 0.5
+    assert r1.top_word_frac == 0.75
+    r2 = rows[2]
+    assert (r2.n_words, r2.top_bigram_n, r2.top_bigram_frac) == (2, 1, 1.0)
+
+
+def test_source_mixture_shares_sum_to_one(spark, sf_dir):
+    """Token shares partition the corpus: they sum to 1 and every source's
+    tokens_per_doc is consistent with its totals."""
+    from european_emissions_data_warehouse_spark.operators.quality import source_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = source_mixture(docs).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.n_tokens > 0
+        assert abs(r.tokens_per_doc - r.n_tokens / r.n_docs) < 1e-12
