@@ -69,6 +69,47 @@ def repetition_signals(
     )
 
 
+def token_rarity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-rarity score: the mean corpus document frequency
+    of a doc's tokens — (id, n_words, sum_df, avg_token_df).  Low scores
+    mean rare/unseen vocabulary (specialist or noisy text), high scores
+    mean the doc is built from corpus-common words; it is the integer-exact
+    stand-in for a unigram-LM perplexity screen (true log-prob scoring is
+    not engine-reproducible: libm log differs across engines bit-wise).
+
+    The vocabulary table (token -> document frequency) is tiny relative to
+    the corpus — O(|V|), millions of rows at web scale — so it is
+    explicitly broadcast back onto the exploded token stream: the corpus
+    side never shuffles on the token (which would put every stopword's
+    traffic on one hot key); the only exchange is the per-doc roll-up on
+    the unskewed doc id.  Scores are exact-integer sums with one final
+    IEEE division — bit-reproducible anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    df_tab = (
+        toks.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        toks.join(F.broadcast(df_tab), "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "id",
+            "n_words",
+            "sum_df",
+            (F.col("sum_df") / F.col("n_words")).alias("avg_token_df"),
+        )
+    )
+
+
 def source_mixture(
     docs: DataFrame,
     text_col: str = "text",

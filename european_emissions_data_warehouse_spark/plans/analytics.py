@@ -2142,6 +2142,185 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: per Brand#1 part, the lineitems whose quantity is
+    below 20% of that part's average quantity — the "small-order revenue
+    loss" probe.  The correlated AVG-per-part subquery becomes one
+    aggregation joined back on the part key (Catalyst's decorrelation,
+    written explicitly); the brand dimension filter is semi-joined into the
+    aggregation input first so the per-part averages are only computed for
+    the ~1/25 of parts that survive.  l_quantity is integral-valued, so the
+    per-part sums (and hence the AVG threshold) are exact in double — the
+    0.2*avg comparison is engine-reproducible bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey, "left_semi"
+    )
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    small = brand_li.join(thresh, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_thresh")
+    )
+    return (
+        small.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            _r2(F.sum("l_extendedprice")).alias("small_revenue"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "n_small_lines", "small_revenue"
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_SMALL_QTY_PARTS = """
+WITH brand_li AS (
+  SELECT l.* FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1')
+), thresh AS (
+  SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT b.l_partkey AS p_partkey, COUNT(*) AS n_small_lines,
+       ROUND(SUM(b.l_extendedprice), 2) AS small_revenue
+FROM brand_li b JOIN thresh t ON b.l_partkey = t.l_partkey
+WHERE b.l_quantity < t.qty_thresh
+GROUP BY b.l_partkey ORDER BY p_partkey
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested aggregation: each part's top shipper (by
+    total shipped quantity, supplier key breaking ties) and that supplier's
+    share of the part's volume, rolled up per supplier — (s_suppkey,
+    s_name, n_top_parts, max_share).  The per-part total and the argmax
+    rank ride the SAME partitionBy(l_partkey) exchange as stacked window
+    functions over the (part, supplier) pre-aggregate — lineitem is
+    scanned and shuffled once.  A fixed majority threshold would go empty
+    as supplier-per-part fan-out grows with scale; the argmax form is
+    scale-stable.  Integral quantities make the share division
+    engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = per_ps.select(
+        "l_partkey",
+        "l_suppkey",
+        "supp_qty",
+        F.sum("supp_qty").over(w).alias("part_qty"),
+        F.row_number()
+        .over(w.orderBy(F.col("supp_qty").desc(), "l_suppkey"))
+        .alias("rn"),
+    )
+    top = ranked.filter(F.col("rn") == 1).withColumn(
+        "share", F.col("supp_qty") / F.col("part_qty")
+    )
+    counts = top.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_top_parts"),
+        F.max("share").alias("max_share"),
+    )
+    return (
+        counts.join(F.broadcast(supp), counts.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_top_parts", "max_share")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY supp_qty DESC, l_suppkey) AS rn
+  FROM per_ps
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_top_parts,
+       MAX(supp_qty / part_qty) AS max_share
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: for every multi-supplier order, the supplier who
+    alone shipped on the order's last ship date kept everyone else waiting;
+    count such orders per supplier, top 10.  The classic form is a 4-way
+    self-join with EXISTS/NOT EXISTS; here each per-order predicate is one
+    more column of a single (orderkey, suppkey) aggregate rolled up again
+    per order — two shuffles total, no self-joins of the fact table.  The
+    final top-10 is orderBy+limit (TakeOrderedAndProject, per-partition
+    heaps), tie-broken on the supplier key so the cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    # All three per-order statistics ride ONE partitionBy(l_orderkey)
+    # exchange as stacked window aggregates (re-aggregating per_os into a
+    # per-order table and joining it back would re-shuffle the same rows
+    # twice more); is_last must exist as a real column before the second
+    # window can sum it.
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+    ).withColumn("is_last", (F.col("supp_last") == F.col("order_last")).cast("int"))
+    counted = flagged.withColumn("n_last_supps", F.sum("is_last").over(w))
+    waiting = (
+        counted.filter(
+            (F.col("is_last") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_last_supps") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey, MAX(supp_last) AS order_last, COUNT(*) AS n_supps
+  FROM per_os GROUP BY l_orderkey
+), flagged AS (
+  SELECT os.l_orderkey, os.l_suppkey, o.n_supps,
+         CASE WHEN os.supp_last = o.order_last THEN 1 ELSE 0 END AS is_last
+  FROM per_os os JOIN per_o o ON os.l_orderkey = o.l_orderkey
+), counted AS (
+  SELECT *, SUM(is_last) OVER (PARTITION BY l_orderkey) AS n_last_supps
+  FROM flagged
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM counted c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE c.is_last = 1 AND c.n_supps >= 2 AND c.n_last_supps = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey LIMIT 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -2206,6 +2385,9 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "unpivot_status": q_unpivot_status,
+    "small_qty_parts": q_small_qty_parts,
+    "dominant_suppliers": q_dominant_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -2272,4 +2454,7 @@ ORACLES = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
     "unpivot_status": ORACLE_UNPIVOT_STATUS,
+    "small_qty_parts": ORACLE_SMALL_QTY_PARTS,
+    "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
 }

@@ -622,6 +622,32 @@ FROM uni_stats u LEFT JOIN big_stats b USING (doc_id)
 """
 
 
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity screen (operators/quality.py): mean corpus document
+    frequency of each doc's tokens — the engine-reproducible unigram-LM
+    stand-in.  The vocab DF table is broadcast; the corpus never shuffles
+    on the (stopword-skewed) token key."""
+    from european_emissions_data_warehouse_spark.operators.quality import token_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity(docs).withColumnRenamed("id", "doc_id")
+
+
+ORACLE_TOKEN_RARITY = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), df_tab AS (
+  SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(d.df) AS BIGINT) AS sum_df,
+       CAST(SUM(d.df) AS BIGINT) / COUNT(*) AS avg_token_df
+FROM toks t JOIN df_tab d USING (w)
+GROUP BY t.doc_id
+"""
+
+
 def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture report (operators/quality.py): per-source doc/token
     totals and each source's share of the corpus token budget — the input
@@ -1144,6 +1170,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "decontaminate": q_decontaminate,
     "repetition_signals": q_repetition_signals,
+    "token_rarity": q_token_rarity,
     "source_mixture": q_source_mixture,
     "lang_predict": q_lang_predict,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1179,6 +1206,7 @@ ORACLES = {
     "corpus_prep": ORACLE_CORPUS_PREP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "repetition_signals": ORACLE_REPETITION_SIGNALS,
+    "token_rarity": ORACLE_TOKEN_RARITY,
     "source_mixture": ORACLE_SOURCE_MIXTURE,
     "lang_predict": ORACLE_LANG_PREDICT,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
