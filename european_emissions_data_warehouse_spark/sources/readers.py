@@ -54,6 +54,20 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
     return reader.json(path)
 
 
+def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
+    """Sniff a parquet timestamp column's (unit, is_utc_adjusted) from the
+    file footer (driver-side metadata read, no data I/O).  The lake's event
+    feed has shipped both TIMESTAMP(NANOS,false) and TIMESTAMP(MICROS,false)
+    layouts; the scan must adapt per file, not assume one."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        part = next(p for p in sorted(os.listdir(path)) if p.endswith(".parquet"))
+        path = os.path.join(path, part)
+    t = pq.read_schema(path).field(column).type
+    return t.unit, t.tz is not None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its registered explicit schema."""
     # timestamps in the lake are naive-UTC; pin the session so date_format/
@@ -62,17 +76,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = TESTDATA_SCHEMAS.get(name)
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS,false): illegal for Spark's reader.
-        # Scan it as a nanos long (runtime-settable legacy conf), then convert
-        # to the engine's microsecond TimestampType.  DuckDB truncates the
-        # same way when collecting to Python datetimes, so oracles align.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField, TimestampNTZType, TimestampType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"), schema)
-        # integer `div`, not `/`: epoch-ns exceeds double's 2^53 exact-integer
-        # range, so float division here corrupts the low microsecond digit
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = os.path.join(sf_dir, "events.parquet")
+        unit, utc_adjusted = _parquet_ts_unit(path)
+        if unit == "ns":
+            # TIMESTAMP(NANOS) is illegal for Spark's reader.  Scan it as a
+            # nanos long (runtime-settable legacy conf), then convert to the
+            # engine's microsecond TimestampType.  DuckDB truncates the same
+            # way when collecting to Python datetimes, so oracles align.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            ns_schema = StructType(
+                [StructField("ts", LongType()) if f.name == "ts" else f for f in schema]
+            )
+            df = read_parquet(spark, path, ns_schema)
+            # integer `div`, not `/`: epoch-ns exceeds double's 2^53
+            # exact-integer range, so float division here corrupts the low
+            # microsecond digit
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # µs/ms layouts Spark reads natively; naive files surface as
+        # TIMESTAMP_NTZ, which the UTC-pinned session casts to the engine's
+        # TimestampType value-for-value.
+        ts_type = TimestampType() if utc_adjusted else TimestampNTZType()
+        native_schema = StructType(
+            [StructField("ts", ts_type) if f.name == "ts" else f for f in schema]
+        )
+        df = read_parquet(spark, path, native_schema)
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"), schema)
 
 

@@ -117,13 +117,14 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-    # (PARQUET_TYPE_ILLEGAL) — scanned as nanos-long via the
-    # spark.sql.legacy.parquet.nanosAsLong conf and converted to a microsecond
-    # TimestampType in readers.load_table (matching DuckDB's µs truncation).
+    # events.ts precision varies by lake vintage — TIMESTAMP(NANOS,false) in
+    # older drops (illegal for Spark's reader, scanned as nanos-long via the
+    # spark.sql.legacy.parquet.nanosAsLong conf), TIMESTAMP(MICROS,false) in
+    # current ones.  readers.load_table sniffs the footer and substitutes the
+    # right ts field type; the entry here is the post-load engine type.
     "events": _struct(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
