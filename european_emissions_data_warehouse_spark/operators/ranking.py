@@ -1,0 +1,134 @@
+"""Lexical relevance ranking over a document corpus: TF-IDF and BM25.
+
+The reference's analytical surface stops at SQL aggregates (its processed
+data is "extracted from the database using SQL queries", reference
+README.md:147); a training-data pipeline additionally needs keyword
+relevance scoring — for corpus search, near-duplicate triage, and
+quality-weighted retrieval mixes.  Both scorers here are pure DataFrame
+compositions (tokenize → per-doc term counts → corpus statistics → score),
+so Catalyst keeps the whole plan JVM-side.
+
+Scale design (100 TB corpus):
+- the (doc, term) count is ONE shuffle keyed on (doc_id, term) with map-side
+  combine; term document-frequencies aggregate that result (second, far
+  smaller shuffle keyed on term);
+- corpus scalars (N, avg doc length) are 1-row aggregates broadcast via
+  cross join — no driver round-trip, no collect;
+- per-query scoring filters the term index to the query's terms BEFORE any
+  join (predicate pushdown makes the scored relation ~|query| × docs-hit);
+- top-k is `orderBy + limit` = TakeOrderedAndProject (per-partition heaps,
+  driver merges k rows), never a global sort;
+- scores are ROUND()ed before ranking so cross-engine float noise (libm
+  `ln` differs by ≤1 ulp between runtimes) cannot reorder results:
+  ordering is (rounded score DESC, id) — fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term) rows: lowercase, whitespace-split, empties dropped.
+    Mirrors the corpus convention used by the dedup family
+    (DuckDB: ``string_split_regex(lower(trim(text)), '\\s+')``)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def term_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document term frequencies: (doc_id, term, tf).  The single wide
+    shuffle of the ranking family; everything downstream is derived."""
+    return tokenize(docs, text_col, id_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df): number of documents containing each term.  `tf` is already
+    distinct per (doc, term), so df is a plain count."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf, idf = ln(N/df).
+
+    Columns: doc_id, term, tfidf (rounded 4), rank.  Rank ties break on term
+    so output is total-ordered and cross-engine stable."""
+    tf = term_index(docs)
+    df = doc_frequencies(tf)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Columns: doc_id, score (rounded 4), rank.  avgdl is computed as
+    SUM(dl)/COUNT(*) explicitly (not AVG) so both engines perform the same
+    IEEE division."""
+    tf = term_index(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = doc_frequencies(tf)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matched = tf.filter(F.col("term").isin(query_terms))
+    scored = (
+        matched.join(F.broadcast(df.filter(F.col("term").isin(query_terms))), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    # k is tiny: the single-partition window over the scored (already
+    # aggregated, one row per matching doc) relation is bounded by docs
+    # containing a query term; for huge hit-sets swap in
+    # orderBy+limit (TakeOrderedAndProject) and re-rank the k rows.
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -40,6 +40,7 @@ from european_emissions_data_warehouse_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
 )
+from european_emissions_data_warehouse_spark.operators.ranking import bm25_topk, tfidf_top_terms
 from european_emissions_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
@@ -1153,6 +1154,87 @@ ORDER BY doc_id
 """
 
 
+# --- lexical relevance ranking ----------------------------------------------
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf; corpus statistics
+    (df, N) over the FULL corpus, output restricted to the first 100 docs.
+    Ranking is on the rounded score with a term tiebreak, so libm ln noise
+    cannot reorder rows cross-engine (operators/ranking.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.filter(F.col("doc_id") < 100)
+
+
+ORACLE_TFIDF_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS "rank"
+FROM (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * ln(n.n_docs / df.df), 4) DESC, tf.term) AS rnk
+  FROM tf JOIN df USING (term), n
+)
+WHERE rnk <= 3 AND doc_id < 100
+"""
+
+
+BM25_QUERY_TERMS = ["vector", "hash", "stream"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a 3-term keyword query over the full
+    corpus (k1=1.2, b=0.75).  The term index is filtered to the query's
+    terms before any join, so the scored relation is tiny regardless of
+    corpus size (operators/ranking.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=10)
+
+
+ORACLE_BM25_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))
+         ), 4) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN ('vector', 'hash', 'stream')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, CAST(rnk AS BIGINT) AS "rank"
+FROM (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1185,6 +1267,8 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "doc_chunks": q_doc_chunks,
     "label_centroids": q_label_centroids,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
@@ -1219,4 +1303,6 @@ ORACLES = {
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "tfidf_terms": ORACLE_TFIDF_TERMS,
+    "bm25_search": ORACLE_BM25_SEARCH,
 }
