@@ -1,0 +1,91 @@
+"""Declarative data-quality expectations over warehouse tables.
+
+The reference trusts its loader end-to-end (typed COPY aborts on bad rows,
+reference scripts/lambda_handler_warehouse.py:80-92, and nothing validates
+referential or domain rules after load).  A warehouse at scale needs the
+checks as a first-class queryable report: null rates, key uniqueness,
+referential integrity, accepted-value domains, numeric ranges.
+
+Scale design (100 TB facts):
+- every single-table rule over one table compiles into ONE conditional
+  aggregation pass (``SUM(CASE WHEN violated THEN 1 END)`` per rule), so N
+  rules cost one scan, not N scans; the 1×N result row unpivots map-side
+  into tidy (check, violations) rows;
+- key-uniqueness is ``COUNT(*) - COUNT(DISTINCT key)`` inside the same
+  pass (distinct-count is partial-aggregable);
+- referential checks are anti-join counts: broadcast when the parent is a
+  dimension, shuffle-join on the key otherwise — either way the output is
+  a count, never a row transfer of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violations(cond: Column) -> Column:
+    """Count of rows violating ``cond`` (cond expresses the EXPECTATION)."""
+    return F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+
+
+def table_expectations(
+    df: DataFrame,
+    table: str,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    accepted: dict[str, list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    count_as: str | None = "row_count",
+) -> DataFrame:
+    """Compile per-table rules into one aggregation + map-side unpivot.
+    Returns (check string, violations bigint) rows; ``row_count`` reports
+    the table cardinality (value, not a violation count) so the report
+    always carries data-volume evidence alongside the zero/nonzero rules."""
+    aggs = []
+    if count_as:
+        aggs.append(F.count(F.lit(1)).alias(f"{table}.{count_as}"))
+    for c in not_null:
+        aggs.append(_violations(F.col(c).isNotNull()).alias(f"{table}.{c}.not_null"))
+    for c in unique:
+        aggs.append(
+            (F.count(c) - F.countDistinct(c)).alias(f"{table}.{c}.unique")
+        )
+    for c, vals in (accepted or {}).items():
+        aggs.append(_violations(F.col(c).isin(list(vals))).alias(f"{table}.{c}.accepted_values"))
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            _violations(F.col(c).between(F.lit(lo), F.lit(hi))).alias(f"{table}.{c}.in_range")
+        )
+    wide = df.agg(*aggs)
+    # check names are dotted (table.column.rule): backtick them so unpivot
+    # treats each as one column, not a struct-field path
+    return wide.unpivot(
+        ids=[],
+        values=[f"`{c}`" for c in wide.columns],
+        variableColumnName="check",
+        valueColumnName="violations",
+    ).select("check", F.col("violations").cast("long").alias("violations"))
+
+
+def foreign_key_check(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Orphan count: child rows whose key has no parent.  ``broadcast_parent``
+    for dimension parents; flip off to shuffle-join two fact-scale tables."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = child.join(keys, child_key, "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit(name).alias("check"), "violations"
+    )
+
+
+def expectations_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the per-table/per-FK pieces into one tidy, ordered report."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check")

@@ -2321,6 +2321,181 @@ ORDER BY numwait DESC, s.s_suppkey LIMIT 10
 """
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where the ordering customer and
+    the line's supplier share a nation, one region, one order year.  The
+    join DAG is fact⋈fact (orders⋈lineitem, shuffle on the order key) with
+    every dimension (customer, supplier, nation, region) broadcast; the
+    same-nation predicate is applied as a post-join filter on two broadcast
+    attributes, so no extra exchange.  Six-table joins are exactly where
+    Catalyst's join reordering + AQE earn their keep at 100 TB."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: top-20 large-volume orders (line-quantity sum over
+    150).  The HAVING-filtered aggregate runs FIRST and shrinks the fact to
+    the few qualifying orders, which then join orders/customer — aggregate
+    early, join late.  Top-k is orderBy+limit (TakeOrderedAndProject) with
+    a key tiebreak for total order determinism."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report: null / unique / accepted-value /
+    range rules compile to ONE conditional-aggregation scan per table,
+    referential rules to broadcast anti-join counts — a tidy
+    (check, violations) relation proving warehouse invariants hold
+    (operators/expectations.py)."""
+    from european_emissions_data_warehouse_spark.operators.expectations import (
+        expectations_report,
+        foreign_key_check,
+        table_expectations,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    return expectations_report(
+        [
+            table_expectations(
+                o,
+                "orders",
+                not_null=["o_custkey", "o_orderdate"],
+                unique=["o_orderkey"],
+                accepted={"o_orderstatus": ["O", "F", "P"]},
+                ranges={"o_totalprice": (0.0, 1_000_000.0)},
+            ),
+            table_expectations(
+                li,
+                "lineitem",
+                not_null=["l_orderkey"],
+                ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
+            ),
+            table_expectations(cu, "customer", unique=["c_custkey"]),
+            foreign_key_check(o, cu, "o_custkey", "c_custkey", "orders.o_custkey.fk_customer"),
+            foreign_key_check(li, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey.fk_orders"),
+        ]
+    )
+
+
+ORACLE_DQ_REPORT = """
+SELECT * FROM (
+  SELECT 'orders.row_count' AS "check", COUNT(*) AS violations FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey.not_null', COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderdate.not_null', COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderkey.unique',
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderstatus.accepted_values',
+         COUNT(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P'))
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_totalprice.in_range',
+         COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.row_count', COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.not_null', COUNT(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_quantity.in_range',
+         COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_discount.in_range',
+         COUNT(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer.row_count', COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'customer.c_custkey.unique',
+         COUNT(c_custkey) - COUNT(DISTINCT c_custkey) FROM customer
+  UNION ALL
+  SELECT 'orders.o_custkey.fk_customer',
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.fk_orders',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+) ORDER BY "check"
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -2388,6 +2563,9 @@ QUERIES = {
     "small_qty_parts": q_small_qty_parts,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "large_orders": q_large_orders,
+    "dq_report": q_dq_report,
 }
 
 ORACLES = {
@@ -2457,4 +2635,7 @@ ORACLES = {
     "small_qty_parts": ORACLE_SMALL_QTY_PARTS,
     "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "dq_report": ORACLE_DQ_REPORT,
 }
