@@ -171,6 +171,62 @@ def ivf_assign(
     )
 
 
+def kmeans_exact(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 1,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Engine-reproducible Lloyd k-means over an embedding column; returns
+    the final (id, v, centroid_id) assignment.
+
+    Same deterministic stratified init as the IVF quantizer (min id per
+    ``id % k`` stratum — no RNG, no global sort).  The difference is the
+    mean step: components are fixed-point scaled (floor of x·2^scale_bits)
+    BEFORE summing, so each Lloyd mean is an exact integer sum followed by
+    one IEEE division — order-independent, hence bit-identical on any
+    partitioning and in any engine (float accumulation is neither; see
+    label_centroids).  That exactness is what lets cluster ASSIGNMENTS be
+    oracle-checked, not just sketched: every engine computing the same
+    means computes the same argmax-cosine assignment (modulo genuinely
+    tied similarities, broken by centroid id).
+
+    Scale: centroids broadcast (k·dim doubles); per iteration ONE shuffle
+    for the elementwise sums keyed on (centroid_id, dim) — k·dim groups,
+    fully partial-aggregable; assignment itself is a narrow broadcast pass.
+    Lloyd iteration count is a fixed small constant, so the whole operator
+    is O(iters) scans with no driver-side convergence loop (callers who
+    want convergence detection can compare successive centroid frames)."""
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = vecs.groupBy(
+        F.pmod(F.col("id"), F.lit(k)).cast("int").alias("centroid_id")
+    ).agg(F.min("id").alias("id"))
+    centroids = F.broadcast(init).join(vecs, "id").select(
+        "centroid_id", F.col("v").alias("centroid")
+    )
+    for _ in range(n_iters):
+        assigned = ivf_assign(vecs, centroids, "id", "v")
+        comp = assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
+        sums = comp.groupBy("centroid_id", "dim").agg(
+            F.sum(F.floor(F.col("x") * scale)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        centroids = (
+            sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+    return ivf_assign(vecs, centroids, "id", "v")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -45,6 +45,7 @@ from european_emissions_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     ivf_topk,
+    kmeans_exact,
     lsh_topk,
 )
 from european_emissions_data_warehouse_spark.sources.readers import load_table
@@ -1154,6 +1155,70 @@ ORDER BY doc_id
 """
 
 
+# --- embedding clustering ----------------------------------------------------
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, one Lloyd iteration, fixed-point means)
+    over the embeddings corpus; per-cluster membership summary.  Exact
+    integer mean sums make the assignment itself engine-reproducible, so
+    this is a full oracle row, not a verdict (operators/similarity.py
+    kmeans_exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_exact(emb, k=8, n_iters=1)
+    return (
+        assigned.groupBy(F.col("centroid_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_KMEANS_CLUSTERS = """
+WITH vecs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), init AS (
+  SELECT CAST(id % 8 AS INT) AS cid, MIN(id) AS id FROM vecs GROUP BY 1
+), c0 AS (
+  SELECT i.cid, v.v AS c FROM init i JOIN vecs v USING (id)
+), s0 AS (
+  SELECT vecs.id, c0.cid,
+         list_dot_product(vecs.v, c0.c)
+           / (sqrt(list_dot_product(vecs.v, vecs.v)) * sqrt(list_dot_product(c0.c, c0.c))) AS sim
+  FROM vecs, c0
+), a0 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn FROM s0
+  ) WHERE rn = 1
+), comp AS (
+  SELECT a0.cid, unnest(range(len(v.v))) AS dim, v.v AS e
+  FROM a0 JOIN vecs v USING (id)
+), sums AS (
+  SELECT cid, CAST(dim AS BIGINT) AS dim,
+         SUM(CAST(FLOOR(e[CAST(dim AS INT) + 1] * 1048576) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM comp GROUP BY 1, 2
+), c1 AS (
+  SELECT cid, list(s / (n * 1048576.0) ORDER BY dim) AS c FROM sums GROUP BY cid
+), s1 AS (
+  SELECT vecs.id, c1.cid,
+         list_dot_product(vecs.v, c1.c)
+           / (sqrt(list_dot_product(vecs.v, vecs.v)) * sqrt(list_dot_product(c1.c, c1.c))) AS sim
+  FROM vecs, c1
+), a1 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn FROM s1
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_members,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM a1 GROUP BY cid ORDER BY cluster_id
+"""
+
+
 # --- lexical relevance ranking ----------------------------------------------
 
 
@@ -1269,6 +1334,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLES = {
@@ -1305,4 +1371,5 @@ ORACLES = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
 }
