@@ -47,6 +47,11 @@ HEADLINE = [
     "scd2_dim",
     "train_test_split",
     "dedup_components",
+    "local_supplier_revenue",
+    "large_orders",
+    "dq_report",
+    "tfidf_terms",
+    "bm25_search",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Expectation rules must count actual violations — the lake fixtures are
+clean (dq_report proves all-zero there), so each rule family is exercised
+here against a frame with known defects."""
+
+from __future__ import annotations
+
+from european_emissions_data_warehouse_spark.operators.expectations import (
+    expectations_report,
+    foreign_key_check,
+    table_expectations,
+)
+
+
+def _report_dict(df):
+    return {r["check"]: r["violations"] for r in df.collect()}
+
+
+def test_single_table_rules_count_violations(spark):
+    rows = [
+        # (id, status, amount)
+        (1, "O", 10.0),
+        (1, "F", -5.0),      # dup id, amount below range
+        (2, None, 10.0),     # status null -> accepted_values violation
+        (None, "X", 200.0),  # id null; status out of domain; amount above range
+        (3, "P", None),      # amount null -> in_range violation
+    ]
+    df = spark.createDataFrame(rows, "id long, status string, amount double")
+    rep = _report_dict(
+        table_expectations(
+            df,
+            "t",
+            not_null=["id"],
+            unique=["id"],
+            accepted={"status": ["O", "F", "P"]},
+            ranges={"amount": (0.0, 100.0)},
+        )
+    )
+    assert rep == {
+        "t.row_count": 5,
+        "t.id.not_null": 1,
+        # COUNT(id)=4 non-null minus 3 distinct
+        "t.id.unique": 1,
+        "t.status.accepted_values": 2,
+        "t.amount.in_range": 3,
+    }
+
+
+def test_foreign_key_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (9,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    rep = _report_dict(
+        foreign_key_check(child, parent, "fk", "pk", "child.fk.fk_parent")
+    )
+    # two orphan rows with fk=9 plus the null fk (no parent matches null)
+    assert rep == {"child.fk.fk_parent": 3}
+
+
+def test_report_union_is_ordered(spark):
+    a = spark.createDataFrame([(1, "b")], "x long, s string")
+    parts = [
+        table_expectations(a, "zz", count_as="row_count"),
+        table_expectations(a, "aa", count_as="row_count"),
+    ]
+    rep = expectations_report(parts)
+    checks = [r["check"] for r in rep.collect()]
+    assert checks == sorted(checks)
