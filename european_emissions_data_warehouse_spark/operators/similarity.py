@@ -227,6 +227,41 @@ def kmeans_exact(
     return ivf_assign(vecs, centroids, "id", "v")
 
 
+def semdedup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 1,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs found WITHIN k-means clusters only — (centroid_id, id_a, id_b,
+    sim) with id_a < id_b and cosine >= threshold.
+
+    This is the scale path for embedding dedup: clustering first replaces
+    the O(n²) all-pairs cross join with Σ_c O(n_c²) equality-keyed joins on
+    the cluster id (expected n²/k comparisons for balanced clusters, and
+    the cluster count is a free parallelism knob).  Near-dups that land in
+    different clusters are missed — the documented recall trade the paper
+    makes; raise k for speed, lower it for recall.  Built on kmeans_exact,
+    so pair sets are engine-reproducible and fully oracle-checkable."""
+    assigned = kmeans_exact(vectors, id_col, vec_col, k, n_iters)
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vec_b")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("centroid_id", "id_a", "id_b", "sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

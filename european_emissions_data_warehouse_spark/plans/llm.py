@@ -47,6 +47,7 @@ from european_emissions_data_warehouse_spark.operators.similarity import (
     ivf_topk,
     kmeans_exact,
     lsh_topk,
+    semdedup_pairs,
 )
 from european_emissions_data_warehouse_spark.sources.readers import load_table
 
@@ -1177,8 +1178,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KMEANS_CLUSTERS = """
-WITH vecs AS (
+# Shared CTE chain replaying kmeans_exact(k=8, n_iters=1): stratified init,
+# argmax-cosine assignment, fixed-point exact means, final assignment `a1`
+# over `vecs`.
+_KMEANS_CTES = """vecs AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), init AS (
   SELECT CAST(id % 8 AS INT) AS cid, MIN(id) AS id FROM vecs GROUP BY 1
@@ -1212,10 +1215,48 @@ WITH vecs AS (
   SELECT id, cid FROM (
     SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn FROM s1
   ) WHERE rn = 1
-)
+)"""
+
+ORACLE_KMEANS_CLUSTERS = f"""
+WITH {_KMEANS_CTES}
 SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_members,
        MIN(id) AS min_id, MAX(id) AS max_id
 FROM a1 GROUP BY cid ORDER BY cluster_id
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cosine near-dup pairs found within k-means clusters only —
+    the clustering bounds the pair search to Σ n_c² instead of n², the
+    standard embedding-dedup scale path (operators/similarity.py
+    semdedup_pairs).  Per-cluster summary: pair count and how many docs a
+    keep-lowest-id policy would drop.  Threshold 0.3 matches this synthetic
+    corpus's similarity ceiling (~0.4, see cosine_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semdedup_pairs(emb, k=8, n_iters=1, threshold=0.3)
+    return (
+        pairs.groupBy(F.col("centroid_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH {_KMEANS_CTES}, members AS (
+  SELECT a1.cid, a1.id, v.v FROM a1 JOIN vecs v USING (id)
+), pairs AS (
+  SELECT a.cid, a.id AS id_a, b.id AS id_b
+  FROM members a JOIN members b
+    ON a.cid = b.cid AND a.id < b.id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
+FROM pairs GROUP BY cid ORDER BY cluster_id
 """
 
 
@@ -1335,6 +1376,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -1372,4 +1414,5 @@ ORACLES = {
     "tfidf_terms": ORACLE_TFIDF_TERMS,
     "bm25_search": ORACLE_BM25_SEARCH,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
+    "semdedup": ORACLE_SEMDEDUP,
 }
