@@ -161,6 +161,65 @@ def dedup_stream(
     )
 
 
+def run_corpus_prep_stream(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ingest_ts",
+    watermark: str = "2 hours",
+    min_quality: float = 0.5,
+) -> None:
+    """Streaming twin of plans.llm.q_corpus_prep: the training-corpus
+    pipeline (clean/mask -> quality filter -> exact content dedup -> token
+    budget) as a continuous ingest job over a landing directory.
+
+    Stage mapping to the batch operator set:
+    - clean/mask and quality scoring are the SAME JVM expressions
+      (functions/text.py) — stateless, so they stream unchanged;
+    - batch's keep-smallest-id-per-text window becomes
+      dropDuplicatesWithinWatermark on the cleaned text's hash: state is
+      bounded to the watermark horizon, and duplicates that arrive farther
+      apart are the warehouse merge's job (same defense-in-depth contract
+      as dedup_stream).  First-arrival-wins replaces smallest-id-wins —
+      the streaming-correct policy (ids carry no arrival meaning);
+    - append-mode parquet sink: each doc finalizes immediately (row-level
+      ops need no window to close).
+
+    At 100 TB/day the only state is the dedup hash set within the horizon;
+    everything else is narrow and scales with input partitions."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.functions.text import (
+        bpe_token_count,
+        clean_text,
+        mask_pii,
+        quality_score,
+    )
+
+    prepped = (
+        stream.select("doc_id", ts_col, mask_pii(clean_text(F.col("text"))).alias("ctext"))
+        .withColumn("quality", quality_score(F.col("ctext")))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("content_key", F.md5("ctext"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .select(
+            "doc_id",
+            bpe_token_count(F.col("ctext")).alias("bpe_tokens"),
+            F.round("quality", 6).alias("quality"),
+        )
+    )
+    (
+        prepped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_counts(
     stream: DataFrame,
     out_path: str,

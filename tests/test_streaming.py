@@ -324,3 +324,33 @@ def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
     t = sorted((r.user_id, r.n_events) for r in truth.collect())
     assert s == t
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_corpus_prep_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus prep == batch q_corpus_prep at the content level.
+    The batch op keeps the smallest doc_id per duplicate text while the
+    stream keeps the first arrival, so surviving ids may differ — but the
+    kept (bpe_tokens, quality) multiset and the kept-count must match."""
+    from european_emissions_data_warehouse_spark.plans.llm import q_corpus_prep
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_corpus_prep_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    run_corpus_prep_stream(stream_from_directory(spark, landing, schema), out, ckpt)
+    streamed = spark.read.parquet(out)
+    truth = q_corpus_prep(spark, sf_dir)
+
+    assert streamed.count() == truth.count()
+    s = sorted((r.bpe_tokens, r.quality) for r in streamed.collect())
+    t = sorted((r.bpe_tokens, r.quality) for r in truth.collect())
+    assert s == t
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
