@@ -1,0 +1,51 @@
+"""Incremental aggregate maintenance: keep a grouped aggregate table
+current by merging micro-batch deltas instead of recomputing from scratch.
+
+The reference recomputes its warehouse table per upload (full overwrite,
+reference scripts/lambda_handler_warehouse.py:95-101); at fact scale the
+standing pattern is a materialized aggregate refreshed by delta merge —
+each batch aggregates locally and merges into the state on the group key.
+
+Correctness rests on the measures being COMMUTATIVE MONOIDS (sum, count,
+min, max — anything Spark itself partial-aggregates): merging per-batch
+partials in any order equals the one-shot aggregate.  AVG and friends must
+be carried as (sum, count) and finalized at read.
+
+Scale: the state table is |groups| rows (orders of magnitude smaller than
+the fact); each refresh shuffles ONE batch's partial aggregate plus the
+state on the group key.  Refresh cost is O(batch + state), independent of
+total history — the whole point versus the reference's full recompute."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def agg_state(batch: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Partial-aggregate one batch into state shape:
+    (keys..., sum_v double, n_rows long, min_v, max_v)."""
+    return batch.groupBy(*keys).agg(
+        F.sum(value_col).alias("sum_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_state(state: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold a delta's partials into the state: union + re-aggregate on the
+    group key (equivalent to a full-outer-join-and-coalesce merge, with one
+    plan node instead of four; both inputs are already |groups|-sized)."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

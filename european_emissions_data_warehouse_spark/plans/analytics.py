@@ -2411,6 +2411,39 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-customer spend kept current by
+    merging three delta batches (orders split on o_orderkey % 3) into a
+    running state instead of recomputing — each refresh costs
+    O(batch + state), not O(history) (operators/incremental.py).  The final
+    state must equal the one-shot aggregate, which is exactly what the
+    oracle computes."""
+    from european_emissions_data_warehouse_spark.operators.incremental import (
+        agg_state,
+        merge_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    batches = [o.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)]
+    state = agg_state(batches[0], ["o_custkey"], "o_totalprice")
+    for delta_raw in batches[1:]:
+        state = merge_state(state, agg_state(delta_raw, ["o_custkey"], "o_totalprice"), ["o_custkey"])
+    return state.select(
+        "o_custkey",
+        _r2(F.col("sum_v")).alias("total_spend"),
+        "n_rows",
+        "min_v",
+        "max_v",
+    ).orderBy("o_custkey")
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+       COUNT(*) AS n_rows, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations report: null / unique / accepted-value /
     range rules compile to ONE conditional-aggregation scan per table,
@@ -2566,6 +2599,7 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "large_orders": q_large_orders,
     "dq_report": q_dq_report,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLES = {
@@ -2638,4 +2672,5 @@ ORACLES = {
     "local_supplier_revenue": ORACLE_LOCAL_SUPPLIER_REVENUE,
     "large_orders": ORACLE_LARGE_ORDERS,
     "dq_report": ORACLE_DQ_REPORT,
+    "incremental_agg": ORACLE_INCREMENTAL_AGG,
 }
