@@ -1260,6 +1260,87 @@ FROM pairs GROUP BY cid ORDER BY cluster_id
 """
 
 
+# --- importance weighting (data selection) -----------------------------------
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance of raw data under a target distribution,
+    via hashed n-gram features — here word unigrams hashed into 256 buckets
+    with an md5-derived bucket id (cross-engine exact, unlike xxhash64).
+    Target = the 'en' slice; raw = the full corpus; add-one smoothing.
+
+    Scale: the bucket-weight table is O(B)=256 rows — broadcast; token
+    bucketing is map-side; the only corpus shuffle is the per-doc weight
+    roll-up on doc_id.  Weights are ROUND()ed so sub-ulp libm ln noise in
+    the per-bucket log-ratios cannot break cross-engine equality."""
+    B = 256
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tk = toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B).alias("b"),
+    )
+    tcnt = tk.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
+    rcnt = tk.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
+    tots = tk.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("rt"),
+    )
+    w = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("n_t"), F.lit(0)) + 1.0) / (F.col("tt") + float(B)))
+                / ((F.col("n_r") + 1.0) / (F.col("rt") + float(B)))
+            ).alias("lw"),
+        )
+    )
+    return (
+        tk.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), tk AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+  FROM toks WHERE tok <> ''
+), tcnt AS (
+  SELECT b, COUNT(*) AS n_t FROM tk WHERE lang = 'en' GROUP BY b
+), rcnt AS (
+  SELECT b, COUNT(*) AS n_r FROM tk GROUP BY b
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM tk WHERE lang = 'en') AS tt, (SELECT COUNT(*) FROM tk) AS rt
+), w AS (
+  SELECT r.b,
+         ln(((COALESCE(t.n_t, 0) + 1.0) / (tot.tt + 256.0))
+            / ((r.n_r + 1.0) / (tot.rt + 256.0))) AS lw
+  FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+)
+SELECT tk.doc_id, COUNT(*) AS n_tokens, ROUND(SUM(w.lw), 4) AS log_weight
+FROM tk JOIN w USING (b)
+WHERE tk.doc_id < 100
+GROUP BY tk.doc_id ORDER BY doc_id
+"""
+
+
 # --- lexical relevance ranking ----------------------------------------------
 
 
@@ -1377,6 +1458,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -1415,4 +1497,5 @@ ORACLES = {
     "bm25_search": ORACLE_BM25_SEARCH,
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "semdedup": ORACLE_SEMDEDUP,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
 }
