@@ -128,13 +128,12 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    # driver merge of k rows) — docs containing a query term can be a huge
+    # hit-set for common terms, so no global window touches it.  The rank
+    # window runs AFTER the limit, over exactly k rows.
+    topk = scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.col("doc_id"))
-    # k is tiny: the single-partition window over the scored (already
-    # aggregated, one row per matching doc) relation is bounded by docs
-    # containing a query term; for huge hit-sets swap in
-    # orderBy+limit (TakeOrderedAndProject) and re-rank the k rows.
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
