@@ -245,8 +245,15 @@ def semdedup_pairs(
     the cluster count is a free parallelism knob).  Near-dups that land in
     different clusters are missed — the documented recall trade the paper
     makes; raise k for speed, lower it for recall.  Built on kmeans_exact,
-    so pair sets are engine-reproducible and fully oracle-checkable."""
-    assigned = kmeans_exact(vectors, id_col, vec_col, k, n_iters)
+    so pair sets are engine-reproducible and fully oracle-checkable.
+
+    The assignment is materialized (lazy localCheckpoint) before the
+    self-join: both join sides reference it, and without the checkpoint
+    Spark re-executes the full k-means DAG per side (8 corpus scans
+    observed; 1 after)."""
+    assigned = kmeans_exact(vectors, id_col, vec_col, k, n_iters).localCheckpoint(
+        eager=False
+    )
     a = assigned.select(
         "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")
     )
