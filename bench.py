@@ -52,6 +52,10 @@ HEADLINE = [
     "dq_report",
     "tfidf_terms",
     "bm25_search",
+    "kmeans_clusters",
+    "semdedup",
+    "dsir_weights",
+    "incremental_agg",
 ]
 
 

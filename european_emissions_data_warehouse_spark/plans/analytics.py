@@ -1037,6 +1037,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles: approx median event value per type (Greenwald-Khanna
+    at accuracy 10000), graded as a RANK-tolerance verdict — the sketch's
+    actual guarantee.  A value-distance check would be wrong (rank error
+    bounds say nothing about value gaps), so the query computes the exact
+    rank of the sketch's answer and asserts |rank/N - 0.5| <= 1/accuracy
+    + slack.  Exact per-type counts are the cross-engine-checkable payload;
+    GK is deterministic for a fixed dataset (no RNG)."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.sum(F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0)).alias(
+                "rank_of_approx"
+            ),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n_rows",
+        (
+            F.abs(F.col("rank_of_approx") / F.col("n_rows") - 0.5) <= 0.01
+        )
+        .cast("bigint")
+        .alias("within_tol"),
+    ).orderBy("event_type")
+
+
+ORACLE_APPROX_PERCENTILE = """
+SELECT event_type, COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- as-of join ---------------------------------------------------------------
 
 
@@ -2600,6 +2640,7 @@ QUERIES = {
     "large_orders": q_large_orders,
     "dq_report": q_dq_report,
     "incremental_agg": q_incremental_agg,
+    "approx_percentile": q_approx_percentile,
 }
 
 ORACLES = {
@@ -2673,4 +2714,5 @@ ORACLES = {
     "large_orders": ORACLE_LARGE_ORDERS,
     "dq_report": ORACLE_DQ_REPORT,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "approx_percentile": ORACLE_APPROX_PERCENTILE,
 }
