@@ -114,6 +114,22 @@ class SnapshotTable:
         self._publish(version, data_dir)
         return version
 
+    def delete_where(self, condition) -> int:
+        """Copy-on-write delete: commit the current snapshot minus rows
+        matching ``condition`` (a Column); returns the new version.
+
+        Logical deletion is immediate — readers of the new version never
+        see the rows.  PHYSICAL erasure (the GDPR/right-to-be-forgotten
+        guarantee) completes when ``vacuum`` drops the superseded data
+        dirs, exactly like Delta/Iceberg's delete+vacuum contract; until
+        then time travel can still reach the old bytes, which is the
+        auditable retention window.  Rows where the predicate evaluates
+        NULL are kept (three-valued logic must not silently erase)."""
+        from pyspark.sql import functions as F
+
+        keep = ~F.coalesce(condition, F.lit(False))
+        return self.commit(self.read().filter(keep))
+
     def rollback(self, version: int) -> int:
         """Re-publish an old snapshot as the new latest (history preserved);
         returns the new version number."""

@@ -1260,6 +1260,65 @@ FROM pairs GROUP BY cid ORDER BY cluster_id
 """
 
 
+# --- mixture temperature sampling --------------------------------------------
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-adjusted language-mixture schedule (mT5, Xue et al. 2021,
+    arXiv:2010.11934 §3.1): sampling share q_l ∝ p_l^τ at τ=0.3, where p_l
+    is the language's raw token share — the standard low-resource upsampling
+    knob.  Token counts are exact integers; the τ-power and normalization
+    are single IEEE ops per language over a |languages|-row frame (broadcast
+    1-row totals, no corpus re-scan), rounded for cross-engine equality."""
+    tau = 0.3
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(ws_token_count(F.col("text"))).alias("n_tokens")
+    )
+    with_p = (
+        per.crossJoin(F.broadcast(per.agg(F.sum("n_tokens").alias("n_total"))))
+        .withColumn("raw_share", F.col("n_tokens") / F.col("n_total"))
+        .withColumn("pw", F.pow("raw_share", F.lit(tau)))
+    )
+    z = with_p.agg(F.sum("pw").alias("z"))
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("raw_share", 6).alias("raw_share"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("pw") / F.col("z")) / F.col("raw_share"), 6).alias("upsample"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n_tokens) AS n_total FROM per
+), with_p AS (
+  SELECT lang, n_tokens,
+         n_tokens / tot.n_total AS raw_share,
+         pow(n_tokens / tot.n_total, 0.3) AS pw
+  FROM per, tot
+), z AS (
+  SELECT SUM(pw) AS z FROM with_p
+)
+SELECT lang, n_tokens,
+       ROUND(raw_share, 6) AS raw_share,
+       ROUND(pw / z.z, 6) AS temp_share,
+       ROUND((pw / z.z) / raw_share, 6) AS upsample
+FROM with_p, z
+ORDER BY lang
+"""
+
+
 # --- importance weighting (data selection) -----------------------------------
 
 
@@ -1459,6 +1518,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "dsir_weights": q_dsir_weights,
+    "mixture_temperature": q_mixture_temperature,
 }
 
 ORACLES = {
@@ -1498,4 +1558,5 @@ ORACLES = {
     "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "semdedup": ORACLE_SEMDEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
 }

@@ -72,3 +72,32 @@ def test_rollback_target_survives_vacuum(spark, nation, tmp_path):
     # v0's dir is referenced by retained v2 — only v1's dir may go
     assert removed == ["data_v00000001"]
     assert t.read().count() == 2
+
+
+def test_delete_where_is_copy_on_write_and_vacuumable(spark, nation, tmp_path):
+    """GDPR-style erasure: logical delete now, physical erasure at vacuum."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation)
+    v = t.delete_where(F.col("n_nationkey") < 5)
+    assert t.read(v).filter(F.col("n_nationkey") < 5).count() == 0
+    assert t.read(v).count() == nation.count() - 5
+    # the audit window: time travel still reaches the pre-delete snapshot
+    assert t.read(0).count() == nation.count()
+    # physical erasure: vacuum drops the superseded bytes
+    removed = t.vacuum(keep_last=1)
+    assert removed == ["data_v00000000"]
+    with pytest.raises(Exception):
+        t.read(0).count()
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "id long, s string")
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(df)
+    # predicate is NULL for the NULL row — it must survive
+    v = t.delete_where(F.col("s") == "a")
+    assert sorted(r["id"] for r in t.read(v).collect()) == [2, 3]
