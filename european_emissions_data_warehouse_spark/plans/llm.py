@@ -1260,6 +1260,80 @@ FROM pairs GROUP BY cid ORDER BY cluster_id
 """
 
 
+# --- co-occurrence PMI --------------------------------------------------------
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-document co-occurring token pairs by pointwise mutual
+    information: PMI(a,b) = ln(n_ab·N / (n_a·n_b)) over document-level
+    presence counts — the classic collocation/phrase-mining signal.
+
+    Shape: distinct (doc, token) presence once; the pair counts come from a
+    doc-keyed self-join (a < b) — work is Σ_d |vocab_d|², bounded by the
+    per-doc DISTINCT vocabulary, not doc length; unigram doc-counts are a
+    tiny vocab-sized table broadcast onto the pairs; N is a 1-row broadcast.
+    At web scale, cap per-doc vocabulary (drop ultra-common terms first —
+    they carry no PMI anyway) to bound the quadratic term.  Scores are
+    ROUND()ed before ranking with a pair tiebreak (libm ln ulp noise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    uni = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("n_doc"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = pres.select("doc_id", F.col("tok").alias("tok_a"))
+    b = pres.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n_doc").alias("n_a"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n_doc").alias("n_b"))), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.round(F.log((F.col("n_ab") * F.col("n_docs")) / (F.col("n_a") * F.col("n_b"))), 4),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(20)
+        .select("tok_a", "tok_b", "n_ab", "pmi")
+    )
+
+
+ORACLE_PMI_PAIRS = r"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), pres2 AS (
+  SELECT doc_id, tok FROM pres WHERE tok <> ''
+), uni AS (
+  SELECT tok, COUNT(*) AS n_doc FROM pres2 GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+  FROM pres2 a JOIN pres2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, n_ab,
+       ROUND(ln((n_ab * n.n_docs) / (ua.n_doc * ub.n_doc)), 4) AS pmi
+FROM pairs
+JOIN uni ua ON ua.tok = tok_a
+JOIN uni ub ON ub.tok = tok_b, n
+ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+"""
+
+
 # --- mixture temperature sampling --------------------------------------------
 
 
@@ -1519,6 +1593,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "dsir_weights": q_dsir_weights,
     "mixture_temperature": q_mixture_temperature,
+    "pmi_pairs": q_pmi_pairs,
 }
 
 ORACLES = {
@@ -1559,4 +1634,5 @@ ORACLES = {
     "semdedup": ORACLE_SEMDEDUP,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
+    "pmi_pairs": ORACLE_PMI_PAIRS,
 }
