@@ -151,3 +151,32 @@ def test_no_window_over_single_partition_anywhere(spark, sf_dir):
                     offenders[name] = ln.strip()
                     break
     assert not offenders, offenders
+
+
+def test_bm25_topk_uses_heap_not_global_sort(spark, sf_dir):
+    """The BM25 global top-k must be TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge), never a full Sort of the hit-set."""
+    plan = _executed(entry_mod.queries()["bm25_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_join_dag_broadcasts_every_dimension(spark, sf_dir):
+    """local_supplier_revenue: customer, supplier, nation, region must all
+    arrive as broadcast joins — the fact tables are the only shuffle work."""
+    plan = _executed(entry_mod.queries()["local_supplier_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_dsir_bucket_weights_broadcast(spark, sf_dir):
+    """dsir_weights: the 256-bucket weight table joins the token stream as a
+    broadcast — the corpus must never shuffle on the bucket id (hot keys)."""
+    plan = _executed(entry_mod.queries()["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # the per-doc roll-up is the only wide exchange keyed on corpus data
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_pmi_unigram_table_broadcast(spark, sf_dir):
+    plan = _executed(entry_mod.queries()["pmi_pairs"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
