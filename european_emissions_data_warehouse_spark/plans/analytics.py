@@ -1077,6 +1077,65 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 buckets over [0, 500k) via
+    integer bucket arithmetic (floor(x/width)) — one partial-aggregable
+    groupBy on a 20-value key, the cheapest possible distribution profile.
+    Empty buckets are absent by construction (no dense spine needed for a
+    profile; date_spine shows the zero-fill pattern where it matters)."""
+    o = load_table(spark, sf_dir, "orders")
+    width = 25_000.0
+    return (
+        o.select(F.floor(F.col("o_totalprice") / width).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("lo", (F.col("bucket") * width))
+        .withColumn("hi", ((F.col("bucket") + 1) * width))
+        .select("bucket", "lo", "hi", "n_orders")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * CAST(25000.0 AS DOUBLE) AS lo,
+       (CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1) * CAST(25000.0 AS DOUBLE) AS hi,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: Pearson correlation, sample
+    covariance and stddev of quantity vs extended price — the profiling
+    surface a warehouse exposes for feature exploration.  All are
+    partial-aggregable (sum/sum-of-products moments), so they scale like any
+    other agg.  Engines accumulate moments in different orders and formulas
+    (Welford vs naive), so values are ROUND()ed to 4 — far above the 1e-10
+    drift, far below any analytical significance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_STATS_SUMMARY = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(stddev_samp(l_quantity), 4) AS stddev_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- as-of join ---------------------------------------------------------------
 
 
@@ -2641,6 +2700,8 @@ QUERIES = {
     "dq_report": q_dq_report,
     "incremental_agg": q_incremental_agg,
     "approx_percentile": q_approx_percentile,
+    "price_histogram": q_price_histogram,
+    "stats_summary": q_stats_summary,
 }
 
 ORACLES = {
@@ -2715,4 +2776,6 @@ ORACLES = {
     "dq_report": ORACLE_DQ_REPORT,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "approx_percentile": ORACLE_APPROX_PERCENTILE,
+    "price_histogram": ORACLE_PRICE_HISTOGRAM,
+    "stats_summary": ORACLE_STATS_SUMMARY,
 }
