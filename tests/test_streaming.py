@@ -354,3 +354,50 @@ def test_corpus_prep_stream_matches_batch(spark, sf_dir, tmp_path):
     t = sorted((r.bpe_tokens, r.quality) for r in truth.collect())
     assert s == t
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_snapshot_ingest_versions_per_batch(spark, events_batch, tmp_path):
+    """Streaming ingest into the versioned table: one commit per micro-batch,
+    time travel across batches, LWW merge semantics at the head."""
+    from european_emissions_data_warehouse_spark.operators.snapshots import SnapshotTable
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_snapshot_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events_batch.filter(F.col("event_id") < 100)
+    first.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    def drain():
+        run_snapshot_ingest(
+            stream_from_directory(spark, landing, schema), tbl, ckpt,
+            key=["event_id"], order_by=["ts", "value"],
+        )
+
+    drain()
+    t = SnapshotTable(spark, tbl)
+    assert t.history() == [0]
+    assert t.read().count() == first.count()
+
+    updates = events_batch.filter(F.col("event_id") < 50).withColumn(
+        "value", F.lit(777.0)
+    )
+    news = events_batch.filter((F.col("event_id") >= 100) & (F.col("event_id") < 120))
+    updates.unionByName(news).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+
+    t = SnapshotTable(spark, tbl)
+    assert t.history() == [0, 1]
+    head = t.read()
+    assert head.count() == first.count() + 20
+    assert head.filter((F.col("event_id") < 50) & (F.col("value") != 777.0)).count() == 0
+    assert check_unique(head, ["event_id"]) == 0
+    # time travel: version 0 predates the update batch
+    v0 = t.read(0)
+    assert v0.count() == first.count()
+    assert v0.filter(F.col("value") == 777.0).count() == 0
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
