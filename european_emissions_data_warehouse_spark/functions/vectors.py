@@ -36,6 +36,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def absmax(a: Column) -> Column:
+    """Largest absolute component of an array column (double) — the
+    per-vector scale basis for symmetric int8 quantization."""
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+
+
+def int8_quant_max_err(a: Column, scale: Column) -> Column:
+    """Max absolute reconstruction error of symmetric int8 quantization at
+    ``scale`` (q_i = floor(x·scale + 0.5), dequant q_i/scale).  floor(+0.5)
+    is explicit round-half-up — identical in every engine, unlike banker's
+    rounding builtins.  Max is order-independent, so the fold is exact."""
+    def err(v):
+        x = v.cast("double")
+        q = F.floor(x * scale + F.lit(0.5))
+        return F.abs(x - q / scale)
+
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: F.greatest(acc, err(v)))
+
+
 def embedding_stats_udf():
     """Arrow-batched pandas UDF: per-vector (norm, mean, absmax) as a struct.
 

@@ -1260,6 +1260,57 @@ FROM pairs GROUP BY cid ORDER BY cluster_id
 """
 
 
+# --- embedding quantization ---------------------------------------------------
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization profile for embedding storage: per-vector
+    scale (127/absmax) and max reconstruction error — the check run before
+    committing a corpus to int8 (4x smaller, ~1e-2 max error at dim 64).
+    Pure JVM higher-order folds (functions/vectors.py), map-side only; the
+    explicit floor(x·scale+0.5) rounding makes the quantizer, and therefore
+    the error profile, engine-reproducible."""
+    from european_emissions_data_warehouse_spark.functions.vectors import (
+        absmax,
+        int8_quant_max_err,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    with_scale = emb.select(
+        "vec_id",
+        "embedding",
+        absmax(F.col("embedding")).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    # FLOOR fixed-point, not ROUND: max errors cluster near rounding
+    # midpoints (they are half-ulp quantities by construction), where
+    # Spark's decimal HALF_UP and DuckDB's binary rounding disagree;
+    # floor of the scaled double is bit-deterministic in both.
+    return with_scale.select(
+        "vec_id",
+        F.floor(F.col("amax") * 1_000_000).cast("long").alias("amax_micro"),
+        F.floor(
+            int8_quant_max_err(F.col("embedding"), F.lit(127.0) / F.col("amax"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("max_abs_err_micro"),
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE_INT8 = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100
+), scaled AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+)
+SELECT vec_id, CAST(FLOOR(amax * 1000000) AS BIGINT) AS amax_micro,
+       CAST(FLOOR(list_max(list_transform(e,
+         x -> abs(x - FLOOR(x * (127.0 / amax) + 0.5) / (127.0 / amax)))) * 1000000) AS BIGINT)
+         AS max_abs_err_micro
+FROM scaled WHERE amax > 0 ORDER BY vec_id
+"""
+
+
 # --- co-occurrence PMI --------------------------------------------------------
 
 
@@ -1594,6 +1645,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "mixture_temperature": q_mixture_temperature,
     "pmi_pairs": q_pmi_pairs,
+    "quantize_int8": q_quantize_int8,
 }
 
 ORACLES = {
@@ -1635,4 +1687,5 @@ ORACLES = {
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
     "pmi_pairs": ORACLE_PMI_PAIRS,
+    "quantize_int8": ORACLE_QUANTIZE_INT8,
 }
