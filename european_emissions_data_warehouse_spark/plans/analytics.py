@@ -1136,6 +1136,37 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users at daily grain (WAU) — sliding
+    event-time windows + exact COUNT(DISTINCT).  The generator multiplies
+    each event into its 7 covering windows (the standard sliding-window
+    cost), then the distinct aggregate shuffles once on the window key.
+    At 100 TB swap the exact distinct for approx_count_distinct (graded
+    separately in approx_distinct) — the plan shape is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("win"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("window_start"),
+            "wau",
+        )
+        .orderBy("window_start")
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH starts AS (
+  SELECT DISTINCT date_trunc('day', ts) - k * INTERVAL 1 DAY AS s
+  FROM events, unnest(range(7)) AS t(k)
+)
+SELECT strftime(s, '%Y-%m-%d') AS window_start,
+       COUNT(DISTINCT user_id) AS wau
+FROM starts JOIN events ON ts >= s AND ts < s + INTERVAL 7 DAY
+GROUP BY s ORDER BY window_start
+"""
+
+
 # --- as-of join ---------------------------------------------------------------
 
 
@@ -2702,6 +2733,7 @@ QUERIES = {
     "approx_percentile": q_approx_percentile,
     "price_histogram": q_price_histogram,
     "stats_summary": q_stats_summary,
+    "rolling_wau": q_rolling_wau,
 }
 
 ORACLES = {
@@ -2778,4 +2810,5 @@ ORACLES = {
     "approx_percentile": ORACLE_APPROX_PERCENTILE,
     "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "stats_summary": ORACLE_STATS_SUMMARY,
+    "rolling_wau": ORACLE_ROLLING_WAU,
 }
