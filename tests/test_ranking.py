@@ -1,0 +1,82 @@
+"""Semantic laws for the lexical-ranking and clustering operators, on tiny
+hand-built corpora (the oracle gate proves cross-engine equality; these
+prove the operators mean what they claim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.operators.ranking import (
+    bm25_topk,
+    term_index,
+    tfidf_top_terms,
+)
+from european_emissions_data_warehouse_spark.operators.similarity import (
+    kmeans_exact,
+    semdedup_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_term_index_counts_multiplicity(spark):
+    tf = term_index(_docs(spark, [(1, "a b a"), (2, "  b  ")]))
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in tf.collect()}
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1}
+
+
+def test_bm25_rewards_matches_and_rarity(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark query engine"),        # both rare terms
+            (2, "spark spark spark common"),  # one term, repeated
+            (3, "common words only here"),    # no match
+            (4, "query common"),              # one rare term
+        ],
+    )
+    out = bm25_topk(docs, ["spark", "query"], k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 1          # matching both terms beats any single term
+    assert 3 not in ranked         # no matching term, no row
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert all(s > 0 for s in scores.values())
+
+
+def test_tfidf_ignores_ubiquitous_terms(spark):
+    docs = _docs(spark, [(1, "the cat"), (2, "the dog"), (3, "the the")])
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: (r["term"], r["tfidf"]) for r in out}
+    # 'the' appears in every doc -> idf = ln(1) = 0; distinctive terms win
+    assert top[1][0] == "cat" and top[2][0] == "dog"
+    # doc 3 has only 'the' -> its best score is exactly 0
+    assert top[3] == ("the", 0.0)
+
+
+def test_kmeans_assignment_partitions_ids(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = kmeans_exact(emb, k=4, n_iters=2)
+    rows = assigned.collect()
+    assert len(rows) == 40                       # every vector assigned
+    assert len({r["id"] for r in rows}) == 40    # exactly once
+    assert {r["centroid_id"] for r in rows} <= set(range(4))
+
+
+def test_semdedup_pairs_stay_within_clusters_and_catch_duplicates(spark):
+    # two exact duplicate pairs plus noise; duplicates must surface with sim 1
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (8, [1.0, 0.0]),      # dup pair, same id%k stratum
+            (1, [0.0, 1.0]), (9, [0.0, 1.0]),      # dup pair
+            (2, [0.7, 0.7]), (3, [-1.0, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = semdedup_pairs(emb, k=2, n_iters=1, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]): round(r["sim"], 6) for r in pairs.collect()}
+    assert got[(0, 8)] == 1.0 and got[(1, 9)] == 1.0
