@@ -37,3 +37,30 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     )
     want_counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n")).orderBy("day").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want_counts]
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """A later drop may carry new columns (the lake's vintages differ — the
+    events feed's ts precision already did).  mergeSchema reads the union
+    schema with NULLs for the old files' missing columns; the explicit-
+    schema read keeps the pinned view.  Both must work over mixed drops."""
+    import shutil
+
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    out = str(tmp_path / "mixed")
+    v1 = load_table(spark, sf_dir, "nation")
+    v1.write.mode("overwrite").parquet(out)
+    v2 = v1.withColumn("iso_code", F.concat(F.lit("N"), F.col("n_nationkey")))
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "iso_code" in merged.columns
+    assert merged.count() == v1.count() * 2
+    # old-drop rows surface the new column as NULL, new-drop rows carry it
+    assert merged.filter(F.col("iso_code").isNull()).count() == v1.count()
+
+    pinned = spark.read.schema(v1.schema).parquet(out)
+    assert pinned.columns == v1.columns
+    assert pinned.count() == v1.count() * 2
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
