@@ -29,72 +29,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_etl_flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the FIRST 50 queries in registration order.  Round 1
-# graded parity (11) + the first 39 analytics entries — all green except the
-# two fixed below — so round 2 front-loads everything the driver has never
-# seen: ALL llm.py north-star entries (including this round's ranking,
-# clustering, and semantic-dedup additions), the round-1-ungraded analytics
-# entries, and the two repaired red rows (json_extract dtype cast,
-# approx_distinct verdict oracle).  Entries past the window keep their
-# round-1 green rows, or — for operators added this round
-# (order_count_histogram, top_supplier_revenue, idle_rich_customers,
-# date_spine rotation, local_supplier_revenue, large_orders, dq_report,
-# incremental_agg) — are proven by the repo's replica gate at sf0.001 AND
-# sf0.01 (tests/test_oracle_parity.py) and rotate into round 3's window.
+# The driver grades the FIRST 50 queries in registration order.  Rounds 1+2
+# together produced green rows for 98 of the 124 registered queries; round 3
+# front-loads the remaining 26 (every entry added after round 2's window was
+# frozen — including the four llm additions dsir_weights, mixture_temperature,
+# pmi_pairs, quantize_int8), then any query whose implementation changed this
+# round (dedup_exact / corpus_prep now shuffle on xxhash64 keys; semdedup
+# gained a per-cluster size cap), then queries newly added in round 3, then
+# high-value re-validations.  After this rotation every registered query has
+# a green driver row in at least one round.
 _GRADE_FIRST = [
-    # fixed red rows from CORRECTNESS_r01
-    "json_extract",
-    "approx_distinct",
-    # llm.py north-star operators (never driver-graded in round 1)
+    # --- the 26 queries with no driver CORRECTNESS row yet (rounds 1+2) ---
+    "date_spine",
+    "order_count_histogram",
+    "top_supplier_revenue",
+    "idle_rich_customers",
+    "unpivot_status",
+    "small_qty_parts",
+    "dominant_suppliers",
+    "waiting_suppliers",
+    "local_supplier_revenue",
+    "large_orders",
+    "dq_report",
+    "incremental_agg",
+    "approx_percentile",
+    "price_histogram",
+    "stats_summary",
+    "rolling_wau",
+    "dedup_components_star",
+    "decontaminate",
+    "repetition_signals",
+    "token_rarity",
+    "source_mixture",
+    "media_resize",
+    "dsir_weights",
+    "mixture_temperature",
+    "pmi_pairs",
+    "quantize_int8",
+    # --- implementation changed in round 3: re-grade against unchanged oracles ---
     "dedup_exact",
-    "ngram_jaccard",
-    "ngram_jaccard_capped",
-    "dedup_components",
+    "corpus_prep",
+    "semdedup",
+    # --- new round-3 queries (every addition this round must appear here) ---
+    # (inserted as implemented)
+    # --- high-value re-validations filling the remainder of the window ---
+    "etl_flagship",
+    "upsert_lww",
     "minhash_neardup",
     "simhash_neardup",
+    "ngram_jaccard",
+    "dedup_components",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
-    "cosine_pairs",
-    "text_stats",
-    "text_clean",
-    "corpus_prep",
-    "lang_predict",
-    "doc_fingerprint",
-    "embedding_stats",
-    "media_features",
-    "media_frames",
-    "train_test_split",
-    "quality_weighted_sample",
-    "stratified_sample",
-    "sentence_udtf",
-    "sequence_pack",
-    "doc_chunks",
-    "label_centroids",
+    "kmeans_clusters",
     "tfidf_terms",
     "bm25_search",
-    "kmeans_clusters",
-    "semdedup",
-    # analytics entries past round 1's 50-entry window
-    "array_hof",
-    "token_positions",
+    "sequence_pack",
+    "surrogate_key",
     "scd2_dim",
-    "map_funcs",
-    "revenue_filter",
-    "promo_revenue",
-    "disjunct_revenue",
-    "null_handling",
-    "window_nav",
-    "explode_outer",
-    "try_cast_import",
-    "bucketed_join",
-    "salted_join_hot",
-    "returned_revenue_top",
+    "pricing_summary",
+    "json_extract",
+    "approx_distinct",
     "funnel_conversion",
-    "cheapest_supplier",
-    "user_streaks",
-    "percent_of_total",
-    "name_similarity",
+    "window_nav",
+    "bucketed_join",
 ]
 
 
