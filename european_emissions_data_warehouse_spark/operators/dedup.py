@@ -32,21 +32,48 @@ from pyspark.sql import functions as F
 from european_emissions_data_warehouse_spark.functions.text import char_shingles, word_shingles
 
 
+def content_keys(text_col) -> tuple:
+    """Two independent 64-bit xxhash64 streams over the text — a 128-bit
+    content identity whose collision odds (~n²·2⁻¹²⁹) are far below any
+    hardware error rate.  Grouping on these instead of the text itself means
+    the dedup shuffle carries 16-byte keys, not document bodies — the
+    difference between moving ~1% and ~100% of a 100 TB corpus through the
+    exchange."""
+    return (
+        F.xxhash64(text_col),
+        F.xxhash64(F.lit("xx2"), text_col),
+    )
+
+
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: one row per distinct text, keeping the smallest id.
 
-    Output: (keep_id, n_copies).  At 100 TB, group on xxhash64(text) first so
-    the shuffle carries 8-byte keys instead of document bodies; the full-text
-    equality check then runs only within hash groups (collision probability
-    ~2^-64, and the within-group compare removes even that risk).
+    Output: (keep_id, n_copies).  Groups on the 128-bit :func:`content_keys`
+    identity so the shuffle moves 16-byte keys instead of document bodies
+    (VERDICT r2 item #2 — previously a full-text groupBy).  Equality within
+    hash groups is re-verified with the cheapest necessary condition that
+    survives aggregation — min/max text length must agree — and any
+    violation fails the job loudly rather than merging distinct texts.
     """
-    return (
-        docs.groupBy(text_col)
-        .agg(
-            F.min(id_col).cast("long").alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .select("keep_id", "n_copies")
+    h1, h2 = content_keys(F.col(text_col))
+    keyed = docs.select(
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+        F.length(F.col(text_col)).alias("_len"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+    grouped = keyed.groupBy("_h1", "_h2").agg(
+        F.min("_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("_len").alias("_lmin"),
+        F.max("_len").alias("_lmax"),
+    )
+    return grouped.select(
+        # the length check feeds keep_id so the optimizer cannot prune it
+        F.when(F.col("_lmin") == F.col("_lmax"), F.col("keep_id"))
+        .otherwise(F.raise_error(F.lit("dedup_exact: 128-bit content-hash collision")).cast("long"))
+        .alias("keep_id"),
+        "n_copies",
     )
 
 

@@ -176,6 +176,18 @@ def test_dsir_bucket_weights_broadcast(spark, sf_dir):
     assert "Exchange hashpartitioning(doc_id" in plan, plan
 
 
+def test_exact_dedup_shuffles_hash_keys_not_text(spark, sf_dir):
+    """dedup_exact / corpus_prep must exchange on the 16-byte content_keys
+    pair, never on the document body (VERDICT r2 item #2).  The guard is
+    both negative (no text-named partition key) and positive (the hash
+    columns are the keys), so a rename can't silently satisfy it."""
+    for name in ("dedup_exact", "corpus_prep"):
+        plan = _executed(entry_mod.queries()[name](spark, sf_dir))
+        for key in ("hashpartitioning(text#", "hashpartitioning(ctext#"):
+            assert key not in plan, (name, plan)
+        assert "_h1#" in plan and "_h2#" in plan, (name, plan)
+
+
 def test_pmi_unigram_table_broadcast(spark, sf_dir):
     plan = _executed(entry_mod.queries()["pmi_pairs"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
