@@ -234,6 +234,7 @@ def semdedup_pairs(
     k: int = 8,
     n_iters: int = 1,
     threshold: float = 0.95,
+    max_pair_block: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs found WITHIN k-means clusters only — (centroid_id, id_a, id_b,
@@ -250,22 +251,73 @@ def semdedup_pairs(
     The assignment is materialized (lazy localCheckpoint) before the
     self-join: both join sides reference it, and without the checkpoint
     Spark re-executes the full k-means DAG per side (8 corpus scans
-    observed; 1 after)."""
+    observed; 1 after).
+
+    Skew cap (VERDICT r2 item #3): a hot cluster degrades Σ n_c² toward
+    all-pairs IN ONE TASK — the per-key fan-out, not the total work, is
+    what kills a 1000-executor run.  With ``max_pair_block`` set, each
+    cluster of size n_c is cut into nb = ceil(n_c / max_pair_block)
+    deterministic blocks and the self-join key becomes (centroid_id,
+    block_a, block_b): every within-cluster pair still meets exactly once
+    (side A carries a row to blocks >= its own, side B to blocks <= its
+    own), so the OUTPUT IS IDENTICAL to the uncapped join, but no shuffle
+    key ever fans out past ~max_pair_block rows per side — the n_c² work
+    spreads over nb(nb+1)/2 keys instead of one.  Replication cost is
+    nb+1 emissions per hot-cluster row, zero for clusters under the cap.
+    Cluster sizes come from one k-row aggregate broadcast back onto the
+    assignment."""
     assigned = kmeans_exact(vectors, id_col, vec_col, k, n_iters).localCheckpoint(
         eager=False
     )
-    a = assigned.select(
-        "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")
-    )
-    b = assigned.select(
-        "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vec_b")
-    )
+    if max_pair_block is None:
+        a = assigned.select(
+            "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")
+        )
+        b = assigned.select(
+            "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vec_b")
+        )
+        cand = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_n_c"))
+        blocked = (
+            assigned.join(F.broadcast(sizes), "centroid_id")
+            .withColumn(
+                "_nb",
+                F.ceil(F.col("_n_c") / F.lit(max_pair_block)).cast("int"),
+            )
+            .withColumn(
+                "_blk", F.pmod(F.xxhash64(F.col("id")), F.col("_nb")).cast("int")
+            )
+        )
+        a = blocked.select(
+            "centroid_id",
+            F.col("_blk").alias("_ba"),
+            F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_bb"),
+            F.col("id").alias("id_a"),
+            F.col("v").alias("vec_a"),
+        )
+        b = blocked.select(
+            "centroid_id",
+            F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ba"),
+            F.col("_blk").alias("_bb"),
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vec_b"),
+        )
+        # on the diagonal key both orders of a pair appear — keep one via
+        # id order; on off-diagonal keys each unordered pair appears exactly
+        # once (lower block always lands on side A), in arbitrary id order
+        cand = a.join(b, ["centroid_id", "_ba", "_bb"]).filter(
+            (F.col("_ba") != F.col("_bb")) | (F.col("id_a") < F.col("id_b"))
+        )
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
-        .select("centroid_id", "id_a", "id_b", "sim")
+        .select(
+            "centroid_id",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "sim",
+        )
     )
 
 
