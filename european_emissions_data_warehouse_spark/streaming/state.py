@@ -41,9 +41,14 @@ def state_v2_available() -> bool:
 _ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
-def running_totals(events_stream: DataFrame) -> DataFrame:
-    """Per-user running (count, value-sum) over an event stream, emitted
-    fresh each micro-batch for the keys that batch touched."""
+def make_running_totals_processor():
+    """The StatefulProcessor class, exposed so its semantics are testable
+    WITHOUT the protobuf worker channel: the class only touches the handle
+    contract (getValueState -> exists/get/update), so a test can drive
+    handleInputRows against an in-memory handle and assert batch parity
+    (tests/test_streaming.py::test_state_v2_processor_semantics_match_batch).
+    The full transformWithStateInPandas integration stays env-gated on
+    protobuf, but the operator's logic is no longer unverified there."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -66,8 +71,14 @@ def running_totals(events_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotalsProcessor
+
+
+def running_totals(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) over an event stream, emitted
+    fresh each micro-batch for the keys that batch touched."""
     return events_stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotalsProcessor(),
+        statefulProcessor=make_running_totals_processor()(),
         outputStructType=TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",

@@ -63,14 +63,24 @@ def test_ivf_recall_scales_with_probes(spark, sf_dir):
 
 
 def test_minhash_catches_ngram_pairs(spark, sf_dir):
-    """MinHash candidates should cover most true Jaccard>=0.5 pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    """MinHash candidates should cover most true Jaccard>=0.5 pairs.
+    Injects two known near-duplicate docs on top of the corpus so the truth
+    set is never empty at any sf (previously a data-dependent skip)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    head = base.orderBy("doc_id").first()
+    injected = spark.createDataFrame(
+        [
+            (10_000_001, head["text"]),
+            (10_000_002, head["text"] + " trailing edit"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(injected)
     truth = {
         (r.id_a, r.id_b)
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
-    if not truth:
-        pytest.skip("no true near-dup pairs at this sf")
+    assert truth, "injected duplicates must create at least one true pair"
     cand = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
