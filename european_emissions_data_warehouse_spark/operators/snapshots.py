@@ -73,7 +73,7 @@ class SnapshotTable:
         h = self.history()
         return h[-1] if h else None
 
-    def _manifest(self, version: int) -> str:
+    def _manifest_text(self, version: int) -> str:
         jvm, fs = _fs(self.spark, self.path)
         p = self._jpath(f"{self.commits_dir}/{version:08d}")
         if not fs.exists(p):
@@ -86,13 +86,25 @@ class SnapshotTable:
         finally:
             stream.close()
 
-    def _publish(self, version: int, data_dir: str) -> None:
+    def _manifest(self, version: int) -> str:
+        """The snapshot data dir named by a commit (manifest line 1; later
+        lines are key=value metadata, see commit_meta)."""
+        return self._manifest_text(version).splitlines()[0]
+
+    def commit_meta(self, version: int) -> dict[str, str]:
+        """key=value metadata recorded with a commit (e.g. the streaming
+        batch_id that produced it); empty for metadata-less commits."""
+        lines = self._manifest_text(version).splitlines()[1:]
+        return dict(ln.split("=", 1) for ln in lines if "=" in ln)
+
+    def _publish(self, version: int, data_dir: str, meta: dict[str, str] | None = None) -> None:
         jvm, fs = _fs(self.spark, self.path)
         fs.mkdirs(self._jpath(self.commits_dir))
         tmp = f"{self.commits_dir}/.tmp_{version:08d}"
+        body = data_dir + "".join(f"\n{k}={v}" for k, v in (meta or {}).items())
         out = fs.create(self._jpath(tmp), True)
         try:
-            out.write(bytearray(data_dir, "utf-8"))
+            out.write(bytearray(body, "utf-8"))
         finally:
             out.close()
         final = self._jpath(f"{self.commits_dir}/{version:08d}")
@@ -105,14 +117,28 @@ class SnapshotTable:
 
     # --- write ----------------------------------------------------------
 
-    def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next snapshot; returns its version."""
+    def commit(self, df: DataFrame, meta: dict[str, str] | None = None) -> int:
+        """Write ``df`` as the next snapshot; returns its version.  ``meta``
+        key=value pairs are recorded in the commit manifest — streaming
+        ingest stamps the micro-batch id there so a crash-replayed batch can
+        be recognized and skipped (version-level idempotence, not just
+        content-level)."""
         version = (self.latest_version() if self.history() else -1)
         version = (version if version is not None else -1) + 1
         data_dir = f"data_v{version:08d}"
         df.write.mode("overwrite").parquet(f"{self.path}/{data_dir}")
-        self._publish(version, data_dir)
+        self._publish(version, data_dir, meta)
         return version
+
+    def applied_batch_ids(self) -> set[int]:
+        """batch_id values recorded by streaming commits, across the whole
+        history (one tiny driver-side manifest read per version)."""
+        out = set()
+        for v in self.history():
+            b = self.commit_meta(v).get("batch_id")
+            if b is not None:
+                out.add(int(b))
+        return out
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: commit the current snapshot minus rows

@@ -56,14 +56,32 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 
 def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     """Sniff a parquet timestamp column's (unit, is_utc_adjusted) from the
-    file footer (driver-side metadata read, no data I/O).  The lake's event
+    file footers (driver-side metadata read, no data I/O).  The lake's event
     feed has shipped both TIMESTAMP(NANOS,false) and TIMESTAMP(MICROS,false)
-    layouts; the scan must adapt per file, not assume one."""
+    layouts; the scan must adapt per drop, not assume one.  For a directory,
+    every part footer is checked and must agree — one scan can only apply
+    one physical-type treatment, so a mixed-unit directory is an ingest
+    error worth failing loudly on, not a layout to paper over (per-file
+    adaptation would need a per-file union, see test_write_layout.py's
+    schema-evolution coverage for the supported evolution path)."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        part = next(p for p in sorted(os.listdir(path)) if p.endswith(".parquet"))
-        path = os.path.join(path, part)
+        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not parts:
+            raise FileNotFoundError(f"no .parquet part files under {path}")
+        units = {
+            (t.unit, t.tz is not None)
+            for t in (
+                pq.read_schema(os.path.join(path, p)).field(column).type for p in parts
+            )
+        }
+        if len(units) > 1:
+            raise ValueError(
+                f"mixed timestamp layouts {sorted(units)} across part files in "
+                f"{path}; rewrite the drop to one unit before scanning"
+            )
+        return next(iter(units))
     t = pq.read_schema(path).field(column).type
     return t.unit, t.tz is not None
 

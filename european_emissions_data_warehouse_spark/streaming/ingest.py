@@ -124,8 +124,11 @@ def run_snapshot_ingest(
     commit log's atomic rename-CAS publish: concurrent writers conflict
     cleanly (ConcurrentCommitError) instead of clobbering, readers pin a
     version and never observe a half-written table, and the exactly-once
-    story is the file-source checkpoint (input ledger) plus idempotent
-    re-merge (a replayed batch produces an identical new version)."""
+    story is the file-source checkpoint (input ledger) plus batch-id-stamped
+    commits: each commit records its micro-batch id in the manifest, so a
+    batch replayed after a crash between snapshot commit and checkpoint
+    commit is recognized and skipped — the version history is identical
+    across failure replays, not merely content-identical (ADVICE r2)."""
     from european_emissions_data_warehouse_spark.operators.snapshots import SnapshotTable
 
     spark = stream.sparkSession
@@ -133,12 +136,14 @@ def run_snapshot_ingest(
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, table_path)
+        if batch_id in table.applied_batch_ids():
+            return  # crash-replay of an already-committed batch
         cleaned = dedupe_last(batch, key, order_by)
         if table.history():
             merged = upsert_anti_join(table.read(), cleaned, key)
         else:
             merged = cleaned
-        table.commit(merged)
+        table.commit(merged, meta={"batch_id": str(batch_id)})
 
     (
         stream.writeStream.foreachBatch(commit_batch)

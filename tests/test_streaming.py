@@ -464,4 +464,15 @@ def test_snapshot_ingest_versions_per_batch(spark, events_batch, tmp_path):
     v0 = t.read(0)
     assert v0.count() == first.count()
     assert v0.filter(F.col("value") == 777.0).count() == 0
+
+    # crash-replay idempotence (ADVICE r2): losing the streaming checkpoint
+    # replays every batch; batch-id-stamped commits must recognize and skip
+    # them all, leaving the VERSION HISTORY (not just the head contents)
+    # unchanged — commit_meta records which batch produced each version
+    assert t.commit_meta(0) == {"batch_id": "0"} and t.commit_meta(1) == {"batch_id": "1"}
+    shutil.rmtree(ckpt, ignore_errors=True)
+    drain()
+    t = SnapshotTable(spark, tbl)
+    assert t.history() == [0, 1]
+    assert t.read().count() == first.count() + 20
     shutil.rmtree(str(tmp_path), ignore_errors=True)
