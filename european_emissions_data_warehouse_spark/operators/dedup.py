@@ -360,9 +360,24 @@ def connected_components_star(
             .distinct()
         )
 
+    def checksum(df: DataFrame) -> tuple:
+        """One-action set fingerprint of a canonical edge frame: cardinality
+        + xor + overflow-safe decimal sum of per-edge hashes.  Two distinct
+        edge sets colliding on all three is ~2^-128 — this replaces the
+        count()+exceptAll().count() pair (two jobs, one a wide shuffle) with
+        a single partial-aggregable job per half-round (VERDICT r2 #6)."""
+        h = F.xxhash64("lo", "hi")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+        ).first()
+        return (row["n"], row["x"], row["s"])
+
     edges = canon(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")), "u", "v"
     ).localCheckpoint(eager=True)
+    edges_sum = checksum(edges)
     n_nodes_seen = (
         edges.select(F.col("lo").alias("id"))
         .unionByName(edges.select(F.col("hi").alias("id")))
@@ -393,10 +408,11 @@ def connected_components_star(
         )
         nxt = canon(out, "a", "b").localCheckpoint(eager=True)
 
-        if nxt.count() == edges.count() and nxt.exceptAll(edges).count() == 0:
+        nxt_sum = checksum(nxt)
+        if nxt_sum == edges_sum:
             edges = nxt
             break
-        edges = nxt
+        edges, edges_sum = nxt, nxt_sum
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iters} iterations"
