@@ -5,11 +5,15 @@ Prints exactly ONE JSON line:
      "queries": {"<name>": sec, ...}, "sf": <sf>}
 
 Env knobs:
-    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS    local[] threads (default 32)
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] threads (default 32)
+    SPARK_GRAFT_REPEATS  runs per query, min reported (default 3)
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side collect — the same measurement you'd take on a cluster).
+Per-query time is the MIN over repeats: single runs at this scale carry
+±10% JIT/GC noise, which round-over-round deltas were misread as
+regressions (VERDICT r2 #7); the min is the stable estimator of plan cost.
 """
 
 from __future__ import annotations
@@ -56,6 +60,11 @@ HEADLINE = [
     "semdedup",
     "dsir_weights",
     "incremental_agg",
+    # heavy operators previously outside the bench (VERDICT r2 #5)
+    "decontaminate",
+    "pmi_pairs",
+    "dedup_components_star",
+    "media_frames",
 ]
 
 
@@ -88,20 +97,25 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial plan so q1 isn't charged startup cost.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # a broken query must not zero the whole bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # a broken query must not zero the whole bench
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -112,6 +126,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )
