@@ -71,28 +71,27 @@ _GRADE_FIRST = [
     "corpus_prep",
     "semdedup",
     # --- new round-3 queries (every addition this round must appear here) ---
-    # (inserted as implemented)
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "priority_by_status",
+    "lateral_top_orders",
+    "event_transitions",
+    "orphan_audit",
+    "price_regression",
+    "median_by_segment",
+    "order_gap_stats",
+    "recursive_ancestry",
+    "unigram_logprob",
+    "vocab_coverage",
+    "length_deciles",
     # --- high-value re-validations filling the remainder of the window ---
     "etl_flagship",
     "upsert_lww",
     "minhash_neardup",
-    "simhash_neardup",
-    "ngram_jaccard",
-    "dedup_components",
-    "ann_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "kmeans_clusters",
-    "tfidf_terms",
-    "bm25_search",
-    "sequence_pack",
-    "surrogate_key",
-    "scd2_dim",
     "pricing_summary",
     "json_extract",
-    "approx_distinct",
-    "funnel_conversion",
-    "window_nav",
+    "sequence_pack",
     "bucketed_join",
 ]
 

@@ -65,6 +65,13 @@ HEADLINE = [
     "pmi_pairs",
     "dedup_components_star",
     "media_frames",
+    # round-3 additions with real data motion
+    "nation_trade_volume",
+    "event_transitions",
+    "lateral_top_orders",
+    "recursive_ancestry",
+    "unigram_logprob",
+    "vocab_coverage",
 ]
 
 

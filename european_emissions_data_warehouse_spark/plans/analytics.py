@@ -2659,6 +2659,504 @@ SELECT * FROM (
 """
 
 
+# --- round-3 additions: remaining TPC-H join shapes, SQL-surface depth ------
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both directions,
+    by year.  Fact-side joins (lineitem⨝orders) shuffle on the order key;
+    every dimension (supplier, customer, nation x2) broadcasts, and the
+    nation filter prunes the broadcast BEFORE the join so non-matching rows
+    never reach the fact scan's probe side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_TRADE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's STANDARD-part market
+    by order year.  The share is a conditional-sum ratio computed AFTER the
+    rollup — two partial-aggregable sums, one small exchange; ROUND(SUM,2)
+    on both operands keeps the division bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pa = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    )
+    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cnr = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(cnr, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(sn, F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r2(F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))).alias(
+                "nation_volume"
+            ),
+            _r2(F.sum(vol)).alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH joined AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2) AS nation_volume,
+       ROUND(SUM(vol), 2) AS total_volume,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END), 2)
+         / ROUND(SUM(vol), 2) AS mkt_share
+FROM joined
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit on PROMO parts, with
+    retail price standing in for supply cost (the lake has no partsupp).
+    Same plan skeleton as Q7/Q8: one fact shuffle, all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pa = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    na = F.broadcast(load_table(spark, sf_dir, "nation"))
+    # the 0.5x cost term makes HALF-cent sums, which land exactly on the
+    # ROUND(..,2) boundary where Spark and DuckDB double-rounding disagree —
+    # so the whole profit expression runs in exact decimals (every input is
+    # 2-decimal by construction) and only the rounded result goes to double
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit = d("l_extendedprice") * (1 - d("l_discount")) - F.lit("0.5").cast(
+        "decimal(2,1)"
+    ) * d("p_retailprice") * d("l_quantity")
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 - CAST(0.5 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the lake carries no l_shipmode): per line
+    status, how many 1997-shipped lines belong to urgent/high orders vs the
+    rest — the canonical conditional-count-after-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PRIORITY_BY_STATUS = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT: each BUILDING customer's two
+    priciest orders.  Catalyst decorrelates the lateral into a ranked join —
+    no per-row re-execution — which the plan-quality suite can inspect; the
+    same text (modulo view names) runs on DuckDB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+ORACLE_LATERAL_TOP_ORDERS = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: per-user
+    lag gives (prev, cur) pairs — one window shuffle on user_id — then a
+    tiny (|types|²) rollup; the transition probability is a bigint ratio,
+    so the doubles agree bit-for-bit cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("p", F.col("n") / F.sum("n").over(w_tot))
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       n / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit as data: anti-join counts for every
+    foreign key in the star, one (relation, n_orphans) row each.  Anti
+    joins build their hash table from the KEY side only (ids, not rows),
+    and each count is an independent job — embarrassingly parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
+        n = child.join(parent, child[ck] == parent[pk], "left_anti").count()
+        return spark.createDataFrame([(label, n)], "relation string, n_orphans long")
+
+    frames = [
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans(li, pa, "l_partkey", "p_partkey", "lineitem->part"),
+        orphans(li, su, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        orphans(o, cu, "o_custkey", "c_custkey", "orders->customer"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relation")
+
+
+ORACLE_ORPHAN_AUDIT = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+) ORDER BY relation
+"""
+
+
+def q_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares fit of extended price on quantity,
+    computed from EXACT integer moment sums (cents x integral quantity in
+    decimal(38,0)) so slope/intercept/r are bit-identical in any engine —
+    the same fixed-point trick as kmeans_exact.  One partial-aggregable
+    scan; no window, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")  # integral by construction
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")  # exact cents
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    slope_cents = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        agg.select(
+            "l_returnflag",
+            n.cast("long").alias("n_lines"),
+            (slope_cents / 100).alias("slope"),
+            ((sy / n - slope_cents * sx / n) / 100).alias("intercept"),
+            r.alias("r"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PRICE_REGRESSION = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,0)) * CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))
+                * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,0))
+                * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100 AS slope,
+       ((sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n)) / 100 AS intercept,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+def q_median_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per market segment (Spark `median` ==
+    DuckDB `median` on doubles).  Exact medians need the group's values
+    co-located — one hash exchange on the 5-value segment key; use
+    approx_percentile (already registered) when cardinality explodes."""
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_mktsegment")
+        .agg(
+            F.median("c_acctbal").alias("median_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_MEDIAN_BY_SEGMENT = """
+SELECT c_mktsegment, median(c_acctbal) AS median_bal, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis: per-customer day gaps via lag (one window
+    shuffle on the customer key), rolled up to per-segment averages.  The
+    average is an exact bigint-sum / count division — cross-engine stable
+    without rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date").cast("long"))
+    )
+    return (
+        gaps.join(cu, gaps.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+        )
+        .withColumn("avg_gap_days", F.col("total_gap_days") / F.col("n_gaps"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ORDER_GAP_STATS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(SUM(gap_days) AS BIGINT) / COUNT(*) AS avg_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer key up
+    the implicit binary-tree hierarchy (parent = key DIV 2) to the root,
+    then profile the population by depth.  Iteration count is the tree
+    height (log2 of the max key), each step one self-join — the same
+    fixpoint pattern as connected_components, but expressed declaratively."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(node, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM rec_customer
+          UNION ALL
+          SELECT node, anc DIV 2, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS sum_nodes
+        FROM chain
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+ORACLE_RECURSIVE_ANCESTRY = """
+WITH RECURSIVE chain(node, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, anc // 2, depth + 1 FROM chain WHERE anc > 0
+)
+SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -2734,6 +3232,17 @@ QUERIES = {
     "price_histogram": q_price_histogram,
     "stats_summary": q_stats_summary,
     "rolling_wau": q_rolling_wau,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "priority_by_status": q_priority_by_status,
+    "lateral_top_orders": q_lateral_top_orders,
+    "event_transitions": q_event_transitions,
+    "orphan_audit": q_orphan_audit,
+    "price_regression": q_price_regression,
+    "median_by_segment": q_median_by_segment,
+    "order_gap_stats": q_order_gap_stats,
+    "recursive_ancestry": q_recursive_ancestry,
 }
 
 ORACLES = {
@@ -2811,4 +3320,15 @@ ORACLES = {
     "price_histogram": ORACLE_PRICE_HISTOGRAM,
     "stats_summary": ORACLE_STATS_SUMMARY,
     "rolling_wau": ORACLE_ROLLING_WAU,
+    "nation_trade_volume": ORACLE_NATION_TRADE,
+    "market_share": ORACLE_MARKET_SHARE,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "priority_by_status": ORACLE_PRIORITY_BY_STATUS,
+    "lateral_top_orders": ORACLE_LATERAL_TOP_ORDERS,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "orphan_audit": ORACLE_ORPHAN_AUDIT,
+    "price_regression": ORACLE_PRICE_REGRESSION,
+    "median_by_segment": ORACLE_MEDIAN_BY_SEGMENT,
+    "order_gap_stats": ORACLE_ORDER_GAP_STATS,
+    "recursive_ancestry": ORACLE_RECURSIVE_ANCESTRY,
 }

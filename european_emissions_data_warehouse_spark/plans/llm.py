@@ -1617,6 +1617,157 @@ WHERE rnk <= 10
 """
 
 
+# --- round-3 additions: corpus statistics for data curation -----------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic cheap fluency/quality signal (low = rare
+    garbage, high = repetitive boilerplate).  Two shuffles: the token-count
+    rollup and the token->count join (keyed on the token — at web scale the
+    vocab is too large to broadcast, so the join stays a shuffle join by
+    design); the corpus total rides along as a broadcast scalar.  ln() is
+    libm-backed in both engines (≤1 ulp apart), so the mean rounds to 4
+    like the BM25 oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("cnt") / F.col("tot"))) / F.count(F.lit(1)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(SUM(ln(CAST(cnt AS DOUBLE) / tot)) / COUNT(*), 4) AS avg_logprob
+FROM toks JOIN counts USING (tok), total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage of the corpus's top-500 vocabulary — the OOV
+    signal used for tokenizer/corpus fit.  The vocab is a global top-k
+    (TakeOrderedAndProject, ties broken by token) and is k rows, so it
+    BROADCASTS to the token stream: the corpus never shuffles for the
+    membership test; the only wide exchange is the per-doc rollup.
+    Coverage is a bigint/bigint division — bit-stable with no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(500)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .withColumn("coverage", F.col("n_in_vocab") / F.col("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT 500
+  )
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS coverage
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length decile profile WITHOUT a global sort: exact decile
+    cutoffs come from one percentile aggregate (9 doubles, broadcast back),
+    and each doc buckets itself by counting cutoffs below its length — a
+    map-side expression, so the only exchange is the 10-group rollup.
+    ntile(10) would funnel the corpus through one sorted partition; this
+    shape scales (swap in approx_percentile when exact buffering of the
+    value multiset is too big — same plan, sketch-merge aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = docs.agg(
+        F.expr(f"percentile(n_chars, array({', '.join(str(q) for q in qs)}))").alias("cuts")
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "decile",
+            (F.size(F.filter("cuts", lambda c: F.col("n_chars") > c)) + 1).cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_len"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LENGTH_DECILES = """
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents
+)
+SELECT CAST(1 + len(list_filter(qs, q -> n_chars > q)) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_len,
+       MAX(n_chars) AS max_len,
+       CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_len
+FROM documents, cuts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1657,6 +1808,9 @@ QUERIES = {
     "mixture_temperature": q_mixture_temperature,
     "pmi_pairs": q_pmi_pairs,
     "quantize_int8": q_quantize_int8,
+    "unigram_logprob": q_unigram_logprob,
+    "vocab_coverage": q_vocab_coverage,
+    "length_deciles": q_length_deciles,
 }
 
 ORACLES = {
@@ -1699,4 +1853,7 @@ ORACLES = {
     "mixture_temperature": ORACLE_MIXTURE_TEMPERATURE,
     "pmi_pairs": ORACLE_PMI_PAIRS,
     "quantize_int8": ORACLE_QUANTIZE_INT8,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "length_deciles": ORACLE_LENGTH_DECILES,
 }
