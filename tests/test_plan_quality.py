@@ -198,6 +198,29 @@ def test_exact_dedup_shuffles_hash_keys_not_text(spark, sf_dir):
         assert "_h1#" in plan and "_h2#" in plan, (name, plan)
 
 
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL + LIMIT must decorrelate into a rank-pruned
+    window (WindowGroupLimit) joined to the outer side — never a per-outer-
+    row re-execution or a cartesian product."""
+    plan = _executed(entry_mod.queries()["lateral_top_orders"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_coverage_broadcasts_topk_vocab(spark, sf_dir):
+    """The top-500 vocab must be a TakeOrderedAndProject that broadcasts to
+    the token stream — the corpus never shuffles for the membership test."""
+    plan = _executed(entry_mod.queries()["vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=500" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_recursive_cte_runs_as_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must execute as Spark 4's native UnionLoop operator."""
+    plan = _executed(entry_mod.queries()["recursive_ancestry"](spark, sf_dir))
+    assert "UnionLoop" in plan, plan
+
+
 def test_pmi_unigram_table_broadcast(spark, sf_dir):
     plan = _executed(entry_mod.queries()["pmi_pairs"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
