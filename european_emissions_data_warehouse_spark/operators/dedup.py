@@ -207,6 +207,9 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         idx = idx.withColumn("__df", dfc).filter(F.col("__df") <= max_df).drop("__df")
+    # one materialization of the inverted index — the self-join would
+    # otherwise rebuild it (explode + rolling-gram windows) per side
+    idx = idx.localCheckpoint(eager=False)
     a = idx.select(
         F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
     )
@@ -482,7 +485,15 @@ def minhash_lsh_pairs(
     exactness when the corpus affords it.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, unit, num_hashes).drop("shingles")
+    # both sides of the bucket self-join reference the signature frame; the
+    # checkpoint materializes it once instead of re-running the whole
+    # shingle->minhash DAG per side (~33% of query time at sf0.1 — the same
+    # double-execution semdedup_pairs fixed in r2)
+    sigs = (
+        minhash_signatures(docs, id_col, text_col, k, unit, num_hashes)
+        .drop("shingles")
+        .localCheckpoint(eager=False)
+    )
     banded = sigs.select(
         "id",
         "sig",
@@ -579,7 +590,9 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     width = -(-_SIMHASH_BITS // n_bands)  # ceil: bands cover all 63 bits
     mask = (1 << width) - 1
-    fps = simhash(docs, id_col, text_col)
+    # materialized once: the band self-join would otherwise re-run the
+    # token-explode + 63-bit-sum aggregate for each side
+    fps = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     banded = fps.select(
         "id",
         "fingerprint",
