@@ -143,7 +143,10 @@ def ivf_build_centroids(
                 F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
             )
         )
-        centroids = means
+        # k tiny rows; the checkpoint keeps lineage depth constant across
+        # Lloyd iterations (and callers reusing the centroids — ivf_topk
+        # probes AND builds inverted lists — run the loop once, not twice)
+        centroids = means.localCheckpoint(eager=False)
 
     return centroids
 
@@ -223,6 +226,7 @@ def kmeans_exact(
                 "centroid_id",
                 F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
             )
+            .localCheckpoint(eager=False)  # constant lineage depth per iteration
         )
     return ivf_assign(vecs, centroids, "id", "v")
 
