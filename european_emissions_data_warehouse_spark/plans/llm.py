@@ -1345,6 +1345,9 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
         .distinct()
+        # three consumers (both self-join sides + unigram counts) — one
+        # materialization instead of three explode+distinct executions
+        .localCheckpoint(eager=False)
     )
     uni = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("n_doc"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
