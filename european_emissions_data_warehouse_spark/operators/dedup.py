@@ -399,7 +399,9 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        mid = canon(large, "a", "b").localCheckpoint(eager=True)
+        # single consumer (the small-star step) — no checkpoint needed; the
+        # per-round nxt checkpoint already truncates lineage
+        mid = canon(large, "a", "b")
 
         # small-star (edges directed larger -> smaller)
         down = mid.select(F.col("hi").alias("u"), F.col("lo").alias("v"))

@@ -226,8 +226,9 @@ def kmeans_exact(
                 "centroid_id",
                 F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
             )
-            .localCheckpoint(eager=False)  # constant lineage depth per iteration
         )
+        if n_iters > 1:  # constant lineage depth; pointless for a single round
+            centroids = centroids.localCheckpoint(eager=False)
     return ivf_assign(vecs, centroids, "id", "v")
 
 
