@@ -83,16 +83,16 @@ _GRADE_FIRST = [
     "order_gap_stats",
     "recursive_ancestry",
     "unigram_logprob",
+    "bigram_logprob",
     "vocab_coverage",
     "length_deciles",
+    "time_weighted_value",
     # --- high-value re-validations filling the remainder of the window ---
     "etl_flagship",
     "upsert_lww",
     "minhash_neardup",
     "pricing_summary",
     "json_extract",
-    "sequence_pack",
-    "bucketed_join",
 ]
 
 

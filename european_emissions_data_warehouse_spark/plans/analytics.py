@@ -3121,6 +3121,72 @@ ORDER BY c_mktsegment
 """
 
 
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value (each reading
+    holds until the next one) — the standard irregular-time-series
+    aggregate.  One window shuffle on the user key builds the hold
+    segments; weights are exact integer micros x fixed-point value, so the
+    sums are order-independent decimals and the final double division is
+    bit-identical cross-engine (float accumulation would drift with Spark's
+    partial-aggregation order)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("next_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).cast("decimal(16,0)").alias("dur_us"),
+            F.round(F.col("value") * 1000000).cast("decimal(22,0)").alias("v_fp"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("v_fp") * F.col("dur_us")).alias("_num"),
+            F.sum("dur_us").alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            # the exact decimal sums agree across engines, but huge-decimal
+            # -> double conversion rounding does not (values exceed 2^53);
+            # 6-decimal rounding absorbs the conversion ulp
+            F.round(
+                F.col("_num").cast("double")
+                / F.col("_den").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TIME_WEIGHTED_VALUE = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              - epoch_us(ts) AS DECIMAL(16,0)) AS dur_us,
+         CAST(ROUND(value * 1000000) AS DECIMAL(22,0)) AS v_fp
+  FROM events
+  QUALIFY LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_segments,
+       ROUND(CAST(SUM(v_fp * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0,
+             6) AS twa_value
+FROM seg
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+ORDER BY user_id
+"""
+
+
 def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer key up
     the implicit binary-tree hierarchy (parent = key DIV 2) to the root,
@@ -3243,6 +3309,7 @@ QUERIES = {
     "median_by_segment": q_median_by_segment,
     "order_gap_stats": q_order_gap_stats,
     "recursive_ancestry": q_recursive_ancestry,
+    "time_weighted_value": q_time_weighted_value,
 }
 
 ORACLES = {
@@ -3331,4 +3398,5 @@ ORACLES = {
     "median_by_segment": ORACLE_MEDIAN_BY_SEGMENT,
     "order_gap_stats": ORACLE_ORDER_GAP_STATS,
     "recursive_ancestry": ORACLE_RECURSIVE_ANCESTRY,
+    "time_weighted_value": ORACLE_TIME_WEIGHTED_VALUE,
 }

@@ -1672,6 +1672,71 @@ ORDER BY doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ln(c(prev,tok)/c(prev,·)) under the corpus's own bigram counts — the
+    2-gram upgrade of unigram_logprob, sensitive to scrambled word order
+    that unigram stats cannot see.  Bigrams come from posexplode + a lag
+    window (one doc-keyed shuffle — the explode(transform(...)) form would
+    re-evaluate the HOF per output row, see operators/dedup._rolling_grams);
+    count joins are token-keyed shuffle joins since a web-scale bigram
+    table cannot broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+        # three consumers (bigram counts, prefix counts, the scoring join)
+        .localCheckpoint(eager=False)
+    )
+    bcnt = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("n2"))
+    pcnt = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        big.join(bcnt, ["prev", "tok"])
+        .join(pcnt, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("n2") / F.col("n1"))) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = r"""
+WITH lst AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS l
+  FROM documents
+), big AS (
+  SELECT doc_id, l[i + 1] AS prev, l[i + 2] AS tok
+  FROM (SELECT doc_id, l, unnest(range(len(l) - 1)) AS i FROM lst WHERE len(l) >= 2)
+), bcnt AS (
+  SELECT prev, tok, COUNT(*) AS n2 FROM big GROUP BY 1, 2
+), pcnt AS (
+  SELECT prev, COUNT(*) AS n1 FROM big GROUP BY 1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(ln(CAST(n2 AS DOUBLE) / n1)) / COUNT(*), 4) AS avg_logprob
+FROM big JOIN bcnt USING (prev, tok) JOIN pcnt USING (prev)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document coverage of the corpus's top-500 vocabulary — the OOV
     signal used for tokenizer/corpus fit.  The vocab is a global top-k
@@ -1812,6 +1877,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "quantize_int8": q_quantize_int8,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "vocab_coverage": q_vocab_coverage,
     "length_deciles": q_length_deciles,
 }
@@ -1857,6 +1923,7 @@ ORACLES = {
     "pmi_pairs": ORACLE_PMI_PAIRS,
     "quantize_int8": ORACLE_QUANTIZE_INT8,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "length_deciles": ORACLE_LENGTH_DECILES,
 }
