@@ -75,3 +75,50 @@ def test_sql_insert_into(spark, sf_dir):
         assert got == [(1, "a"), (2, "b"), (3, "c")]
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_demo")
+
+
+def test_time_weighted_value_bounded_by_observed_values(spark, sf_dir):
+    """The hold-until-next TWA is a convex combination of a user's values,
+    so it must lie within [min, max] of the values that opened a segment."""
+    import __spark_entry__ as entry_mod
+
+    twa = {
+        r["user_id"]: r["twa_value"]
+        for r in entry_mod.queries()["time_weighted_value"](spark, sf_dir).collect()
+    }
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert twa, "no users produced segments"
+    for uid, v in twa.items():
+        lo, hi = bounds[uid]
+        assert lo - 1e-6 <= v <= hi + 1e-6, (uid, v, lo, hi)
+
+
+def test_bigram_logprob_upper_bound_and_repetition_ceiling(spark, sf_dir):
+    """Conditional log-probs are <= 0, and a perfectly repetitive doc
+    (single repeated token) must score exactly 0 (its one bigram is fully
+    predictable) — pinned by injecting such a doc."""
+    import __spark_entry__ as entry_mod
+    from european_emissions_data_warehouse_spark.plans.llm import q_bigram_logprob
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    rows = entry_mod.queries()["bigram_logprob"](spark, sf_dir).collect()
+    assert rows and all(r["avg_logprob"] <= 0.0 for r in rows)
+
+    import tempfile
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = spark.createDataFrame(
+        [(20_000_001, "zqxj zqxj zqxj zqxj")], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        base.unionByName(inj).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {r["doc_id"]: r["avg_logprob"] for r in q_bigram_logprob(spark, td).collect()}
+    assert out[20_000_001] == 0.0
