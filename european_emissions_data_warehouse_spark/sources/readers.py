@@ -54,6 +54,18 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan — Spark's second columnar lake format (bundled native
+    reader).  Same contract as read_parquet: explicit schema for pruning,
+    and comparison predicates reach the scan (ORC supports predicate
+    pushdown via its stripe/row-group statistics exactly like parquet
+    footers; verify with ``df.explain`` → PushedFilters)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     """Sniff a parquet timestamp column's (unit, is_utc_adjusted) from the
     file footers (driver-side metadata read, no data I/O).  The lake's event

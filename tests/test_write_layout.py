@@ -64,3 +64,28 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     assert pinned.columns == v1.columns
     assert pinned.count() == v1.count() * 2
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_orc_roundtrip_preserves_values_and_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC as a second columnar lake format: parquet -> ORC rewrite must be
+    value-identical, and comparison predicates must reach the ORC scan
+    (stripe-statistics pushdown, like parquet footers)."""
+    from european_emissions_data_warehouse_spark.sources.readers import load_table, read_orc
+
+    src = load_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(dst)
+
+    back = read_orc(spark, dst, src.schema)
+    assert back.count() == src.count()
+    a = src.agg(F.sum("o_totalprice"), F.min("o_orderkey"), F.max("o_orderkey")).first()
+    b = back.agg(F.sum("o_totalprice"), F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert tuple(a) == tuple(b)
+
+    plan = (
+        back.filter(F.col("o_totalprice") > 100_000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan, plan
