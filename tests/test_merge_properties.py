@@ -53,3 +53,38 @@ class TestMergeLaws:
         once = upsert_anti_join(old_df, new_df, ["k"])
         twice = upsert_anti_join(once, new_df, ["k"])
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# --- SemDeDup block-pairing law ----------------------------------------------
+#
+# The skew cap rewrites the within-cluster self-join as a block-pair join;
+# the law is LOSSLESSNESS: for any vector set and any cap, the capped pair
+# set equals the uncapped one.  (An ordering subtlety here — off-diagonal
+# pairs arrive in arbitrary id order — produced a real bug during
+# development, which is exactly what randomized inputs pin down.)
+
+vec = st.tuples(
+    st.integers(0, 40),
+    st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@given(vecs=st.lists(vec, min_size=2, max_size=16, unique_by=lambda t: t[0]),
+       cap=st.integers(1, 6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semdedup_block_cap_lossless_on_random_inputs(spark, vecs, cap):
+    from european_emissions_data_warehouse_spark.operators.similarity import semdedup_pairs
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in vecs
+            if (x, y) != (0, 0)]  # zero vectors have no cosine direction
+    if len(rows) < 2:
+        return
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    key = lambda r: (r["centroid_id"], r["id_a"], r["id_b"], round(r["sim"], 9))  # noqa: E731
+    uncapped = sorted(map(key, semdedup_pairs(
+        emb, k=3, n_iters=1, threshold=0.5, max_pair_block=None).collect()))
+    capped = sorted(map(key, semdedup_pairs(
+        emb, k=3, n_iters=1, threshold=0.5, max_pair_block=cap).collect()))
+    assert capped == uncapped
