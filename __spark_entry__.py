@@ -87,12 +87,12 @@ _GRADE_FIRST = [
     "vocab_coverage",
     "length_deciles",
     "time_weighted_value",
+    "monthly_growth",
+    "repeat_buyer_share",
     # --- high-value re-validations filling the remainder of the window ---
     "etl_flagship",
     "upsert_lww",
     "minhash_neardup",
-    "pricing_summary",
-    "json_extract",
 ]
 
 

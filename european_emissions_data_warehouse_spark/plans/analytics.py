@@ -3187,6 +3187,87 @@ ORDER BY user_id
 """
 
 
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth.  The rollup shrinks the corpus to
+    one row per month first; the previous month then comes from a
+    broadcast self-join on a shifted calendar key rather than a global
+    LAG window — an unpartitioned window would funnel through one reducer
+    (the exact shape the plan-quality guard bans), while the month-shift
+    join is partition-parallel at any scale.  The growth ratio divides two
+    identically-rounded sums, keeping the double bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 1).cast("timestamp").alias("month"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        monthly.join(F.broadcast(prev), "month", "left")
+        .withColumn("growth", F.round(F.col("revenue") / F.col("prev_revenue") - 1, 6))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "revenue",
+            "prev_revenue",
+            "growth",
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY_GROWTH = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m.month, '%Y-%m') AS month, m.revenue,
+       p.revenue AS prev_revenue,
+       ROUND(m.revenue / p.revenue - 1, 6) AS growth
+FROM monthly m
+LEFT JOIN monthly p ON m.month = p.month + INTERVAL 1 MONTH
+ORDER BY month
+"""
+
+
+def q_repeat_buyer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-buyer share per market segment: two exact COUNT(DISTINCT)s
+    fed by one per-customer pre-aggregation (order counts), so the distinct
+    work is one customer-keyed shuffle, and the share is a bigint ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_cust.join(cu, per_cust.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_repeat"
+            ),
+        )
+        .withColumn("repeat_share", F.col("n_repeat") / F.col("n_buyers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_REPEAT_BUYER_SHARE = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_buyers,
+       CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+         AS repeat_share
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer key up
     the implicit binary-tree hierarchy (parent = key DIV 2) to the root,
@@ -3310,6 +3391,8 @@ QUERIES = {
     "order_gap_stats": q_order_gap_stats,
     "recursive_ancestry": q_recursive_ancestry,
     "time_weighted_value": q_time_weighted_value,
+    "monthly_growth": q_monthly_growth,
+    "repeat_buyer_share": q_repeat_buyer_share,
 }
 
 ORACLES = {
@@ -3399,4 +3482,6 @@ ORACLES = {
     "order_gap_stats": ORACLE_ORDER_GAP_STATS,
     "recursive_ancestry": ORACLE_RECURSIVE_ANCESTRY,
     "time_weighted_value": ORACLE_TIME_WEIGHTED_VALUE,
+    "monthly_growth": ORACLE_MONTHLY_GROWTH,
+    "repeat_buyer_share": ORACLE_REPEAT_BUYER_SHARE,
 }
