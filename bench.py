@@ -72,6 +72,8 @@ HEADLINE = [
     "recursive_ancestry",
     "unigram_logprob",
     "vocab_coverage",
+    "bigram_logprob",
+    "time_weighted_value",
 ]
 
 

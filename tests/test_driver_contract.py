@@ -1,0 +1,45 @@
+"""Guards on the driver-contract shape itself: the grading window must
+stay exactly 50 entries, lead the registration order, contain every query
+that lacks a driver CORRECTNESS row from earlier rounds, and every
+registered query must carry an oracle.  A silent dict-reordering or a
+forgotten window insert would otherwise cost a round of grading."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry_mod
+
+_REPO = os.path.dirname(os.path.abspath(entry_mod.__file__))
+
+
+def _graded_names() -> set[str]:
+    out: set[str] = set()
+    for fn in sorted(os.listdir(_REPO)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(_REPO, fn)) as f:
+                out |= set(json.load(f))
+    return out
+
+
+def test_window_is_exactly_the_graded_prefix():
+    names = list(entry_mod.queries())
+    gf = entry_mod._GRADE_FIRST
+    assert len(gf) == 50
+    assert names[:50] == gf
+    assert len(set(gf)) == 50, "duplicate names in the grading window"
+
+
+def test_every_query_has_an_oracle():
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) == set(osql) | (set(qs) - set(osql))
+    assert not set(osql) - set(qs), "oracle without a query"
+    assert not set(qs) - set(osql), "query without an oracle"
+
+
+def test_no_query_is_left_ungraded_outside_the_window():
+    graded = _graded_names()
+    names = list(entry_mod.queries())
+    debt = [q for q in names if q not in graded and q not in names[:50]]
+    assert not debt, f"ungraded queries outside the 50-entry window: {debt}"
