@@ -198,6 +198,39 @@ def test_exact_dedup_shuffles_hash_keys_not_text(spark, sf_dir):
         assert "_h1#" in plan and "_h2#" in plan, (name, plan)
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime-filter mastery for the 100 TB story: with a selective filter
+    on the build side of a shuffle join, Spark must inject a bloom-filter
+    aggregate that prunes the fact scan BEFORE the exchange (the runtime
+    twin of static predicate pushdown).  Thresholds are tuned down because
+    the default application-side floor is 10 GB; on a real cluster the
+    defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ so the filter matters
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400_000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = _executed(j)
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL + LIMIT must decorrelate into a rank-pruned
     window (WindowGroupLimit) joined to the outer side — never a per-outer-
