@@ -231,6 +231,45 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The other half of the skew story (operators/skew.py salts
+    proactively; AQE re-plans reactively): a hot join key must surface as
+    an `AQEShuffleRead ... skewed` node in the final adaptive plan —
+    Spark split the oversized partition at runtime.  Thresholds are tuned
+    down to make a local fixture register as skewed."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
+        tail = spark.range(20_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("attr")
+        )
+        j = hot.unionByName(tail).join(dim, "k").groupBy("attr").count()
+        j.collect()  # adaptive re-planning happens during execution
+        plan = _executed(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
     """The correlated LATERAL + LIMIT must decorrelate into a rank-pruned
     window (WindowGroupLimit) joined to the outer side — never a per-outer-
