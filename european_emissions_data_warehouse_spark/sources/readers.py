@@ -75,27 +75,38 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     one physical-type treatment, so a mixed-unit directory is an ingest
     error worth failing loudly on, not a layout to paper over (per-file
     adaptation would need a per-file union, see test_write_layout.py's
-    schema-evolution coverage for the supported evolution path)."""
+    schema-evolution coverage for the supported evolution path).
+
+    Legacy INT96 timestamps (Spark's own historical parquet default) are a
+    third layout: pyarrow surfaces them as ``ns``, but they must NOT take
+    the nanos-as-long path (the physical bytes are not int64) — they are
+    reported as unit ``int96`` and read through Spark's native INT96
+    decoder instead."""
     import pyarrow.parquet as pq
+
+    def one(file_path: str) -> tuple[str, bool]:
+        t = pq.read_schema(file_path).field(column).type
+        meta = pq.ParquetFile(file_path).metadata
+        if meta.num_row_groups:
+            rg = meta.row_group(0)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema == column and col.physical_type == "INT96":
+                    return "int96", True
+        return t.unit, t.tz is not None
 
     if os.path.isdir(path):
         parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
         if not parts:
             raise FileNotFoundError(f"no .parquet part files under {path}")
-        units = {
-            (t.unit, t.tz is not None)
-            for t in (
-                pq.read_schema(os.path.join(path, p)).field(column).type for p in parts
-            )
-        }
+        units = {one(os.path.join(path, p)) for p in parts}
         if len(units) > 1:
             raise ValueError(
                 f"mixed timestamp layouts {sorted(units)} across part files in "
                 f"{path}; rewrite the drop to one unit before scanning"
             )
         return next(iter(units))
-    t = pq.read_schema(path).field(column).type
-    return t.unit, t.tz is not None
+    return one(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -111,6 +122,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         path = os.path.join(sf_dir, "events.parquet")
         unit, utc_adjusted = _parquet_ts_unit(path)
+        if unit == "int96":
+            # legacy Spark-written layout: the native reader decodes INT96
+            # into TimestampType directly (session-TZ aware; the UTC pin
+            # keeps values identical to the naive layouts)
+            i96_schema = StructType(
+                [StructField("ts", TimestampType()) if f.name == "ts" else f for f in schema]
+            )
+            return read_parquet(spark, path, i96_schema)
         if unit == "ns":
             # TIMESTAMP(NANOS) is illegal for Spark's reader.  Scan it as a
             # nanos long (runtime-settable legacy conf), then convert to the

@@ -88,3 +88,66 @@ def test_semdedup_block_cap_lossless_on_random_inputs(spark, vecs, cap):
     capped = sorted(map(key, semdedup_pairs(
         emb, k=3, n_iters=1, threshold=0.5, max_pair_block=cap).collect()))
     assert capped == uncapped
+
+
+# --- time-weighted average law ------------------------------------------------
+#
+# The TWA query must agree with a direct per-user computation over the same
+# fixed-point semantics (micro-weights, 6-decimal output) on random event
+# logs, including duplicate timestamps (broken by event_id).
+
+event = st.tuples(
+    st.integers(0, 2),        # user_id — small space forces multi-event users
+    st.integers(0, 50),       # ts offset seconds
+    st.integers(-500, 500),   # value in hundredths
+)
+
+
+@given(events=st.lists(event, min_size=2, max_size=14))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_time_weighted_value_matches_reference(spark, events, tmp_path_factory):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.plans.analytics import (
+        q_time_weighted_value,
+    )
+
+    rows = [
+        (i, 1_600_000_000 + ts, uid, "view", v / 100.0, "{}")
+        for i, (uid, ts, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, epoch long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{td}/events.parquet")
+        got = {
+            r["user_id"]: (r["n_segments"], r["twa_value"])
+            for r in q_time_weighted_value(spark, td).collect()
+        }
+
+    # python reference with identical fixed-point semantics
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for i, (uid, ts, v) in enumerate(events):
+        per_user[uid].append((1_600_000_000 + ts, i, v / 100.0))
+    want = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        num = den = 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            dur_us = (t1 - t0) * 1_000_000
+            num += round(v * 1_000_000) * dur_us
+            den += dur_us
+        if den > 0:
+            n_seg = len(evs) - 1
+            want[uid] = (n_seg, round(num / den / 1_000_000, 6))
+    assert got == want
