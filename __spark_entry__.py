@@ -89,9 +89,9 @@ _GRADE_FIRST = [
     "time_weighted_value",
     "monthly_growth",
     "repeat_buyer_share",
+    "ann_pq",
     # --- high-value re-validations filling the remainder of the window ---
     "etl_flagship",
-    "upsert_lww",
     "minhash_neardup",
 ]
 

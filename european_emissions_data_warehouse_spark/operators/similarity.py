@@ -213,23 +213,86 @@ def kmeans_exact(
     )
     for _ in range(n_iters):
         assigned = ivf_assign(vecs, centroids, "id", "v")
-        comp = assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
-        sums = comp.groupBy("centroid_id", "dim").agg(
-            F.sum(F.floor(F.col("x") * scale)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        centroids = (
-            sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                "centroid_id",
-                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
-            )
-        )
+        centroids = exact_centroid_means(assigned, scale)
         if n_iters > 1:  # constant lineage depth; pointless for a single round
             centroids = centroids.localCheckpoint(eager=False)
     return ivf_assign(vecs, centroids, "id", "v")
+
+
+def exact_centroid_means(assigned: DataFrame, scale: int = 1 << 20) -> DataFrame:
+    """(centroid_id, centroid array<double>): fixed-point exact elementwise
+    means of an (id, v, centroid_id) assignment — integer sums are
+    order-independent, so the means are bit-identical on any partitioning
+    and in any engine (the kmeans_exact mean step, shared with PQ)."""
+    comp = assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
+    sums = comp.groupBy("centroid_id", "dim").agg(
+        F.sum(F.floor(F.col("x") * scale)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "centroid_id",
+            F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def pq_reconstruct(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split each vector
+    into ``m`` subspaces, k-means each subspace independently, and encode a
+    vector as its m centroid codes — m·log2(k) bits instead of dim floats
+    (here 4x4 bits vs 64 floats, a 128x compression).  This is the layout
+    100 TB ANN actually ships (IVF-PQ): the codebook is m·k·(dim/m) doubles
+    (broadcastable at any corpus size), encoding is a broadcast argmax pass
+    per subspace, and distances are computed against reconstructions
+    without touching raw vectors.
+
+    Returns (id, v, codes array<int>[m], recon array<double>[dim]).  Built
+    on kmeans_exact + exact_centroid_means, so codes AND reconstructions
+    are bit-identical cross-engine — the quality verdict in plans/llm.py is
+    deterministic."""
+    sub_d = dim // m
+    parts = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub_d + 1, sub_d).alias("v"),
+        )
+        asg = kmeans_exact(sub, "id", "v", k=k, n_iters=n_iters)
+        cb = exact_centroid_means(asg)
+        parts.append(
+            asg.join(F.broadcast(cb), "centroid_id").select(
+                "id",
+                F.lit(j).alias("sub"),
+                F.col("centroid_id").alias("code"),
+                F.col("centroid").alias("rec"),
+                F.col("v").alias("sv"),
+            )
+        )
+    allsub = parts[0]
+    for p in parts[1:]:
+        allsub = allsub.unionByName(p)
+    return (
+        allsub.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code", "rec", "sv"))).alias("ps"))
+        .select(
+            "id",
+            F.flatten(F.transform("ps", lambda s: s.getField("sv"))).alias("v"),
+            F.transform("ps", lambda s: s.getField("code")).alias("codes"),
+            F.flatten(F.transform("ps", lambda s: s.getField("rec"))).alias("recon"),
+        )
+    )
 
 
 def semdedup_pairs(

@@ -1672,6 +1672,90 @@ ORDER BY doc_id
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, graded as a deterministic quality verdict
+    (the codebooks are k-means over xxhash-free exact arithmetic, but a
+    DuckDB replay of 4 independent k-means would dwarf the semdedup CTE,
+    so the oracle pins the booleans and exactly checks the companions).
+
+    Emits: corpus size (exact), the PQ geometry (exact), and two pinned
+    quality booleans — the 128x-compressed reconstruction must beat the
+    k=1 baseline (global-mean reconstruction) on MSE, and asymmetric-
+    distance top-5 over reconstructions must recall >=20% of the exact
+    top-5 for the probe queries (the fixture embeddings are weak-signal —
+    top-k cosine barely separated, see lsh_topk's r-tuning note — so ADC
+    ranking recall plateaus ~0.3 here regardless of geometry while MSE
+    falls monotonically: 0.74 at m=4 -> 0.34 at m=16, pinned in
+    tests/test_ranking.py).  All inputs to both booleans are fixed-point
+    exact, so the verdict cannot flap."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        exact_centroid_means,
+        pq_reconstruct,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = pq_reconstruct(emb, dim=64, m=4, k=16).localCheckpoint(eager=False)
+
+    def sq_err(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    mse = pq.select(sq_err(F.col("v"), F.col("recon")).alias("se")).agg(
+        F.avg("se").alias("pq_mse")
+    )
+    base_asg = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("centroid_id", F.lit(0))
+    gmean = exact_centroid_means(base_asg)
+    base_mse = (
+        base_asg.crossJoin(F.broadcast(gmean))
+        .select(sq_err(F.col("v"), F.col("centroid")).alias("se"))
+        .agg(F.avg("se").alias("base_mse"))
+    )
+
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries_df, emb, k=5).select("query_id", "neighbor_id")
+    recon_corpus = pq.select(
+        F.col("id").alias("vec_id"), F.col("recon").alias("embedding")
+    )
+    approx = brute_force_topk(queries_df, recon_corpus, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(mse))
+        .crossJoin(F.broadcast(base_mse))
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_vectors",
+            F.lit(4).cast("bigint").alias("m_subspaces"),
+            F.lit(16).cast("bigint").alias("k_codes"),
+            (F.col("pq_mse") < F.col("base_mse")).cast("bigint").alias("mse_improved"),
+            (F.col("n_hit") * 5 >= F.col("n_exact")).cast("bigint").alias("adc_recall_ok"),
+        )
+    )
+
+
+ORACLE_ANN_PQ = """
+SELECT COUNT(*) AS n_vectors,
+       CAST(4 AS BIGINT) AS m_subspaces,
+       CAST(16 AS BIGINT) AS k_codes,
+       CAST(1 AS BIGINT) AS mse_improved,
+       CAST(1 AS BIGINT) AS adc_recall_ok
+FROM embeddings
+"""
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram conditional log-probability
     ln(c(prev,tok)/c(prev,·)) under the corpus's own bigram counts — the
@@ -1877,6 +1961,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "quantize_int8": q_quantize_int8,
     "unigram_logprob": q_unigram_logprob,
+    "ann_pq": q_ann_pq,
     "bigram_logprob": q_bigram_logprob,
     "vocab_coverage": q_vocab_coverage,
     "length_deciles": q_length_deciles,
@@ -1923,6 +2008,7 @@ ORACLES = {
     "pmi_pairs": ORACLE_PMI_PAIRS,
     "quantize_int8": ORACLE_QUANTIZE_INT8,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "ann_pq": ORACLE_ANN_PQ,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "length_deciles": ORACLE_LENGTH_DECILES,

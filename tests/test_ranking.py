@@ -114,3 +114,29 @@ def test_semdedup_block_cap_is_lossless_and_bounds_fanout(spark):
     hot_nb = blocked.agg(F.max("nb")).first()[0]
     assert hot_nb > 1                      # the hot cluster really was split
     assert per_key <= 8 * 3                # bounded: cap x hash-imbalance slack
+
+
+def test_pq_reconstruction_error_falls_with_geometry(spark, sf_dir):
+    """PQ invariants: codes stay in [0,k), reconstructions have the full
+    dimension, every vector is encoded exactly once, and MSE falls
+    monotonically as subspaces multiply (m=4 -> m=16)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import pq_reconstruct
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    mses = []
+    for m in (4, 16):
+        pq = pq_reconstruct(emb, dim=64, m=m, k=16)
+        rows = pq.collect()
+        assert len(rows) == n
+        assert all(len(r["recon"]) == 64 and len(r["codes"]) == m for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["codes"])
+        mses.append(
+            sum(
+                sum((a - b) ** 2 for a, b in zip(r["v"], r["recon"]))
+                for r in rows
+            )
+            / n
+        )
+    assert mses[1] < mses[0], mses
