@@ -389,6 +389,79 @@ def semdedup_pairs(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the production cluster-scale ANN layout
+    (Jégou et al.): a coarse IVF quantizer partitions the corpus into
+    inverted lists, and each vector's RESIDUAL from its coarse centroid is
+    product-quantized.  At serving time a query probes its n_probe nearest
+    lists and ranks candidates by cosine against (coarse centroid +
+    reconstructed residual) — raw vectors are never touched after
+    indexing, so the searchable state is m·log2(pq_k) bits per vector plus
+    two broadcastable codebooks.
+
+    Spark shape: coarse centroids and PQ codebooks broadcast; the corpus
+    shuffles once at index build (list assignment); the probe join is
+    equality-keyed on the list id.  Returns (query_id, rank, neighbor_id,
+    sim) ranked by the approximate similarity."""
+    from pyspark.sql import Window
+
+    coarse = ivf_build_centroids(corpus, id_col, vec_col, n_centroids, n_iters=2)
+    assigned = ivf_assign(corpus, coarse, id_col, vec_col).join(
+        F.broadcast(coarse), "centroid_id"
+    )
+    residuals = assigned.select(
+        "id",
+        F.zip_with(
+            F.col("v").cast("array<double>"), F.col("centroid"), lambda a, b: a - b
+        ).alias("r"),
+    )
+    pq = pq_reconstruct(residuals, "id", "r", dim=dim, m=m, k=pq_k)
+    index = (
+        assigned.select("id", "centroid_id", "centroid")
+        .join(pq.select("id", "recon"), "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "centroid_id",
+            F.zip_with("centroid", "recon", lambda a, b: a + b).alias("approx_vec"),
+        )
+        .localCheckpoint(eager=False)  # searchable state; query side reuses it
+    )
+
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = (
+        probes.join(index, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("approx_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
