@@ -74,6 +74,8 @@ HEADLINE = [
     "vocab_coverage",
     "bigram_logprob",
     "time_weighted_value",
+    "ann_pq",
+    "ann_ivfpq",
 ]
 
 
