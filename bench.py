@@ -74,8 +74,10 @@ HEADLINE = [
     "vocab_coverage",
     "bigram_logprob",
     "time_weighted_value",
-    "ann_pq",
-    "ann_ivfpq",
+    # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table
+    # is fixed-size at every sf, so their cost is constant verdict overhead
+    # (dozens of tiny codebook jobs), not scaling behavior — same reason
+    # simhash_neardup isn't in the headline set
 ]
 
 
