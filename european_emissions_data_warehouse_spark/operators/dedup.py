@@ -377,15 +377,17 @@ def connected_components_star(
         ).first()
         return (row["n"], row["x"], row["s"])
 
+    # lazy: each frame materializes inside its first consuming job (the
+    # checksum action) instead of a separate blocking pass
     edges = canon(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")), "u", "v"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     edges_sum = checksum(edges)
     n_nodes_seen = (
         edges.select(F.col("lo").alias("id"))
         .unionByName(edges.select(F.col("hi").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iters):
@@ -411,7 +413,7 @@ def connected_components_star(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        nxt = canon(out, "a", "b").localCheckpoint(eager=True)
+        nxt = canon(out, "a", "b").localCheckpoint(eager=False)
 
         nxt_sum = checksum(nxt)
         if nxt_sum == edges_sum:
