@@ -303,7 +303,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.id).select(
@@ -313,7 +313,8 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the `changed` count that follows
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
