@@ -74,6 +74,8 @@ HEADLINE = [
     "vocab_coverage",
     "bigram_logprob",
     "time_weighted_value",
+    "chunk_dedup",
+    "bpe_pair_counts",
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table
     # is fixed-size at every sf, so their cost is constant verdict overhead
     # (dozens of tiny codebook jobs), not scaling behavior — same reason

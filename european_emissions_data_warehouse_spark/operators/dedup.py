@@ -626,3 +626,86 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 16,
+) -> DataFrame:
+    """Segment-level exact dedup: RefinedWeb/Dolma-style "line dedup" with
+    fixed-width word chunks standing in for lines (this corpus has no
+    newlines).  Every doc is split into consecutive ``chunk_words``-word
+    chunks; a chunk whose text occurs elsewhere in the corpus survives only
+    at its globally-first occurrence (smallest ``(doc_id, chunk_idx)``);
+    each doc is then reassembled from its surviving chunks in order.  This
+    removes boilerplate shared across documents (headers, footers, license
+    blocks) that document-level exact dedup cannot see.
+
+    Output: ``(doc_id, n_chunks, n_kept, dedup_text)``.
+
+    Scale shape: the first-occurrence decision shuffles ONCE, keyed on the
+    128-bit :func:`content_keys` hash of the chunk — 16-byte keys, same
+    contract as :func:`dedup_exact`; chunk bodies ride that exchange only
+    because they must reach reassembly anyway (key size, not payload size,
+    is what dedup keeps off the wire).  Reassembly is one further shuffle
+    keyed on the 8-byte doc id.  Collision safety: min/max chunk length per
+    hash group must agree or the job fails loudly.
+    """
+    from pyspark.sql import Window
+
+    w = int(chunk_words)
+    # Materialize the token array once: inlining the split into the
+    # transform lambda would re-split the document per chunk reference
+    # (no CSE in interpreted HOF eval — see _rolling_grams above).
+    tokenized = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    chunks = tokenized.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(_toks) / {w}.0)) - 1),"
+                f" i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    h1, h2 = content_keys(F.col("chunk"))
+    keyed = chunks.select("_id", "chunk_idx", "chunk", h1.alias("_h1"), h2.alias("_h2"))
+    win = Window.partitionBy("_h1", "_h2")
+    first = F.min(F.struct("_id", "chunk_idx")).over(win)
+    lmin = F.min(F.length("chunk")).over(win)
+    lmax = F.max(F.length("chunk")).over(win)
+    marked = keyed.select(
+        "_id",
+        "chunk_idx",
+        "chunk",
+        # the collision check feeds the kept flag so it cannot be pruned
+        F.when(
+            lmin == lmax,
+            (first == F.struct("_id", "chunk_idx")),
+        )
+        .otherwise(
+            F.raise_error(F.lit("chunk_dedup: 128-bit content-hash collision")).cast("boolean")
+        )
+        .alias("_kept"),
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_kept"), F.struct("chunk_idx", "chunk")))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(F.col("_id").alias("doc_id"), "n_chunks", "n_kept", "dedup_text")
+    )

@@ -547,6 +547,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path over semi-structured props: ``parse_json`` once
+    into the shredded binary encoding, then typed ``try_variant_get``
+    accesses.  At scale this beats per-field ``get_json_object`` because the
+    parse cost is paid once per row, not once per field reference, and the
+    binary form column-prunes; missing/mistyped fields degrade to NULL
+    (counted here) instead of failing the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int").cast("long")
+    missing = F.try_variant_get("v", "$.absent", "int").cast("long")
+    return (
+        v.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("m").alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(CAST(json_extract(props, '$.absent') AS BIGINT)) AS n_absent
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the same logical plan as
+    a nested SELECT, written as a linear pipeline — each stage is parsed
+    into the identical Catalyst operators, so pipe queries optimize exactly
+    like classic SQL (pushdown, partial agg, AQE all apply)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> EXTEND l_extendedprice * (1 - l_discount) AS revenue
+        |> AGGREGATE COUNT(*) AS n_items, ROUND(SUM(revenue), 2) AS total_revenue
+           GROUP BY l_returnflag
+        |> WHERE n_items > 0
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+ORACLE_PIPE_SYNTAX = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem WHERE l_quantity >= 10
+GROUP BY l_returnflag HAVING COUNT(*) > 0 ORDER BY l_returnflag
+"""
+
+
 # --- CSV source round-trip ----------------------------------------------------
 
 
@@ -3323,6 +3383,8 @@ QUERIES = {
     "cube_status": q_cube,
     "grouping_sets": q_grouping_sets,
     "json_extract": q_json_extract,
+    "variant_extract": q_variant_extract,
+    "pipe_syntax_summary": q_pipe_syntax_summary,
     "csv_roundtrip": q_csv_roundtrip,
     "scalar_funcs": q_scalar_funcs,
     "events_hourly": q_events_hourly,
@@ -3414,6 +3476,8 @@ ORACLES = {
     "cube_status": ORACLE_CUBE,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "json_extract": ORACLE_JSON_EXTRACT,
+    "variant_extract": ORACLE_VARIANT_EXTRACT,
+    "pipe_syntax_summary": ORACLE_PIPE_SYNTAX,
     "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "events_hourly": ORACLE_EVENTS_HOURLY,

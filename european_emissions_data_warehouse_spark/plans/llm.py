@@ -31,11 +31,13 @@ from european_emissions_data_warehouse_spark.functions.text import (
     ws_token_count,
 )
 from european_emissions_data_warehouse_spark.operators.dedup import (
+    chunk_dedup,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_pair_counts
 from european_emissions_data_warehouse_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
@@ -1979,8 +1981,61 @@ ORDER BY 1
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (RefinedWeb/Dolma line-dedup, 16-word chunks
+    standing in for lines): shared boilerplate survives only at its first
+    corpus occurrence; docs are reassembled from surviving chunks."""
+    return chunk_dedup(load_table(spark, sf_dir, "documents"), chunk_words=16)
+
+
+ORACLE_CHUNK_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(toks[(CAST(i AS INT) * 16 + 1):(CAST(i AS INT) * 16 + 16)], ' ') AS chunk
+  FROM base, UNNEST(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS t(i)
+), marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+         AS dedup_text
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the data-parallel count step: top adjacent
+    char-pair frequencies over the corpus vocabulary (the arg-max row is
+    the first merge rule a BPE trainer would emit)."""
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=20)
+
+
+ORACLE_BPE_PAIR_COUNTS = r"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wfreq
+  FROM words, UNNEST(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "chunk_dedup": q_chunk_dedup,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
@@ -2029,6 +2084,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "chunk_dedup": ORACLE_CHUNK_DEDUP,
+    "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

@@ -188,3 +188,55 @@ def test_source_mixture_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert r.n_tokens > 0
         assert abs(r.tokens_per_doc - r.n_tokens / r.n_docs) < 1e-12
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """Hand-built corpus with 2-word chunks: shared boilerplate survives
+    only at its first (doc_id, chunk_idx); docs reassemble in chunk order;
+    a doc made entirely of already-seen chunks dedups to empty text."""
+    from european_emissions_data_warehouse_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),          # chunks: "aa bb", "cc dd"
+            (2, "aa bb ee ff"),          # "aa bb" already seen in doc 1
+            (3, "cc dd cc dd"),          # both chunks already seen
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(docs, chunk_words=2).collect()
+    }
+    assert (out[1]["n_chunks"], out[1]["n_kept"], out[1]["dedup_text"]) == (2, 2, "aa bb cc dd")
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["dedup_text"]) == (2, 1, "ee ff")
+    assert (out[3]["n_chunks"], out[3]["n_kept"], out[3]["dedup_text"]) == (2, 0, "")
+
+
+def test_chunk_dedup_ragged_tail_chunk(spark):
+    """A doc whose word count is not a multiple of the chunk width gets a
+    short tail chunk, deduped like any other."""
+    from european_emissions_data_warehouse_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "cc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"], out[1]["dedup_text"]) == (2, 2, "aa bb cc")
+    # doc 2's single chunk "cc" equals doc 1's tail chunk -> removed
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["dedup_text"]) == (1, 0, "")
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    """BPE count step on a corpus small enough to count by hand: word
+    frequencies weight the char pairs, top rows sort by count then pair."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab"), (2, "ab x")],  # freqs: ab=2, abc=1, x=1
+        "doc_id long, text string",
+    )
+    rows = [(r["pair"], r["pair_count"]) for r in bpe_pair_counts(docs, top_n=10).collect()]
+    # pairs: "ab" from abc(1)+ab(2) = 3; "bc" from abc = 1; x has no pair
+    assert rows == [("ab", 3), ("bc", 1)]

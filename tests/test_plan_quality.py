@@ -191,11 +191,23 @@ def test_exact_dedup_shuffles_hash_keys_not_text(spark, sf_dir):
     pair, never on the document body (VERDICT r2 item #2).  The guard is
     both negative (no text-named partition key) and positive (the hash
     columns are the keys), so a rename can't silently satisfy it."""
-    for name in ("dedup_exact", "corpus_prep"):
+    for name in ("dedup_exact", "corpus_prep", "chunk_dedup"):
         plan = _executed(entry_mod.queries()[name](spark, sf_dir))
-        for key in ("hashpartitioning(text#", "hashpartitioning(ctext#"):
+        for key in ("hashpartitioning(text#", "hashpartitioning(ctext#", "hashpartitioning(chunk#"):
             assert key not in plan, (name, plan)
         assert "_h1#" in plan and "_h2#" in plan, (name, plan)
+
+
+def test_bpe_pair_counts_is_vocab_sized_topk(spark, sf_dir):
+    """bpe_pair_counts: the pair expansion must hang off the word-frequency
+    AGGREGATE (vocabulary-sized), not the raw token stream, and the final
+    top-n must be TakeOrderedAndProject, not a global sort."""
+    plan = _executed(entry_mod.queries()["bpe_pair_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the explode feeding the pair aggregate sits above the word-count
+    # aggregate: two hash aggregates, generator between them
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 stages
+    assert "Generate explode" in plan, plan
 
 
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
