@@ -37,10 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round (dedup_exact / corpus_prep now shuffle on xxhash64 keys; semdedup
 # gained a per-cluster size cap), then queries newly added in round 3, then
 # high-value re-validations.  After this rotation every registered query has
-# a green driver row in at least one round — EXCEPT the four added after
+# a green driver row in at least one round — EXCEPT the six added after
 # this round's window filled (chunk_dedup, bpe_pair_counts, variant_extract,
-# pipe_syntax_summary): they are replica-gate green at sf0.001 and sf0.01
-# and rotate to the FRONT of round 4's window.
+# pipe_syntax_summary, corpus_shuffle, padding_efficiency): they are
+# replica-gate green at sf0.001 and sf0.01 and rotate to the FRONT of
+# round 4's window.
 _GRADE_FIRST = [
     # --- the 26 queries with no driver CORRECTNESS row yet (rounds 1+2) ---
     "date_spine",

@@ -76,6 +76,7 @@ HEADLINE = [
     "time_weighted_value",
     "chunk_dedup",
     "bpe_pair_counts",
+    "corpus_shuffle",
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table
     # is fixed-size at every sf, so their cost is constant verdict overhead
     # (dozens of tiny codebook jobs), not scaling behavior — same reason

@@ -1981,6 +1981,91 @@ ORDER BY 1
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global example shuffle for training-data writes: every
+    doc gets a seeded md5 digest (cross-engine exact, unlike xxhash64), the
+    digest's top 32 bits pick one of 8 output shards, and the digest orders
+    examples WITHIN each shard.  This is the standard distributed corpus
+    shuffle: reproducible (seed string), uniform (digest bits), and
+    parallel — each shard sorts independently (shard count scales with the
+    cluster; shards = output files), so no global sort ever exists.
+    Output: (doc_id, shard, shard_pos)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dg = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    sharded = docs.select(
+        "doc_id",
+        dg.alias("_dg"),
+        (F.conv(F.substring(dg, 1, 8), 16, 10).cast("long") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_dg", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH s AS (
+  SELECT doc_id,
+         md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS dg
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(dg, 1, 8))::BIGINT % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY ('0x' || substr(dg, 1, 8))::BIGINT % 8
+              ORDER BY dg, doc_id) AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching profile: cap each doc at 128 whitespace
+    tokens, assign it the smallest 32-multiple bucket that fits, and report
+    per-bucket padding waste vs padding every example to the fixed 128 max
+    — the report a batching layer uses to size inference/training buckets.
+    Pure integer arithmetic end-to-end (exact cross-engine); one map-side
+    pass plus a 4-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    capped = F.least(n, F.lit(128))
+    bucket = (F.floor((capped + 31) / 32) * 32).cast("long")
+    return (
+        docs.select(capped.alias("_c"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").cast("long").alias("useful_tokens"),
+            F.sum(F.col("bucket_len") - F.col("_c")).cast("long").alias("pad_bucketed"),
+            F.sum(128 - F.col("_c")).cast("long").alias("pad_fixed"),
+            F.round(
+                100.0 * F.sum(F.col("bucket_len") - F.col("_c")) / F.sum("bucket_len"), 2
+            ).alias("pad_pct"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+ORACLE_PADDING_EFFICIENCY = r"""
+WITH d AS (
+  SELECT LEAST(len(string_split_regex(trim(text), '\s+')), 128) AS c
+  FROM documents
+), b AS (
+  SELECT c, ((c + 31) // 32) * 32 AS bucket_len FROM d
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS useful_tokens,
+       CAST(SUM(bucket_len - c) AS BIGINT) AS pad_bucketed,
+       CAST(SUM(128 - c) AS BIGINT) AS pad_fixed,
+       ROUND(100.0 * SUM(bucket_len - c) / SUM(bucket_len), 2) AS pad_pct
+FROM b GROUP BY bucket_len ORDER BY bucket_len
+"""
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup (RefinedWeb/Dolma line-dedup, 16-word chunks
     standing in for lines): shared boilerplate survives only at its first
@@ -2035,6 +2120,8 @@ ORDER BY pair_count DESC, pair ASC LIMIT 20
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
+    "corpus_shuffle": q_corpus_shuffle,
+    "padding_efficiency": q_padding_efficiency,
     "bpe_pair_counts": q_bpe_pair_counts,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -2085,6 +2172,8 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "chunk_dedup": ORACLE_CHUNK_DEDUP,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "padding_efficiency": ORACLE_PADDING_EFFICIENCY,
     "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,

@@ -108,3 +108,34 @@ def test_stratified_sample_drops_unlisted_strata(spark, sf_dir):
     only_en = stratified_sample(docs, "lang", {"en": 1.0}, seed=7)
     assert only_en.select("lang").distinct().collect() == [("en",)]
     assert only_en.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_corpus_shuffle_is_deterministic_partition_of_corpus(spark, sf_dir):
+    """Every doc lands in exactly one shard (0..7); positions within a
+    shard are dense 1..n; a second run is bit-identical (seeded digest)."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["corpus_shuffle"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(a) == n_docs
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] <= 7
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_padding_efficiency_bucketed_never_worse_than_fixed(spark, sf_dir):
+    """Bucketed padding is pointwise <= fixed-128 padding, and useful+pad
+    reconstructs each bucket's token budget exactly."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["padding_efficiency"](spark, sf_dir).collect()
+    assert rows, "empty report"
+    for r in rows:
+        assert r["pad_bucketed"] <= r["pad_fixed"]
+        assert r["useful_tokens"] + r["pad_bucketed"] == r["bucket_len"] * r["n_docs"]
