@@ -645,13 +645,18 @@ def chunk_dedup(
 
     Output: ``(doc_id, n_chunks, n_kept, dedup_text)``.
 
-    Scale shape: the first-occurrence decision shuffles ONCE, keyed on the
-    128-bit :func:`content_keys` hash of the chunk — 16-byte keys, same
-    contract as :func:`dedup_exact`; chunk bodies ride that exchange only
-    because they must reach reassembly anyway (key size, not payload size,
-    is what dedup keeps off the wire).  Reassembly is one further shuffle
-    keyed on the 8-byte doc id.  Collision safety: min/max chunk length per
-    hash group must agree or the job fails loudly.
+    Scale shape: the dedup DECISION path shuffles only ~32-byte
+    (id, idx, len, h1, h2) rows — chunk strings are hashed map-side into
+    the 128-bit :func:`content_keys` identity and dropped before the
+    first-occurrence window; the per-doc verdict then collapses to a kept
+    chunk-index array (one small shuffle keyed on the 8-byte doc id).
+    Document bodies cross at most ONE exchange: the doc-id join that
+    re-derives surviving chunk text from a second column-pruned corpus
+    scan (zero exchanges if the lake is bucketed by doc id — the join
+    co-locates for free), versus TWO body exchanges in the
+    carry-the-text design (hash window, then reassembly groupBy).
+    Collision safety: min/max chunk length per hash group must agree or
+    the job fails loudly.
     """
     from pyspark.sql import Window
 
@@ -663,7 +668,7 @@ def chunk_dedup(
         F.col(id_col).cast("long").alias("_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
     )
-    chunks = tokenized.select(
+    chunked = tokenized.select(
         "_id",
         F.posexplode(
             F.expr(
@@ -673,15 +678,22 @@ def chunk_dedup(
         ).alias("chunk_idx", "chunk"),
     )
     h1, h2 = content_keys(F.col("chunk"))
-    keyed = chunks.select("_id", "chunk_idx", "chunk", h1.alias("_h1"), h2.alias("_h2"))
+    # the chunk body is dropped here — only its 128-bit identity (plus a
+    # 4-byte length for the collision check) ever reaches an exchange
+    keyed = chunked.select(
+        "_id",
+        "chunk_idx",
+        F.length("chunk").alias("_clen"),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+    )
     win = Window.partitionBy("_h1", "_h2")
     first = F.min(F.struct("_id", "chunk_idx")).over(win)
-    lmin = F.min(F.length("chunk")).over(win)
-    lmax = F.max(F.length("chunk")).over(win)
+    lmin = F.min("_clen").over(win)
+    lmax = F.max("_clen").over(win)
     marked = keyed.select(
         "_id",
         "chunk_idx",
-        "chunk",
         # the collision check feeds the kept flag so it cannot be pruned
         F.when(
             lmin == lmax,
@@ -692,20 +704,22 @@ def chunk_dedup(
         )
         .alias("_kept"),
     )
-    return (
-        marked.groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(F.col("_kept"), F.struct("chunk_idx", "chunk")))
-                    ),
-                    lambda x: x["chunk"],
-                ),
-                " ",
-            ).alias("dedup_text"),
-        )
-        .select(F.col("_id").alias("doc_id"), "n_chunks", "n_kept", "dedup_text")
+    verdicts = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.sort_array(F.collect_list(F.when(F.col("_kept"), F.col("chunk_idx")))).alias(
+            "_keep_idxs"
+        ),
+    )
+    return tokenized.join(verdicts, "_id").select(
+        F.col("_id").alias("doc_id"),
+        "n_chunks",
+        "n_kept",
+        F.array_join(
+            F.transform(
+                F.col("_keep_idxs"),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, w), " "),
+            ),
+            " ",
+        ).alias("dedup_text"),
     )
