@@ -30,18 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  Rounds 1+2
-# together produced green rows for 98 of the 124 registered queries; round 3
-# front-loads the remaining 26 (every entry added after round 2's window was
-# frozen — including the four llm additions dsir_weights, mixture_temperature,
-# pmi_pairs, quantize_int8), then any query whose implementation changed this
-# round (dedup_exact / corpus_prep now shuffle on xxhash64 keys; semdedup
-# gained a per-cluster size cap), then queries newly added in round 3, then
-# high-value re-validations.  After this rotation every registered query has
-# a green driver row in at least one round — EXCEPT the six added after
-# this round's window filled (chunk_dedup, bpe_pair_counts, variant_extract,
-# pipe_syntax_summary, corpus_shuffle, padding_efficiency): they are
-# replica-gate green at sf0.001 and sf0.01 and rotate to the FRONT of
-# round 4's window.
+# together produced green rows for 98 of the 124 then-registered queries;
+# round 3 front-loads the remaining 26 (every entry added after round 2's
+# window was frozen — including the four llm additions dsir_weights,
+# mixture_temperature, pmi_pairs, quantize_int8), then every query newly
+# added in round 3.  52 queries lack a driver row and the window holds 50,
+# so two defer: _DEFER_NEXT_ROUND names them explicitly (replica-gate green
+# at sf0.001 and sf0.01; they rotate to the FRONT of round 4's window, and
+# tests/test_driver_contract.py fails if a deferral is ever silent).
+# Queries whose implementation changed this round but which already hold
+# green r1/r2 rows (dedup_exact, corpus_prep, semdedup, minhash_neardup)
+# yield their slots to never-graded entries — their unchanged oracles keep
+# verifying them through the replica gate.
 _GRADE_FIRST = [
     # --- the 26 queries with no driver CORRECTNESS row yet (rounds 1+2) ---
     "date_spine",
@@ -70,10 +70,6 @@ _GRADE_FIRST = [
     "mixture_temperature",
     "pmi_pairs",
     "quantize_int8",
-    # --- implementation changed in round 3: re-grade against unchanged oracles ---
-    "dedup_exact",
-    "corpus_prep",
-    "semdedup",
     # --- new round-3 queries (every addition this round must appear here) ---
     "nation_trade_volume",
     "market_share",
@@ -95,11 +91,25 @@ _GRADE_FIRST = [
     "repeat_buyer_share",
     "ann_pq",
     "ann_ivfpq",
-    # --- high-value re-validations filling the remainder of the window ---
-    # (etl_flagship keeps its r1+r2 green rows and runs every round via the
-    #  entry() smoke; minhash_neardup re-grades because its implementation
-    #  changed this round)
-    "minhash_neardup",
+    # --- added late in round 3, still never driver-graded ---
+    "chunk_dedup",
+    "bpe_pair_counts",
+    "variant_extract",
+    "pipe_syntax_summary",
+]
+
+# Ungraded queries that do NOT fit this round's 50-entry window (52 lack a
+# driver row).  Both are replica-gate green (tests/test_oracle_parity.py runs
+# the driver's exact rows+schema+hash protocol over them at sf0.001; README
+# records the same at sf0.01) and MUST lead round 4's _GRADE_FIRST.  The
+# contract guard asserts the set of ungraded-outside-window queries equals
+# exactly this list — a silent deferral fails the suite.
+_DEFER_NEXT_ROUND = [
+    "corpus_shuffle",
+    "padding_efficiency",
+    # continuation-session additions (window already full this round):
+    "important_parts",        # TPC-H Q11 shape — completes the 22/22 sweep
+    "supplier_part_variety",  # TPC-H Q16 shape
 ]
 
 

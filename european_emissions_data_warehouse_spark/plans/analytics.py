@@ -3364,6 +3364,118 @@ ORDER BY depth
 """
 
 
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: per-part "inventory" value shipped by NATION_19's
+    suppliers, keeping only parts whose value exceeds 0.1% of the nation's
+    total — the GROUP BY ... HAVING > (scalar subquery) shape.  The testdata
+    lake has no partsupp table, so lineitem is the supplier×part fact
+    (reference warehouse: one fact, ad-hoc SQL on top —
+    /root/reference/scripts/lambda_handler_warehouse.py).
+
+    Scale: the nation filter semi-joins into the fact through a broadcast
+    (25-row dim chain), so the only exchange is the per-part aggregation;
+    the global total re-aggregates the SAME per-part frame (no second fact
+    scan) and broadcasts one scalar back.  Cross-engine determinism: value
+    is summed in exact fixed-point (price×(1−disc) has exactly 4 decimals →
+    bigint e4 units), so the HAVING comparison 1000×value > total is
+    integer arithmetic — no float sum-order flakiness on threshold rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n7_supp = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_19")),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey")
+    )
+    fact = li.join(F.broadcast(n7_supp), li.l_suppkey == n7_supp.s_suppkey, "left_semi")
+    value_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    # Materialize the small per-part rollup once: the grand total AND the
+    # HAVING filter both read it, and Spark's ReuseExchange does not
+    # deduplicate the two lineages (verified on the executed plan) — without
+    # this the 100 TB fact would be scanned twice.
+    per_part = (
+        fact.groupBy("l_partkey")
+        .agg(F.sum(value_e4).alias("value_e4"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * 1000 > F.col("total_e4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _r2(F.col("value_e4") / 10000).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH fact AS (
+  SELECT l.l_partkey,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+           AS value_e4
+  FROM lineitem l
+  WHERE EXISTS (
+    SELECT 1 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_19')
+), per_part AS (
+  SELECT l_partkey, SUM(value_e4) AS value_e4 FROM fact GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, ROUND(value_e4 / 10000.0, 2) AS part_value
+FROM per_part
+WHERE value_e4 * 1000 > (SELECT SUM(value_e4) FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: how many distinct suppliers ship each surviving
+    (brand, type, size) part class — excluding one brand, one type family,
+    a size list, and (via NOT IN) suppliers with negative balances (the
+    testdata's stand-in for Q16's complaint-comment filter).
+
+    Scale: part-attribute predicates push to the part scan; the filtered
+    part dim and the (6-row) bad-supplier exclusion both broadcast, so
+    lineitem is scanned once with no shuffle before the final
+    count-distinct aggregation on the 3 class keys.  COUNT(DISTINCT)
+    over integer keys — exact, engine-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    classes = part.filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    fact = li.join(
+        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    ).join(F.broadcast(classes), li.l_partkey == classes.p_partkey)
+    return (
+        fact.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_SUPPLIER_PART_VARIETY = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -3455,6 +3567,8 @@ QUERIES = {
     "time_weighted_value": q_time_weighted_value,
     "monthly_growth": q_monthly_growth,
     "repeat_buyer_share": q_repeat_buyer_share,
+    "important_parts": q_important_parts,
+    "supplier_part_variety": q_supplier_part_variety,
 }
 
 ORACLES = {
@@ -3548,4 +3662,6 @@ ORACLES = {
     "time_weighted_value": ORACLE_TIME_WEIGHTED_VALUE,
     "monthly_growth": ORACLE_MONTHLY_GROWTH,
     "repeat_buyer_share": ORACLE_REPEAT_BUYER_SHARE,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "supplier_part_variety": ORACLE_SUPPLIER_PART_VARIETY,
 }
