@@ -110,6 +110,9 @@ _DEFER_NEXT_ROUND = [
     # continuation-session additions (window already full this round):
     "important_parts",        # TPC-H Q11 shape — completes the 22/22 sweep
     "supplier_part_variety",  # TPC-H Q16 shape
+    "bpe_apply_merge",        # tokenizer training: apply the learned merge
+    "heavy_hitters_cms",      # count-min sketch frequency estimation
+    "mutual_nn",              # bitext-style mutual-NN pair mining
 ]
 
 

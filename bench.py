@@ -77,6 +77,12 @@ HEADLINE = [
     "chunk_dedup",
     "bpe_pair_counts",
     "corpus_shuffle",
+    "important_parts",
+    "supplier_part_variety",
+    "bpe_apply_merge",
+    "heavy_hitters_cms",
+    # mutual_nn is excluded like ann_pq: embeddings is not sf-proportional,
+    # so its O(n_a*n_b) exact baseline isn't a scaling signal
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table
     # is fixed-size at every sf, so their cost is constant verdict overhead
     # (dozens of tiny codebook jobs), not scaling behavior — same reason

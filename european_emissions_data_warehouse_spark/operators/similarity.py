@@ -618,3 +618,57 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def mutual_nn_pairs(
+    vectors: DataFrame,
+    group_a,
+    group_b,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Bitext-style pair mining (the CCMatrix/LASER margin recipe): the
+    cross-group pairs that are MUTUAL cosine nearest neighbors — a is b's
+    top-1 among group_a AND b is a's top-1 among group_b — plus a's margin
+    (top-1 sim minus runner-up sim; a difference of two bit-exact values,
+    so it is itself engine-exact, unlike ratio-to-mean margins whose
+    summation order varies).
+
+    Output: ``(id_a, id_b, sim, margin_a)`` rounded to 4 decimals;
+    ``margin_a`` is NULL when group_b has a single vector.
+
+    Shape: both rank directions and the margin LEAD ride as stacked window
+    functions over ONE scored frame — the cross join is evaluated once.
+    This is the exact all-pairs baseline (same contract as
+    :func:`cosine_neardup_pairs`); at corpus scale the scored frame comes
+    from an ANN candidate stage (``ivf_topk``/``lsh_topk`` buckets) instead
+    of the cross join, and the mutual/margin logic is unchanged.
+    """
+    a = vectors.filter(F.col(group_col) == group_a).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = vectors.filter(F.col(group_col) == group_b).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .select("id_a", "id_b", "sim")
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.col("sim").desc(), F.col("id_a"))
+    ranked = (
+        scored.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("next_sim", F.lead("sim").over(wa))
+        .withColumn("rn_b", F.row_number().over(wb))
+    )
+    return (
+        ranked.filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("sim"), 4).alias("sim"),
+            F.round(F.col("sim") - F.col("next_sim"), 4).alias("margin_a"),
+        )
+    )

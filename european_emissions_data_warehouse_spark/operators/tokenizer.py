@@ -54,3 +54,52 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_n: int = 20) ->
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The other half of one BPE training iteration: APPLY the arg-max merge
+    rule the count step just learned, and report its exact corpus-wide
+    effect — one row ``(merge_pair, words_touched, merges_applied,
+    symbols_before, symbols_after)``.
+
+    Both halves run on the vocabulary table, never the corpus: the word
+    frame is materialized once (vocabulary-sized — the localCheckpoint is a
+    <10⁷-row frame even at 100 TB) and feeds BOTH the rule derivation and
+    the rule application, so the petabyte token stream is scanned exactly
+    once.  The merge rule travels as a broadcast 1-row frame — no
+    driver-side collect.  Replacement counting is pure integer arithmetic
+    ((len - len(replace(word, pair, ''))) / 2 — every non-overlapping
+    left-to-right occurrence shortens the word by exactly 2), so the
+    summary is bit-identical in any engine.
+    """
+    words = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+    pairs = words.filter(F.length("word") >= 2).select(
+        "wfreq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    rule = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    applied = words.crossJoin(F.broadcast(rule)).select(
+        F.col("pair"),
+        "wfreq",
+        F.length("word").alias("len_before"),
+        F.length(F.replace(F.col("word"), F.col("pair"), F.lit(""))).alias("len_stripped"),
+        F.col("word").contains(F.col("pair")).alias("touched"),
+    )
+    merges = (F.col("len_before") - F.col("len_stripped")) / 2
+    return applied.groupBy(F.col("pair").alias("merge_pair")).agg(
+        F.sum(F.when(F.col("touched"), 1).otherwise(0)).alias("words_touched"),
+        F.sum(F.col("wfreq") * merges).cast("bigint").alias("merges_applied"),
+        F.sum(F.col("wfreq") * F.col("len_before")).alias("symbols_before"),
+        (
+            F.sum(F.col("wfreq") * F.col("len_before"))
+            - F.sum(F.col("wfreq") * merges).cast("bigint")
+        ).alias("symbols_after"),
+    )

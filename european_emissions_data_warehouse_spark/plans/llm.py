@@ -37,7 +37,14 @@ from european_emissions_data_warehouse_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_pair_counts
+from european_emissions_data_warehouse_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+)
+from european_emissions_data_warehouse_spark.operators.tokenizer import (
+    bpe_apply_merge,
+    bpe_pair_counts,
+)
 from european_emissions_data_warehouse_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
@@ -45,6 +52,7 @@ from european_emissions_data_warehouse_spark.operators.multimodal import (
 from european_emissions_data_warehouse_spark.operators.ranking import bm25_topk, tfidf_top_terms
 from european_emissions_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
+    mutual_nn_pairs,
     cosine_neardup_pairs,
     ivf_topk,
     kmeans_exact,
@@ -2137,12 +2145,138 @@ ORDER BY pair_count DESC, pair ASC LIMIT 20
 """
 
 
+def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, the merge-application half of an iteration: apply the
+    arg-max rule the count step learned and report its exact corpus effect
+    (one summary row, all-bigint)."""
+    return bpe_apply_merge(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BPE_APPLY_MERGE = r"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wfreq
+  FROM words, UNNEST(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+), rule AS (
+  SELECT pair FROM pairs GROUP BY pair ORDER BY SUM(wfreq) DESC, pair ASC LIMIT 1
+)
+SELECT r.pair AS merge_pair,
+       CAST(SUM(CASE WHEN contains(w.word, r.pair) THEN 1 ELSE 0 END) AS BIGINT)
+         AS words_touched,
+       CAST(SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2)
+         AS BIGINT) AS merges_applied,
+       CAST(SUM(w.wfreq * length(w.word)) AS BIGINT) AS symbols_before,
+       CAST(SUM(w.wfreq * length(w.word))
+            - SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2)
+         AS BIGINT) AS symbols_after
+FROM words w, rule r
+GROUP BY r.pair
+"""
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, verdict-shaped: the exact
+    top-10 corpus tokens (oracle-checkable), each carrying the sketch's
+    no-undercount guarantee and an overcount bound of 2·depth·N/width.
+
+    One corpus scan: the vocabulary groupBy feeds the truth set, the
+    stream length N, AND the (weighted) sketch build — sketches are
+    linear, so the weighted build is bit-identical to consuming the raw
+    token stream (in production the sketch consumes the stream directly
+    and the vocabulary table never exists; that is its entire point).
+    The sketch itself is xxhash64-seeded, so the estimates have no DuckDB
+    twin — the booleans are enforced here and pinned to 1 in the oracle,
+    the companion values are exact (same protocol as minhash_neardup).
+    """
+    depth, width = 4, 4096
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .localCheckpoint(eager=True)
+    )
+    top = vocab.orderBy(F.col("true_count").desc(), F.col("token")).limit(10)
+    sketch = count_min_build(
+        vocab, depth=depth, width=width, weight_col="true_count"
+    )
+    est = count_min_estimate(top.select("token"), sketch, depth=depth, width=width)
+    n_stream = vocab.agg(F.sum("true_count").alias("n_stream"))
+    bound = F.ceil(F.lit(2.0 * depth / width) * F.col("n_stream"))
+    return (
+        top.join(est, "token")
+        .crossJoin(F.broadcast(n_stream))
+        .select(
+            "token",
+            "true_count",
+            (F.col("cms_est") >= F.col("true_count")).cast("int").alias("no_undercount"),
+            (F.col("cms_est") <= F.col("true_count") + bound)
+            .cast("int")
+            .alias("overcount_bounded"),
+        )
+        .orderBy(F.col("true_count").desc(), "token")
+    )
+
+
+ORACLE_HEAVY_HITTERS_CMS = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count,
+       1 AS no_undercount, 1 AS overcount_bounded
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY true_count DESC, token LIMIT 10
+"""
+
+
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style mining across embedding groups: mutual cosine nearest
+    neighbors between label-0 and label-1 vectors with exact margins."""
+    return mutual_nn_pairs(
+        load_table(spark, sf_dir, "embeddings"), group_a=0, group_b=1
+    )
+
+
+ORACLE_MUTUAL_NN = """
+WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
+           FROM embeddings WHERE label = 0),
+     b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb
+           FROM embeddings WHERE label = 1),
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+           AS sim
+  FROM a, b
+), ranked AS (
+  SELECT id_a, id_b, sim,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn_a,
+         LEAD(sim) OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS next_sim,
+         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY sim DESC, id_a) AS rn_b
+  FROM scored
+)
+SELECT id_a, id_b, ROUND(sim, 4) AS sim, ROUND(sim - next_sim, 4) AS margin_a
+FROM ranked WHERE rn_a = 1 AND rn_b = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
     "corpus_shuffle": q_corpus_shuffle,
     "padding_efficiency": q_padding_efficiency,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_apply_merge": q_bpe_apply_merge,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "mutual_nn": q_mutual_nn,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
@@ -2195,6 +2329,9 @@ ORACLES = {
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "padding_efficiency": ORACLE_PADDING_EFFICIENCY,
     "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
+    "bpe_apply_merge": ORACLE_BPE_APPLY_MERGE,
+    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
+    "mutual_nn": ORACLE_MUTUAL_NN,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

@@ -240,3 +240,87 @@ def test_bpe_pair_counts_hand_example(spark):
     rows = [(r["pair"], r["pair_count"]) for r in bpe_pair_counts(docs, top_n=10).collect()]
     # pairs: "ab" from abc(1)+ab(2) = 3; "bc" from abc = 1; x has no pair
     assert rows == [("ab", 3), ("bc", 1)]
+
+
+def test_bpe_apply_merge_hand_example(spark):
+    """Applying the learned top merge on a hand-countable corpus: the rule
+    is "ab" (count 3); 'abab' shrinks by 2 symbols, 'abc'/'ab' by 1."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_apply_merge
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc"), (2, "ab x")],
+        "doc_id long, text string",
+    )
+    [r] = bpe_apply_merge(docs).collect()
+    assert r["merge_pair"] == "ab"
+    # vocab: abab(1), abc(1), ab(1), x(1)
+    assert r["words_touched"] == 3
+    assert r["merges_applied"] == 2 + 1 + 1
+    assert r["symbols_before"] == 4 + 3 + 2 + 1
+    assert r["symbols_after"] == r["symbols_before"] - r["merges_applied"]
+
+
+def test_cms_never_undercounts_and_is_bounded(spark, sf_dir):
+    """CMS invariants over EVERY distinct corpus token (not just the
+    top-10 the graded query reports): est >= true always (the structural
+    guarantee), and the sketch table never exceeds depth x width rows."""
+    from european_emissions_data_warehouse_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    depth, width = 4, 1024
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    sketch = count_min_build(vocab, depth=depth, width=width, weight_col="true_count")
+    assert sketch.count() <= depth * width
+    est = count_min_estimate(vocab.select("token"), sketch, depth=depth, width=width)
+    joined = vocab.join(est, "token")
+    assert joined.filter(F.col("cms_est") < F.col("true_count")).count() == 0
+    # a narrow sketch must still stay within the additive bound on this data
+    n = vocab.agg(F.sum("true_count")).collect()[0][0]
+    worst = joined.select(F.max(F.col("cms_est") - F.col("true_count"))).collect()[0][0]
+    assert worst <= 2.0 * depth * n / width
+
+
+def test_cms_weighted_build_equals_stream_build(spark):
+    """Sketch linearity: building from (token, count) rows equals building
+    from the exploded raw stream, counter for counter."""
+    from european_emissions_data_warehouse_spark.operators.sketches import count_min_build
+    from pyspark.sql import functions as F
+
+    stream = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], "token string"
+    )
+    vocab = stream.groupBy("token").agg(F.count(F.lit(1)).alias("w"))
+    s1 = {(r["row_j"], r["bucket"]): r["cnt"]
+          for r in count_min_build(stream, depth=3, width=16).collect()}
+    s2 = {(r["row_j"], r["bucket"]): r["cnt"]
+          for r in count_min_build(vocab, depth=3, width=16, weight_col="w").collect()}
+    assert s1 == s2
+
+
+def test_mutual_nn_pairs_invariants(spark, sf_dir):
+    """Mined pairs are truly mutual: each side appears at most once, the
+    pair's sim is the max over both partners' candidate sets, and margins
+    are non-negative."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        mutual_nn_pairs,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = mutual_nn_pairs(vecs, group_a=0, group_b=1).collect()
+    assert pairs, "labels 0/1 must mine at least one mutual pair"
+    a_ids = [r["id_a"] for r in pairs]
+    b_ids = [r["id_b"] for r in pairs]
+    assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
+    assert all(r["margin_a"] is None or r["margin_a"] >= 0 for r in pairs)
