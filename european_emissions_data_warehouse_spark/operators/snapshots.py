@@ -29,7 +29,10 @@ just remain until vacuumed).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -173,6 +176,70 @@ class SnapshotTable:
             if version is None:
                 raise ValueError(f"no commits yet at {self.path}")
         return self.spark.read.parquet(f"{self.path}/{self._manifest(version)}")
+
+    def diff(self, v_from: int, v_to: int, key: Sequence[str]) -> DataFrame:
+        """Change-data-feed between two committed versions: one row per
+        change with ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage} — the Delta-CDF row contract, recomputed from the
+        two snapshots (no per-commit change files to maintain).
+
+        Shape: one full-outer join keyed on ``key``; payload comparison is
+        a null-safe struct equality over the non-key columns, evaluated
+        inside the join projection (codegen, no Python).  Both snapshot
+        scans prune to key+payload columns; the join shuffles each side
+        once on the key — the same cost envelope as the upsert that
+        produced the new version.  Updates emit preimage AND postimage
+        rows so downstream incremental consumers can subtract/add without
+        re-reading either snapshot."""
+        key = list(key)
+        old = self.read(v_from)
+        new = self.read(v_to)
+        payload = [c for c in old.columns if c not in key]
+        if old.columns != new.columns:
+            raise ValueError(
+                f"schema changed between v{v_from} and v{v_to}: "
+                f"{old.columns} vs {new.columns}; diff requires one schema"
+            )
+        o = old.select(
+            F.struct(*key).alias("_k"), F.struct(*payload).alias("_old_p")
+        )
+        n = new.select(
+            F.struct(*key).alias("_k"), F.struct(*payload).alias("_new_p")
+        )
+        joined = o.join(n, "_k", "full_outer").select(
+            "_k",
+            "_old_p",
+            "_new_p",
+            F.when(F.col("_old_p").isNull(), F.lit("insert"))
+            .when(F.col("_new_p").isNull(), F.lit("delete"))
+            .when(F.col("_old_p").eqNullSafe(F.col("_new_p")), F.lit(None))
+            .otherwise(F.lit("update"))
+            .alias("_kind"),
+        ).filter(F.col("_kind").isNotNull())
+        unchanged_key_cols = [F.col(f"_k.{k}").alias(k) for k in key]
+
+        def side(frame_col: str, kinds: dict[str, str]) -> DataFrame:
+            mapped = F.create_map(
+                *[x for k, v in kinds.items() for x in (F.lit(k), F.lit(v))]
+            )
+            return (
+                joined.filter(F.col("_kind").isin(*kinds))
+                .select(
+                    *unchanged_key_cols,
+                    *[
+                        F.col(f"{frame_col}.{c}").alias(c)
+                        for c in payload
+                    ],
+                    mapped[F.col("_kind")].alias("_change_type"),
+                )
+            )
+
+        return (
+            side("_old_p", {"delete": "delete", "update": "update_preimage"})
+            .unionByName(
+                side("_new_p", {"insert": "insert", "update": "update_postimage"})
+            )
+        )
 
     # --- maintenance ----------------------------------------------------
 

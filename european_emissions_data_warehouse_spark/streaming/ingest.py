@@ -305,3 +305,76 @@ def run_windowed_counts(
         .start()
         .awaitTermination()
     )
+
+
+def run_sketch_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 4096,
+    seed: str = "cms",
+) -> None:
+    """Maintain a count-min sketch over a token stream (operators/
+    sketches.py, streaming form): every micro-batch builds its own
+    depth×width sketch and merges it cell-wise into the stored table.
+
+    Sketches are LINEAR — per-batch sketches add counter-for-counter — so
+    the stored table is bit-identical to the batch sketch of everything
+    ingested, no matter how the stream was chopped into micro-batches
+    (asserted by the batch-parity test).  This is the streaming answer to
+    token-frequency tracking at corpus scale: state is a constant
+    depth×width table, never a vocabulary — the stream's distinct-token
+    cardinality is irrelevant to memory.
+
+    The merge is read-modify-publish through a staging rename (the same
+    atomic-swap discipline as run_incremental_upsert): a crash between
+    write and rename leaves the previous table intact, and the replayed
+    batch re-merges from it — the checkpoint guarantees each batch merges
+    exactly once into the published lineage."""
+    from european_emissions_data_warehouse_spark.operators.sketches import (
+        count_min_build,
+    )
+
+    spark = stream.sparkSession
+
+    def swap_dirs(staging: str, final: str) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        final_p = jvm.org.apache.hadoop.fs.Path(final)
+        staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+        if fs.exists(final_p):
+            fs.delete(final_p, True)
+        fs.rename(staging_p, final_p)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = count_min_build(
+            batch, token_col=token_col, depth=depth, width=width, seed=seed
+        )
+        try:
+            old = spark.read.parquet(sketch_path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            merged = (
+                old.unionByName(delta)
+                .groupBy("row_j", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            staging = f"{sketch_path}__staging_{batch_id}"
+            merged.write.mode("overwrite").parquet(staging)
+            swap_dirs(staging, sketch_path)
+        else:
+            delta.write.mode("overwrite").parquet(sketch_path)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -101,3 +101,40 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     # predicate is NULL for the NULL row — it must survive
     v = t.delete_where(F.col("s") == "a")
     assert sorted(r["id"] for r in t.read(v).collect()) == [2, 3]
+
+
+def test_diff_change_data_feed(spark, tmp_path):
+    """diff(v0, v1) recovers exactly the applied changes with Delta-CDF row
+    types: unchanged rows are silent, updates emit pre+post images."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "id long, name string, v long"
+    )
+    t.commit(v0)
+    t.commit(v1)
+    rows = {(r["id"], r["_change_type"]): (r["name"], r["v"])
+            for r in t.diff(0, 1, key=["id"]).collect()}
+    assert rows == {
+        (2, "update_preimage"): ("b", 20),
+        (2, "update_postimage"): ("b", 99),
+        (3, "delete"): ("c", 30),
+        (4, "insert"): ("d", 40),
+    }
+    # CDF algebra: old rows - preimages - deletes + postimages + inserts = new
+    assert len({k for k in rows if k[1] in ("delete", "update_preimage")}) == 2
+
+
+def test_diff_null_payloads_and_schema_guard(spark, tmp_path):
+    """Null-safe payload comparison: NULL->NULL is unchanged, NULL->value is
+    an update; a schema change between versions fails loudly."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, None), (2, None)], "id long, v string"))
+    t.commit(spark.createDataFrame([(1, None), (2, "x")], "id long, v string"))
+    got = {(r["id"], r["_change_type"]) for r in t.diff(0, 1, key=["id"]).collect()}
+    assert got == {(2, "update_preimage"), (2, "update_postimage")}
+    t.commit(spark.createDataFrame([(1, 5)], "id long, other long"))
+    with pytest.raises(ValueError, match="schema changed"):
+        t.diff(1, 2, key=["id"])

@@ -476,3 +476,48 @@ def test_snapshot_ingest_versions_per_batch(spark, events_batch, tmp_path):
     assert t.history() == [0, 1]
     assert t.read().count() == first.count() + 20
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_sketch_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Sketch linearity across micro-batches: streaming the token stream in
+    TWO separate landing drops (maxFilesPerTrigger=1 → one merge per file)
+    yields counter-for-counter the same table as one batch build."""
+    from european_emissions_data_warehouse_spark.operators.sketches import (
+        count_min_build,
+    )
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_sketch_stream,
+        stream_from_directory,
+    )
+
+    landing = str(tmp_path / "landing")
+    sketch_path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    half_a = tokens.filter(F.crc32(F.col("token")) % 2 == 0)
+    half_b = tokens.filter(F.crc32(F.col("token")) % 2 == 1)
+    half_a.coalesce(1).write.mode("overwrite").parquet(landing)
+    half_b.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    run_sketch_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        sketch_path,
+        ckpt,
+        depth=3,
+        width=256,
+    )
+    streamed = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(sketch_path).collect()
+    }
+    batch = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in count_min_build(tokens, depth=3, width=256).collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
