@@ -113,6 +113,7 @@ _DEFER_NEXT_ROUND = [
     "bpe_apply_merge",        # tokenizer training: apply the learned merge
     "heavy_hitters_cms",      # count-min sketch frequency estimation
     "mutual_nn",              # bitext-style mutual-NN pair mining
+    "hll_distinct",           # mergeable HLL distinct-count sketches
 ]
 
 

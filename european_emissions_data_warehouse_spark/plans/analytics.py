@@ -3476,6 +3476,63 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg): per-status distinct customers
+    PLUS the cross-status union — the union is computed by merging the
+    per-group SKETCHES, never re-touching the fact, which is the entire
+    point at 100 TB: partial sketches union cell-wise like any partial
+    aggregate, and a day×source×geo cube of sketches answers any rollup's
+    cardinality without a second scan.
+
+    Verdict protocol (sketch registers are not SQL-replayable): the exact
+    companions come from one distinct (status, custkey) projection
+    (localCheckpointed — it feeds the per-group counts AND the global
+    distinct), and the oracle pins ``hll_within_5pct`` to 1 — lgConfigK=14
+    holds ~0.8% standard error, so 5% is a deterministic-pass bound at
+    every test SF, enforced here, re-checked at sf0.1 in pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        orders.select("o_orderstatus", "o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per = pairs.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("_sk"),
+    )
+    all_row = pairs.agg(
+        F.lit("__all__").alias("o_orderstatus"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    ).crossJoin(per.agg(F.hll_union_agg("_sk").alias("_sk")))
+    est = F.hll_sketch_estimate("_sk")
+    ok = (
+        F.abs(est - F.col("exact_distinct"))
+        <= F.col("exact_distinct") * 0.05
+    ).cast("int")
+    return (
+        per.unionByName(all_row)
+        .select("o_orderstatus", "exact_distinct", ok.alias("hll_within_5pct"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+WITH pairs AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+per AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM pairs GROUP BY o_orderstatus
+), allr AS (
+  SELECT '__all__' AS o_orderstatus,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM pairs
+)
+SELECT o_orderstatus, exact_distinct, 1 AS hll_within_5pct
+FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -3569,6 +3626,7 @@ QUERIES = {
     "repeat_buyer_share": q_repeat_buyer_share,
     "important_parts": q_important_parts,
     "supplier_part_variety": q_supplier_part_variety,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES = {
@@ -3664,4 +3722,5 @@ ORACLES = {
     "repeat_buyer_share": ORACLE_REPEAT_BUYER_SHARE,
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_variety": ORACLE_SUPPLIER_PART_VARIETY,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
 }

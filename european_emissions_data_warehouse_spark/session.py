@@ -45,6 +45,9 @@ def get_session(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.session.timeZone": "UTC",
+        # Python DataSources (sources/synthetic.py) declare pushFilters;
+        # Spark 4 refuses to plan them unless pushdown is explicitly on.
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:

@@ -1,0 +1,71 @@
+"""Python DataSource connector (sources/synthetic.py): determinism,
+range partitioning, filter pushdown semantics, and drop-in schema
+compatibility with the corpus operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_emissions_data_warehouse_spark.sources.synthetic import (
+    SyntheticDocsDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_reader(spark):
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+    def make(**opts):
+        r = spark.read.format("synthetic_docs")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    return make
+
+
+def test_deterministic_and_partitioned(docs_reader):
+    a = docs_reader(n_docs=300, n_partitions=3)
+    b = docs_reader(n_docs=300, n_partitions=7)
+    assert a.rdd.getNumPartitions() == 3
+    assert a.count() == 300
+    # same seed => identical corpus regardless of how generation was split
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+    # different seed => different corpus
+    c = docs_reader(n_docs=300, seed="other")
+    assert a.orderBy("doc_id").collect() != c.orderBy("doc_id").collect()
+
+
+def test_pushdown_equals_post_filter(docs_reader):
+    """Generator-side pruning must be a pure optimization: identical rows
+    to generating everything and letting Spark filter."""
+    df = docs_reader(n_docs=400, n_partitions=4)
+    pushed = df.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 200) & (F.col("lang") == "en")
+    ).collect()
+    manual = [
+        r
+        for r in df.collect()
+        if 50 <= r.doc_id < 200 and r.lang == "en"
+    ]
+    assert sorted(map(tuple, pushed)) == sorted(map(tuple, manual))
+    assert pushed, "the filtered read must not be empty at this size"
+
+
+def test_unsupported_filters_are_reapplied_by_spark(docs_reader):
+    """A predicate the source hands back (n_chars) still filters correctly."""
+    df = docs_reader(n_docs=200)
+    rows = df.filter(F.col("n_chars") > 100).collect()
+    assert rows and all(r.n_chars > 100 for r in rows)
+
+
+def test_generated_corpus_feeds_corpus_operators(docs_reader):
+    """Schema-compatible with the documents table: a corpus operator runs
+    on generated data unchanged."""
+    from european_emissions_data_warehouse_spark.operators.dedup import dedup_exact
+
+    df = docs_reader(n_docs=150)
+    out = dedup_exact(df)
+    # short docs from a 16-word vocab collide; dedup must see real groups
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == 150
