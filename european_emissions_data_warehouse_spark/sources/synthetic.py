@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _LANGS = ["en", "de", "fr", "es"]
@@ -117,10 +118,43 @@ class SyntheticDocsReader(DataSourceReader):
             yield row
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch form of the same generator: the offset is just the next
+    doc_id, so every batch is a contiguous id range and
+    ``readBetweenOffsets`` replays any batch bit-identically after a crash
+    (determinism is what makes the source exactly-once end to end — the
+    checkpointed offset fully determines the data).  Emits up to
+    ``docs_per_batch`` docs per trigger until ``n_docs`` is exhausted,
+    then idles (finite-stream drain tests rely on that)."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.seed = options.get("seed", "synthetic")
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.docs_per_batch, self.n_docs)
+        end = {"next": hi}
+        # a list-backed iterator: the prefetch wrapper calls next() on it
+        # (so a bare list fails) but generators break the runner's pickling
+        return (iter(self.readBetweenOffsets(start, end)), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            _gen_doc(self.seed, doc_id)
+            for doc_id in range(int(start["next"]), int(end["next"]))
+        ]
+
+
 class SyntheticDocsDataSource(DataSource):
     """Register with ``spark.dataSource.register(SyntheticDocsDataSource)``
-    and read via ``spark.read.format("synthetic_docs")``; options:
-    n_docs, n_partitions, seed."""
+    and read via ``spark.read.format("synthetic_docs")`` (batch) or
+    ``spark.readStream.format("synthetic_docs")`` (micro-batch stream);
+    options: n_docs, n_partitions, seed, docs_per_batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -134,3 +168,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

@@ -69,3 +69,34 @@ def test_generated_corpus_feeds_corpus_operators(docs_reader):
     out = dedup_exact(df)
     # short docs from a 16-word vocab collide; dedup must see real groups
     assert out.agg(F.sum("n_copies")).collect()[0][0] == 150
+
+
+def test_stream_reader_matches_batch_and_replays(spark, docs_reader, tmp_path):
+    """Micro-batch stream over the generator: drains n_docs in
+    docs_per_batch chunks, content-identical to the batch read; any batch
+    replays bit-identically from its offset range (crash recovery)."""
+    from european_emissions_data_warehouse_spark.sources.synthetic import (
+        SyntheticDocsStreamReader,
+    )
+
+    sdf = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", 250)
+        .option("docs_per_batch", 100)
+        .load()
+    )
+    out: list = []
+    q = (
+        sdf.writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch_rows = docs_reader(n_docs=250).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch_rows))
+
+    r = SyntheticDocsStreamReader({"n_docs": "250", "docs_per_batch": "100"})
+    replay1 = r.readBetweenOffsets({"next": 100}, {"next": 200})
+    replay2 = r.readBetweenOffsets({"next": 100}, {"next": 200})
+    assert replay1 == replay2 and len(replay1) == 100
