@@ -81,6 +81,7 @@ HEADLINE = [
     "supplier_part_variety",
     "bpe_apply_merge",
     "heavy_hitters_cms",
+    "hll_distinct",
     # mutual_nn is excluded like ann_pq: embeddings is not sf-proportional,
     # so its O(n_a*n_b) exact baseline isn't a scaling signal
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table
