@@ -140,3 +140,32 @@ def write_warehouse_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def clean_emissions_observed(raw: DataFrame, decode: str = "join"):
+    """``clean_emissions`` plus free pipeline telemetry: an ``Observation``
+    rides the existing job, so the warehouse write that runs anyway also
+    yields row counts, null counts, and value bounds — the data-quality
+    numbers an operator wants after every load, at ZERO extra scans (the
+    reference gets none of this; its Glue job is fire-and-forget,
+    scripts/etl_process.py:99-102).
+
+    Contrast with operators/expectations.py: that module is the explicit
+    audit pass you run on demand; this is the always-on counter set whose
+    cost is an accumulator merge per task.  At 100 TB the difference is a
+    second full scan vs nothing.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an action
+    has consumed ``df`` (e.g. ``write_warehouse``)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("emissions_etl")
+    df = clean_emissions(raw, decode).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("ReportedValue").isNull().cast("long")).alias("null_values"),
+        F.min("Year").alias("min_year"),
+        F.max("Year").alias("max_year"),
+        F.round(F.sum("ReportedValue"), 2).alias("total_reported"),
+    )
+    return df, obs

@@ -148,3 +148,21 @@ def test_fetch_to_lake_local_roundtrip(tmp_path):
     import os as _os
 
     assert not _os.path.exists(dest + ".part")
+
+
+def test_observed_etl_metrics_ride_the_write(spark, fixture_rows, tmp_path):
+    """clean_emissions_observed: the warehouse write that runs anyway also
+    produces the DQ counter set — values must match the golden output, with
+    no second scan (Observation is accumulator-backed)."""
+    from european_emissions_data_warehouse_spark.plans.emissions import (
+        clean_emissions_observed,
+        write_warehouse,
+    )
+
+    df, obs = clean_emissions_observed(raw_df(spark, fixture_rows))
+    write_warehouse(df, str(tmp_path / "wh"))
+    m = obs.get
+    assert m["rows_out"] == 3
+    assert m["null_values"] == 0
+    assert (m["min_year"], m["max_year"]) == (2025, 2050)
+    assert m["total_reported"] == round(1234.56 - 12.5 + 7.25, 2)
