@@ -461,8 +461,28 @@ def ivfpq_topk(
     shuffles once at index build (list assignment); the probe join is
     equality-keyed on the list id.  Returns (query_id, rank, neighbor_id,
     sim) ranked by the approximate similarity."""
-    from pyspark.sql import Window
+    index, coarse = ivfpq_build_index(
+        corpus, id_col, vec_col, dim=dim, n_centroids=n_centroids, m=m, pq_k=pq_k
+    )
+    return ivfpq_search(queries, index, coarse, id_col, vec_col, k=k, n_probe=n_probe)
 
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 8,
+    m: int = 4,
+    pq_k: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The index-build half of IVF-PQ: returns ``(index, coarse)`` where
+    ``index`` is (neighbor_id, centroid_id, approx_vec) — the searchable
+    state — and ``coarse`` the (centroid_id, centroid) routing table.
+    Build once, serve many: persist with :func:`ivfpq_save_index` and the
+    corpus never needs re-scanning for later query batches (the
+    production split — indexing is the batch job, serving reads only the
+    index)."""
     coarse = ivf_build_centroids(corpus, id_col, vec_col, n_centroids, n_iters=2)
     assigned = ivf_assign(corpus, coarse, id_col, vec_col).join(
         F.broadcast(coarse), "centroid_id"
@@ -484,6 +504,42 @@ def ivfpq_topk(
         )
         .localCheckpoint(eager=False)  # searchable state; query side reuses it
     )
+    return index, coarse
+
+
+def ivfpq_save_index(index: DataFrame, coarse: DataFrame, path: str) -> None:
+    """Persist the searchable state: the index parquet is partitioned by
+    ``centroid_id``, so a probe of n_probe lists prunes to those partitions
+    at scan time (PartitionFilters — the on-disk analogue of the inverted
+    list)."""
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/index"
+    )
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+
+
+def ivfpq_load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reload a persisted index; searches run without the original corpus."""
+    return (
+        spark.read.parquet(f"{path}/index"),
+        spark.read.parquet(f"{path}/coarse"),
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The serving half of IVF-PQ: route each query to its n_probe nearest
+    coarse lists (broadcast routing table), rank the probed lists' stored
+    reconstructions by cosine.  Only the probed centroid_id partitions of a
+    persisted index are read."""
+    from pyspark.sql import Window
 
     q_scored = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))

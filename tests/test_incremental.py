@@ -34,3 +34,34 @@ def test_fold_order_independent(spark, sf_dir):
     truth = agg_state(o, ["o_custkey"], "o_totalprice")
     assert _final(fwd) == _final(truth)
     assert _final(rev) == _final(truth)
+
+
+def test_apply_cdf_equals_recompute(spark, tmp_path):
+    """state(v0) + diff(v0, v1) == recomputed state(v1), including a group
+    that disappears entirely and a NULL-value update."""
+    from european_emissions_data_warehouse_spark.operators.incremental import (
+        apply_cdf,
+        invertible_state,
+    )
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "fact"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 2.0)],
+        "id long, grp string, v double",
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 8.0), (5, "b", 1.0), (3, "b", 7.0)],
+        "id long, grp string, v double",
+    )
+    t.commit(v0)
+    t.commit(v1)
+    state0 = invertible_state(t.read(0), ["grp"], "v")
+    maintained = apply_cdf(state0, t.diff(0, 1, key=["id"]), ["grp"], "v")
+    recomputed = invertible_state(t.read(1), ["grp"], "v")
+    m = {r["grp"]: (r["sum_v"], r["n_rows"]) for r in maintained.collect()}
+    r = {x["grp"]: (x["sum_v"], x["n_rows"]) for x in recomputed.collect()}
+    assert m == r
+    assert "c" not in m  # fully-deleted group vanished

@@ -140,3 +140,34 @@ def test_pq_reconstruction_error_falls_with_geometry(spark, sf_dir):
             / n
         )
     assert mses[1] < mses[0], mses
+
+
+def test_ivfpq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once-serve-many: a saved+reloaded IVF-PQ index answers queries
+    identically to the freshly built one, and the partitioned layout prunes
+    the probe scan to the probed centroid lists (PartitionFilters)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_load_index,
+        ivfpq_save_index,
+        ivfpq_search,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index, coarse = ivfpq_build_index(emb, dim=64, n_centroids=8)
+    fresh = ivfpq_search(queries, index, coarse, k=5, n_probe=2)
+
+    ivfpq_save_index(index, coarse, str(tmp_path / "idx"))
+    l_index, l_coarse = ivfpq_load_index(spark, str(tmp_path / "idx"))
+    served = ivfpq_search(queries, l_index, l_coarse, k=5, n_probe=2)
+
+    key = lambda r: (r["query_id"], r["rank"])
+    f = {key(r): (r["neighbor_id"], round(r["sim"], 9)) for r in fresh.collect()}
+    s = {key(r): (r["neighbor_id"], round(r["sim"], 9)) for r in served.collect()}
+    assert f == s and f
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
