@@ -183,3 +183,42 @@ def fetch_to_lake(url: str, dest_path: str, timeout_s: float = 60.0) -> str:
             out.write(chunk)
     os.replace(tmp, dest_path)  # atomic publish, no torn files for the scan
     return dest_path
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source — the read twin of plans.emissions.write_warehouse_jdbc
+    (the reference's warehouse is queryable PostgreSQL; a user migrating
+    FROM it starts by scanning it out through this).
+
+    Without partitioning options Spark reads a JDBC table through ONE
+    connection on one task — fine for a dim, a non-starter for a fact.
+    Passing (partition_column, lower_bound, upper_bound, num_partitions)
+    splits the scan into num_partitions range predicates executed in
+    parallel, which is the only way a database extract keeps a cluster
+    busy.  Pick a roughly uniform integer column (a sequence key); skew in
+    the column skews the stripes.
+
+    Requires the driver jar on the classpath (absent in this container —
+    exercised by a call-path test, like the sink)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

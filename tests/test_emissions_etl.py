@@ -166,3 +166,20 @@ def test_observed_etl_metrics_ride_the_write(spark, fixture_rows, tmp_path):
     assert m["null_values"] == 0
     assert (m["min_year"], m["max_year"]) == (2025, 2050)
     assert m["total_reported"] == round(1234.56 - 12.5 + 7.25, 2)
+
+
+def test_jdbc_read_call_path(spark):
+    """Read twin of the sink call-path test: option plumbing (including the
+    partitioned-scan options) must reach JDBC driver resolution; the
+    missing-bounds misuse fails fast Python-side."""
+    import pytest as _pytest
+
+    from european_emissions_data_warehouse_spark.sources.readers import read_jdbc
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:postgresql://localhost:1/none", "t",
+                  partition_column="id")
+    with _pytest.raises(Exception, match="(?i)driver|jdbc"):
+        read_jdbc(spark, "jdbc:postgresql://localhost:1/none", "t",
+                  partition_column="id", lower_bound=0, upper_bound=100,
+                  num_partitions=4).count()
