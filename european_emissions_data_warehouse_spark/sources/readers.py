@@ -222,3 +222,21 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def with_provenance(df: DataFrame, ingest_label: str | None = None) -> DataFrame:
+    """Attach lineage columns to a file-sourced frame: the exact source file
+    (`_source_file`, from the scan's own metadata — zero-cost, no shuffle)
+    and an optional ingest label.
+
+    This is the lake-side answer to "which drop did this row come from?" —
+    the reference carries the same information implicitly in its per-file
+    Lambda invocations and loses it at the warehouse door; here it lands in
+    the table, so bad-drop quarantine is `WHERE _source_file = ...` and
+    GDPR-style purge-by-origin composes with SnapshotTable.delete_where."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("_source_file", F.input_file_name())
+    if ingest_label is not None:
+        out = out.withColumn("_ingest_label", F.lit(ingest_label))
+    return out

@@ -183,3 +183,16 @@ def test_jdbc_read_call_path(spark):
         read_jdbc(spark, "jdbc:postgresql://localhost:1/none", "t",
                   partition_column="id", lower_bound=0, upper_bound=100,
                   num_partitions=4).count()
+
+
+def test_provenance_columns(spark, sf_dir):
+    """with_provenance stamps the true source file per row, map-side."""
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        load_table,
+        with_provenance,
+    )
+
+    df = with_provenance(load_table(spark, sf_dir, "nation"), ingest_label="r3")
+    rows = df.select("_source_file", "_ingest_label").distinct().collect()
+    assert all(r["_ingest_label"] == "r3" for r in rows)
+    assert all("nation.parquet" in r["_source_file"] for r in rows)
