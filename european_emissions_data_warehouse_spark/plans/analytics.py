@@ -3408,7 +3408,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_e4") * 1000 > F.col("total_e4"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            _r2(F.col("value_e4") / 10000).alias("part_value"),
+            # raw fixed-point division, NOT ROUND(...,2): value_e4/1e4 has
+            # exactly 4 decimals, so the quotient is the same double in any
+            # engine, while ROUND on a .xx5 boundary diverges cross-engine
+            (F.col("value_e4") / 10000).alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
@@ -3426,7 +3429,7 @@ WITH fact AS (
 ), per_part AS (
   SELECT l_partkey, SUM(value_e4) AS value_e4 FROM fact GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, ROUND(value_e4 / 10000.0, 2) AS part_value
+SELECT l_partkey AS p_partkey, value_e4 / 10000.0 AS part_value
 FROM per_part
 WHERE value_e4 * 1000 > (SELECT SUM(value_e4) FROM per_part)
 ORDER BY part_value DESC, p_partkey
