@@ -114,6 +114,8 @@ _DEFER_NEXT_ROUND = [
     "heavy_hitters_cms",      # count-min sketch frequency estimation
     "mutual_nn",              # bitext-style mutual-NN pair mining
     "hll_distinct",           # mergeable HLL distinct-count sketches
+    "skew_profile",           # pre-salting hot-key diagnostics
+    "dedup_rate_by_source",   # per-source corpus duplication report
 ]
 
 

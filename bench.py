@@ -82,6 +82,8 @@ HEADLINE = [
     "bpe_apply_merge",
     "heavy_hitters_cms",
     "hll_distinct",
+    "skew_profile",
+    "dedup_rate_by_source",
     # mutual_nn is excluded like ann_pq: embeddings is not sf-proportional,
     # so its O(n_a*n_b) exact baseline isn't a scaling signal
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table

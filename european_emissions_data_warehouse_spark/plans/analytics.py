@@ -3536,6 +3536,98 @@ ORDER BY o_orderstatus
 """
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe you run BEFORE choosing a join/agg strategy at scale: the
+    top-10 heaviest lineitem join keys with their share of total rows, in
+    exact integer arithmetic (share_ppm = parts-per-million, bigint).  A
+    key above ~5% of a 100 TB fact is the signal to salt or broadcast;
+    AQE's runtime skew split handles the long tail.  One partial-agg
+    shuffle + TakeOrderedAndProject; the total rides the same pre-aggregate
+    via a broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_key.agg(F.sum("n_rows").alias("__total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            # explicit floor: Spark's double->bigint cast truncates while
+            # DuckDB's rounds, so the cast itself is not portable
+            F.floor(F.col("n_rows") * 1000000 / F.col("__total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_rows,
+       CAST(FLOOR(n_rows * 1000000 / (SELECT SUM(n_rows) FROM per_key)) AS BIGINT)
+         AS share_ppm
+FROM per_key
+ORDER BY n_rows DESC, l_suppkey LIMIT 10
+"""
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the corpus-health number that drives
+    crawl/source weighting decisions (a source shedding 40% to dedup gets
+    its acquisition budget cut).  Exact integers end to end: docs, distinct
+    texts, duplicates, and duplicate share in ppm.  One (source, text-hash)
+    pre-aggregate (document bodies collapse to 128-bit hashes before the
+    exchange, same discipline as dedup_exact) then a source-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source", F.md5(F.col("text")).alias("h")
+        )
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("copies") - F.count(F.lit(1))).alias("n_dupes"),
+            F.floor(
+                (F.sum("copies") - F.count(F.lit(1)))
+                * 1000000
+                / F.sum("copies")
+            )
+            .cast("bigint")
+            .alias("dupe_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_RATE_BY_SOURCE = """
+WITH per AS (
+  SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(FLOOR((SUM(copies) - COUNT(*)) * 1000000 / SUM(copies)) AS BIGINT)
+         AS dupe_ppm
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -3630,6 +3722,8 @@ QUERIES = {
     "important_parts": q_important_parts,
     "supplier_part_variety": q_supplier_part_variety,
     "hll_distinct": q_hll_distinct,
+    "skew_profile": q_skew_profile,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
 }
 
 ORACLES = {
@@ -3726,4 +3820,6 @@ ORACLES = {
     "important_parts": ORACLE_IMPORTANT_PARTS,
     "supplier_part_variety": ORACLE_SUPPLIER_PART_VARIETY,
     "hll_distinct": ORACLE_HLL_DISTINCT,
+    "skew_profile": ORACLE_SKEW_PROFILE,
+    "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
 }

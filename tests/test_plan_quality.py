@@ -309,3 +309,17 @@ def test_pmi_unigram_table_broadcast(spark, sf_dir):
     plan = _executed(entry_mod.queries()["pmi_pairs"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scalar_total_queries_scan_fact_once(spark, sf_dir):
+    """Queries whose HAVING/share threshold references a grand total must
+    not re-derive it from a second fact scan: ReuseExchange does NOT
+    deduplicate the two lineages (observed), so the per-group rollup is
+    checkpoint-materialized and both consumers read it.  Guard the executed
+    plan to one FileScan of the fact."""
+    for name, fact in [("important_parts", "lineitem"), ("skew_profile", "lineitem")]:
+        plan = _executed(entry_mod.queries()[name](spark, sf_dir))
+        scans = [
+            ln for ln in plan.splitlines() if "FileScan" in ln and fact in ln
+        ]
+        assert len(scans) <= 1, f"{name}: {len(scans)} {fact} scans"
