@@ -200,12 +200,13 @@ class SnapshotTable:
                 f"schema changed between v{v_from} and v{v_to}: "
                 f"{old.columns} vs {new.columns}; diff requires one schema"
             )
-        o = old.select(
-            F.struct(*key).alias("_k"), F.struct(*payload).alias("_old_p")
-        )
-        n = new.select(
-            F.struct(*key).alias("_k"), F.struct(*payload).alias("_new_p")
-        )
+        # key-only tables have no payload to compare: rows can only appear
+        # or disappear, so a constant stands in (updates become impossible)
+        def payload_struct():
+            return F.struct(*payload) if payload else F.lit(0)
+
+        o = old.select(F.struct(*key).alias("_k"), payload_struct().alias("_old_p"))
+        n = new.select(F.struct(*key).alias("_k"), payload_struct().alias("_new_p"))
         joined = o.join(n, "_k", "full_outer").select(
             "_k",
             "_old_p",

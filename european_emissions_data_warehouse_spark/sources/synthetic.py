@@ -95,7 +95,15 @@ class SyntheticDocsReader(DataSourceReader):
             elif col == "doc_id" and isinstance(f, (LessThan, LessThanOrEqual)):
                 bound = f.value if isinstance(f, LessThanOrEqual) else f.value - 1
                 self.hi = min(self.hi, int(bound) + 1)
-            elif col in ("lang", "source") and isinstance(f, EqualTo):
+            elif (
+                col in ("lang", "source")
+                and isinstance(f, EqualTo)
+                and col not in self.eq
+            ):
+                # consume only the FIRST equality per column; a second
+                # (contradictory) one is handed back for Spark to apply —
+                # silently keeping the last would return rows for an
+                # impossible predicate
                 self.eq[col] = f.value
             else:
                 yield f

@@ -138,3 +138,12 @@ def test_diff_null_payloads_and_schema_guard(spark, tmp_path):
     t.commit(spark.createDataFrame([(1, 5)], "id long, other long"))
     with pytest.raises(ValueError, match="schema changed"):
         t.diff(1, 2, key=["id"])
+
+
+def test_diff_key_only_table(spark, tmp_path):
+    """Key-only tables diff as pure insert/delete (no payload to update)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.commit(spark.createDataFrame([(2,), (3,)], "id long"))
+    got = {(r["id"], r["_change_type"]) for r in t.diff(0, 1, key=["id"]).collect()}
+    assert got == {(1, "delete"), (3, "insert")}

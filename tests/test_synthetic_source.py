@@ -100,3 +100,10 @@ def test_stream_reader_matches_batch_and_replays(spark, docs_reader, tmp_path):
     replay1 = r.readBetweenOffsets({"next": 100}, {"next": 200})
     replay2 = r.readBetweenOffsets({"next": 100}, {"next": 200})
     assert replay1 == replay2 and len(replay1) == 100
+
+
+def test_contradictory_equality_filters_return_empty(docs_reader):
+    """lang = 'en' AND lang = 'de' must yield zero rows — the source
+    consumes one equality and hands the second back to Spark."""
+    df = docs_reader(n_docs=120)
+    assert df.filter((F.col("lang") == "en") & (F.col("lang") == "de")).count() == 0
