@@ -324,3 +324,26 @@ def test_mutual_nn_pairs_invariants(spark, sf_dir):
     b_ids = [r["id_b"] for r in pairs]
     assert len(a_ids) == len(set(a_ids)) and len(b_ids) == len(set(b_ids))
     assert all(r["margin_a"] is None or r["margin_a"] >= 0 for r in pairs)
+
+
+def test_arrow_token_stats_matches_jvm_path(spark, sf_dir):
+    """The mapInArrow kernel must agree with the JVM expression exactly —
+    the zero-copy lane is an optimization, never a semantics change."""
+    from european_emissions_data_warehouse_spark.functions.arrow_ops import (
+        arrow_token_stats,
+    )
+    from european_emissions_data_warehouse_spark.functions.text import (
+        char_count,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrow = {r["doc_id"]: (r["ws_tokens"], r["n_chars_text"])
+             for r in arrow_token_stats(docs).collect()}
+    jvm = {r["doc_id"]: (r["t"], r["c"])
+           for r in docs.select(
+               "doc_id",
+               ws_token_count(F.col("text")).alias("t"),
+               char_count(F.col("text")).alias("c"),
+           ).collect()}
+    assert arrow == jvm and arrow
