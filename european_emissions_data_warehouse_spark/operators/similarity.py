@@ -728,3 +728,45 @@ def mutual_nn_pairs(
             F.round(F.col("sim") - F.col("next_sim"), 4).alias("margin_a"),
         )
     )
+
+
+def mutual_nn_pairs_ann(
+    vectors: DataFrame,
+    group_a,
+    group_b,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The corpus-scale form of :func:`mutual_nn_pairs`: candidate pairs
+    come from IVF indexes over each group instead of the cross join, then
+    the same mutual-top-1 logic runs on TRUE cosines of the candidates.
+
+    Each side indexes once (one shuffle, keyed on the coarse list) and the
+    other side probes its n_probe lists — candidate volume is
+    O(n · corpus/centroids · n_probe), never n_a × n_b.  Raising n_probe
+    trades compute for recall exactly as in ``ivf_topk``; the recall test
+    pins the overlap against the exact miner on the test corpus.  Top-1s
+    are re-ranked on true cosine (not ADC), so any pair this emits carries
+    its exact similarity — approximation affects only which candidates are
+    seen."""
+    a = vectors.filter(F.col(group_col) == group_a).select(id_col, vec_col)
+    b = vectors.filter(F.col(group_col) == group_b).select(id_col, vec_col)
+    # candidates: a-queries probe b's index, and vice versa; k=1 per side
+    a_to_b = ivf_topk(a, b, id_col, vec_col, k=1, n_centroids=n_centroids, n_probe=n_probe)
+    b_to_a = ivf_topk(b, a, id_col, vec_col, k=1, n_centroids=n_centroids, n_probe=n_probe)
+    best_a = a_to_b.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("sim").alias("sim"),
+    )
+    best_b = b_to_a.filter(F.col("rank") == 1).select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+    )
+    return best_a.join(best_b, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )

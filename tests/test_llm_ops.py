@@ -347,3 +347,23 @@ def test_arrow_token_stats_matches_jvm_path(spark, sf_dir):
                char_count(F.col("text")).alias("c"),
            ).collect()}
     assert arrow == jvm and arrow
+
+
+def test_mutual_nn_ann_recall_vs_exact(spark, sf_dir):
+    """The IVF-candidate miner must recover most exact mutual pairs, and
+    every pair it emits must carry the true cosine of that pair."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        mutual_nn_pairs,
+        mutual_nn_pairs_ann,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in mutual_nn_pairs(vecs, group_a=0, group_b=1).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["sim"]
+              for r in mutual_nn_pairs_ann(vecs, group_a=0, group_b=1,
+                                           n_probe=4).collect()}
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) >= 0.6, (len(hits), len(exact))
+    for pair in hits:
+        assert abs(exact[pair] - approx[pair]) < 1e-9  # true cosine, not ADC
