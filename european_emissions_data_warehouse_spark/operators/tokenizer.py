@@ -103,3 +103,80 @@ def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
             - F.sum(F.col("wfreq") * merges).cast("bigint")
         ).alias("symbols_after"),
     )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """The full BPE training loop: ``n_merges`` iterations of count →
+    arg-max → merge, returning the ordered rule list
+    ``[(left_sym, right_sym, pair_count), ...]`` — exactly what a
+    tokenizer ships as merges.txt.
+
+    Division of labor (the split every production trainer uses —
+    HuggingFace/SentencePiece): the corpus-scale work is ONE pass that
+    collapses the token stream to the weighted vocabulary; the merge loop
+    then runs entirely on that vocabulary frame, re-counting pairs per
+    iteration as tiny Spark jobs (vocab × word-length rows).  The driver
+    holds only the k rules — never data.  Words are carried as symbol
+    ARRAYS so merged symbols stay atomic (a naive string replace would let
+    later merges match across the glued boundary).
+
+    Determinism: ties break on (left, right) symbol order, so the rule
+    list is reproducible in any engine — asserted by the hand-trained
+    fixture test."""
+    words = (
+        word_frequencies(docs, text_col)
+        .select(F.expr("split(word, '')").alias("syms"), "wfreq")
+        .localCheckpoint(eager=True)
+    )
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # size<2 words carry no pairs — and sequence(1, 0) DESCENDS in
+        # Spark, so without the filter they explode out of bounds
+        pairs = words.filter(F.size("syms") >= 2).select(
+            "wfreq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] as l, syms[i] as r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wfreq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        rules.append((left, right, int(cnt)))
+        # apply the merge: fold adjacent (left, right) into one symbol.
+        # aggregate() walks the array left-to-right, so overlapping runs
+        # merge greedily exactly like the reference BPE algorithm ("aaaa"
+        # under rule a+a -> [aa, aa]: a just-merged symbol can never match
+        # `left` again unless it literally equals it, which the recurrence
+        # handles naturally).
+        words = words.select(
+            F.expr(
+                f"""
+                aggregate(
+                  syms,
+                  array()::array<string>,
+                  (acc, s) -> CASE
+                    WHEN size(acc) > 0
+                         AND element_at(acc, -1) = {left!r}
+                         AND s = {right!r}
+                    THEN concat(slice(acc, 1, size(acc) - 1),
+                                array(element_at(acc, -1) || s))
+                    ELSE concat(acc, array(s))
+                  END
+                )
+                """
+            ).alias("syms"),
+            "wfreq",
+        ).localCheckpoint(eager=True)
+    return rules

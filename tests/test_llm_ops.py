@@ -367,3 +367,33 @@ def test_mutual_nn_ann_recall_vs_exact(spark, sf_dir):
     assert len(hits) / len(exact) >= 0.6, (len(hits), len(exact))
     for pair in hits:
         assert abs(exact[pair] - approx[pair]) < 1e-9  # true cosine, not ADC
+
+
+def test_bpe_train_hand_fixture(spark):
+    """Full training loop vs rules derived by hand.
+
+    Corpus: 'low low lower' -> vocab {low:2, lower:1}.
+      iter1 pairs: (l,o):3 (o,w):3 (w,e):1 (e,r):1 -> tie (l,o)/(o,w)
+        breaks lexicographically -> rule (l,o,3); words: [lo,w]x2 [lo,w,e,r]
+      iter2: (lo,w):3 (w,e):1 (e,r):1 -> rule (lo,w,3)
+      iter3: (low,e):1 (e,r):1 -> rule (e,r)? no: (low,e) vs (e,r) tie on
+        count 1 -> 'e' < 'low' -> rule (e,r,1)
+    """
+    from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    rules = bpe_train(docs, n_merges=3)
+    assert rules == [("l", "o", 3), ("lo", "w", 3), ("e", "r", 1)]
+
+
+def test_bpe_train_greedy_overlap(spark):
+    """'aaaa' under rule (a,a) merges greedily left-to-right -> [aa][aa],
+    so iteration 2's top pair is (aa, aa)."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rules = bpe_train(docs, n_merges=2)
+    assert rules[0] == ("a", "a", 6)  # 3 adjacent pairs per word x 2 words
+    assert rules[1] == ("aa", "aa", 2)
