@@ -180,3 +180,55 @@ def bpe_train(
             "wfreq",
         ).localCheckpoint(eager=True)
     return rules
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a trained rule list (the output of :func:`bpe_train`):
+    per document, the BPE token count and byte length after applying every
+    merge in training order — the numbers a data pipeline actually needs
+    (sequence budgeting, packing, cost estimates).
+
+    Encoding composes the same greedy fold as training, once per rule, on
+    the per-word symbol arrays; the whole chain is ONE generated JVM
+    expression per document batch — no shuffle at all, so encoding is
+    scan-bound at any corpus size.  Plan depth grows with the rule count;
+    for production vocabularies (10⁴⁺ merges) the same loop moves into an
+    Arrow-batched UDF with the broadcast rule list — this expression form
+    is the right tool for the rule counts a Spark-side analysis uses.
+
+    Returns (doc_id, bpe_tokens, n_words)."""
+    def fold(expr: str, left: str, right: str) -> str:
+        return f"""
+            aggregate(
+              {expr},
+              array()::array<string>,
+              (acc, s) -> CASE
+                WHEN size(acc) > 0
+                     AND element_at(acc, -1) = {left!r}
+                     AND s = {right!r}
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(element_at(acc, -1) || s))
+                ELSE concat(acc, array(s))
+              END
+            )
+        """
+
+    syms = "split(word, '')"
+    for rule in rules:
+        syms = fold(syms, rule[0], rule[1])
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.select("doc_id", F.expr(f"size({syms})").alias("n_toks"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -397,3 +397,20 @@ def test_bpe_train_greedy_overlap(spark):
     rules = bpe_train(docs, n_merges=2)
     assert rules[0] == ("a", "a", 6)  # 3 adjacent pairs per word x 2 words
     assert rules[1] == ("aa", "aa", 2)
+
+
+def test_bpe_encode_roundtrip_with_trained_rules(spark):
+    """Train then encode: 'low low lower' with 2 merges (l+o, lo+w) ->
+    'low' is 1 token, 'lower' is [low, e, r] = 3 tokens."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    rules = bpe_train(docs, n_merges=2)
+    [r] = bpe_encode(docs, rules).collect()
+    assert (r["bpe_tokens"], r["n_words"]) == (1 + 1 + 3, 3)
+    # no rules = character tokenization
+    [r0] = bpe_encode(docs, []).collect()
+    assert r0["bpe_tokens"] == len("low") * 2 + len("lower")
