@@ -116,6 +116,7 @@ _DEFER_NEXT_ROUND = [
     "hll_distinct",           # mergeable HLL distinct-count sketches
     "skew_profile",           # pre-salting hot-key diagnostics
     "dedup_rate_by_source",   # per-source corpus duplication report
+    "nb_quality",             # CCNet-style Naive-Bayes quality classifier
 ]
 
 

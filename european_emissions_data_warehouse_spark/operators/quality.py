@@ -142,3 +142,66 @@ def source_mixture(
             (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
         )
     )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Naive-Bayes quality scoring — the CCNet/GPT-3 recipe: bootstrap a
+    token-level classifier from cheap labels, score every document with it.
+    ``label_col`` is a boolean column (the pseudo-label: a heuristic
+    threshold, a curated-domain flag, a hand-labeled seed set).
+
+    Output: (id, n_tokens, nb_logodds) where nb_logodds is the summed
+    per-token log-odds ln((n_good+1)/(T_good+V)) − ln((n_bad+1)/(T_bad+V))
+    plus the document-count class prior — positive leans good.  Exact
+    integer counts feed libm ln (≤1 ulp cross-engine); the sum rounds to 4
+    decimals like every log-score in this engine.
+
+    Scale: one token-count shuffle builds the class-conditional vocabulary
+    table; scoring joins the token stream to that table — broadcast here,
+    a shuffle join at web-scale vocabularies (same contract as
+    unigram_logprob) — and rolls up per document.  Training IS one
+    aggregation; there is no iterative fit."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("int").alias("good"),
+        F.col(text_col).alias("t"),
+    ).localCheckpoint(eager=True)  # labels feed vocab, priors, AND scoring
+    toks = base.select(
+        "id",
+        "good",
+        F.explode(F.split(F.lower(F.trim(F.col("t"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.sum("good").alias("n_good"),
+        F.sum(1 - F.col("good")).alias("n_bad"),
+    )
+    scal = vocab.agg(
+        F.sum("n_good").alias("t_good"),
+        F.sum("n_bad").alias("t_bad"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    prior = base.agg(
+        F.log(
+            F.sum("good").cast("double") / F.sum(1 - F.col("good"))
+        ).alias("prior")
+    )
+    logodds = F.log((F.col("n_good") + 1) / (F.col("t_good") + F.col("v"))) - F.log(
+        (F.col("n_bad") + 1) / (F.col("t_bad") + F.col("v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(prior))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(logodds) + F.first("prior"), 4).alias("nb_logodds"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "nb_logodds")
+        .orderBy(id_col)
+    )

@@ -2268,6 +2268,70 @@ FROM ranked WHERE rn_a = 1 AND rn_b = 1
 """
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (CCNet/GPT-3 recipe): pseudo-label
+    with the cheap heuristic (quality_score >= 0.5), train token-level
+    Naive Bayes in one aggregation, score every document.  The operator's
+    docstring carries the scale contract; here the heuristic labels
+    bootstrap the classifier exactly as CCNet bootstraps from Wikipedia."""
+    from european_emissions_data_warehouse_spark.operators.quality import (
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "pseudo_good", quality_score(F.col("text")) >= 0.5
+    )
+    return nb_quality_scores(docs, "pseudo_good")
+
+
+ORACLE_NB_QUALITY = r"""
+WITH m AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text)
+           AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+           / (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)
+           AS stop_ratio
+  FROM documents
+), labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN ((CASE WHEN n_chars >= 100 THEN 1.0
+                          ELSE n_chars / 100.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                  ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
+          + LEAST(1.0, stop_ratio * 4)) / 3 >= 0.5 THEN 1 ELSE 0 END AS good
+  FROM m
+), toks AS (
+  SELECT doc_id, good, tok FROM (
+    SELECT doc_id, good,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM labeled
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok, CAST(SUM(good) AS BIGINT) AS n_good,
+         CAST(SUM(1 - good) AS BIGINT) AS n_bad
+  FROM toks GROUP BY tok
+), scal AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS t_good,
+         CAST(SUM(n_bad) AS BIGINT) AS t_bad,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), prior AS (
+  SELECT ln(CAST(SUM(good) AS DOUBLE) / SUM(1 - good)) AS prior FROM labeled
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ln((n_good + 1) / CAST(t_good + v AS DOUBLE))
+               - ln((n_bad + 1) / CAST(t_bad + v AS DOUBLE)))
+             + ANY_VALUE(prior), 4) AS nb_logodds
+FROM toks JOIN vocab USING (tok), scal, prior
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
@@ -2277,6 +2341,7 @@ QUERIES = {
     "bpe_apply_merge": q_bpe_apply_merge,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "mutual_nn": q_mutual_nn,
+    "nb_quality": q_nb_quality,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
@@ -2332,6 +2397,7 @@ ORACLES = {
     "bpe_apply_merge": ORACLE_BPE_APPLY_MERGE,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "mutual_nn": ORACLE_MUTUAL_NN,
+    "nb_quality": ORACLE_NB_QUALITY,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,

@@ -414,3 +414,26 @@ def test_bpe_encode_roundtrip_with_trained_rules(spark):
     # no rules = character tokenization
     [r0] = bpe_encode(docs, []).collect()
     assert r0["bpe_tokens"] == len("low") * 2 + len("lower")
+
+
+def test_nb_quality_separates_classes(spark, sf_dir):
+    """The classifier must assign higher mean log-odds to pseudo-good docs
+    than pseudo-bad ones (it trained on exactly that signal)."""
+    from european_emissions_data_warehouse_spark.functions.text import quality_score
+    from european_emissions_data_warehouse_spark.operators.quality import (
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "pseudo_good", quality_score(F.col("text")) >= 0.5
+    )
+    scored = nb_quality_scores(docs, "pseudo_good").join(
+        docs.select("doc_id", "pseudo_good"), "doc_id"
+    )
+    means = {
+        r["pseudo_good"]: r["m"]
+        for r in scored.groupBy("pseudo_good")
+        .agg(F.avg("nb_logodds").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
