@@ -117,6 +117,7 @@ _DEFER_NEXT_ROUND = [
     "skew_profile",           # pre-salting hot-key diagnostics
     "dedup_rate_by_source",   # per-source corpus duplication report
     "nb_quality",             # CCNet-style Naive-Bayes quality classifier
+    "readability",            # Flesch-Kincaid readability screen
 ]
 
 

@@ -2332,6 +2332,64 @@ ORDER BY doc_id
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document — the classic readability
+    screen (curricula filters often band on it).  Counts are pure
+    expressions: sentences = [.!?] runs (min 1), words = whitespace
+    tokens, syllables = vowel groups per word (min 1/word — the standard
+    heuristic).  All three are exact integers; the grade formula is one
+    IEEE expression, rounded to 4.  Zero shuffles besides the final
+    doc-id-ordered exchange — scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    words = F.size(F.split(t, r"\s+"))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
+    )
+    # vowel groups across the doc + one per vowel-less word
+    vowel_groups = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+    novowel_words = F.size(
+        F.filter(F.split(t, r"\s+"), lambda w: ~w.rlike("[aeiouy]"))
+    )
+    syllables = vowel_groups + novowel_words
+    grade = (
+        F.lit(0.39) * (words.cast("double") / sentences)
+        + F.lit(11.8) * (syllables.cast("double") / words)
+        - F.lit(15.59)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(grade, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+ORACLE_READABILITY = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+         AS n_words,
+       CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+            + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              w -> NOT regexp_matches(w, '[aeiouy]')))
+         AS BIGINT) AS n_syllables,
+       ROUND(0.39 * (len(string_split_regex(lower(trim(text)), '\s+'))
+                     / CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                            AS DOUBLE))
+             + 11.8 * ((len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+                        + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          w -> NOT regexp_matches(w, '[aeiouy]'))))
+                       / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                              AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "chunk_dedup": q_chunk_dedup,
@@ -2342,6 +2400,7 @@ QUERIES = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "mutual_nn": q_mutual_nn,
     "nb_quality": q_nb_quality,
+    "readability": q_readability,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
@@ -2398,6 +2457,7 @@ ORACLES = {
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "mutual_nn": ORACLE_MUTUAL_NN,
     "nb_quality": ORACLE_NB_QUALITY,
+    "readability": ORACLE_READABILITY,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_capped": ORACLE_NGRAM_JACCARD_CAPPED,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
