@@ -33,10 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # together produced green rows for 98 of the 124 then-registered queries;
 # round 3 front-loads the remaining 26 (every entry added after round 2's
 # window was frozen — including the four llm additions dsir_weights,
-# mixture_temperature, pmi_pairs, quantize_int8), then every query newly
-# added in round 3.  52 queries lack a driver row and the window holds 50,
-# so two defer: _DEFER_NEXT_ROUND names them explicitly (replica-gate green
-# at sf0.001 and sf0.01; they rotate to the FRONT of round 4's window, and
+# mixture_temperature, pmi_pairs, quantize_int8), then the first 24 round-3
+# additions.  Every further round-3 addition overflows the 50-slot window
+# and is listed in _DEFER_NEXT_ROUND (replica-gate green at sf0.001, 0.01
+# AND 0.1; they rotate to the FRONT of round 4's window, and
 # tests/test_driver_contract.py fails if a deferral is ever silent).
 # Queries whose implementation changed this round but which already hold
 # green r1/r2 rows (dedup_exact, corpus_prep, semdedup, minhash_neardup)
