@@ -98,12 +98,13 @@ _GRADE_FIRST = [
     "pipe_syntax_summary",
 ]
 
-# Ungraded queries that do NOT fit this round's 50-entry window (52 lack a
-# driver row).  Both are replica-gate green (tests/test_oracle_parity.py runs
-# the driver's exact rows+schema+hash protocol over them at sf0.001; README
-# records the same at sf0.01) and MUST lead round 4's _GRADE_FIRST.  The
-# contract guard asserts the set of ungraded-outside-window queries equals
-# exactly this list — a silent deferral fails the suite.
+# Ungraded queries that do NOT fit this round's 50-entry window.  Each is
+# replica-gate green (tests/test_oracle_parity.py runs the driver's exact
+# rows+schema+hash protocol over every one at sf0.001, and they were
+# additionally gated at sf0.01 and sf0.1 when added) and MUST lead round
+# 4's _GRADE_FIRST.  The contract guard asserts the set of
+# ungraded-outside-window queries equals exactly this list — a silent
+# deferral fails the suite.
 _DEFER_NEXT_ROUND = [
     "corpus_shuffle",
     "padding_efficiency",
