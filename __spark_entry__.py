@@ -119,6 +119,8 @@ _DEFER_NEXT_ROUND = [
     "dedup_rate_by_source",   # per-source corpus duplication report
     "nb_quality",             # CCNet-style Naive-Bayes quality classifier
     "readability",            # Flesch-Kincaid readability screen
+    "k_anonymity",            # privacy audit before publication
+    "lateness_profile",       # event-time disorder, watermark tuning
 ]
 
 

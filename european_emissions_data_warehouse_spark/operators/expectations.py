@@ -89,3 +89,27 @@ def expectations_report(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("check")
+
+
+def k_anonymity_check(
+    df: DataFrame, quasi_identifiers: list[str], k: int
+) -> DataFrame:
+    """Privacy audit: is every quasi-identifier combination shared by at
+    least ``k`` rows?  The check you run BEFORE publishing a projection —
+    the release-side complement of SnapshotTable.delete_where's
+    erase-side GDPR path.
+
+    Returns one row: (k, n_groups, n_violating_groups, n_exposed_rows,
+    is_k_anonymous) — exact integers from one groupBy on the
+    quasi-identifier tuple (partial-aggregated; the only shuffle).  At
+    100 TB this is a scan plus a |distinct combinations|-sized exchange."""
+    groups = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).alias("n_violating_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
+        (F.sum(F.when(F.col("n") < k, 1).otherwise(0)) == 0)
+        .cast("int")
+        .alias("is_k_anonymous"),
+    )

@@ -3628,6 +3628,85 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before publishing a customer projection: is
+    (c_nationkey, c_mktsegment) k-anonymous at k=5?  (operators/
+    expectations.k_anonymity_check — the release-side complement of the
+    GDPR delete path.)"""
+    from european_emissions_data_warehouse_spark.operators.expectations import (
+        k_anonymity_check,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_check(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+ORACLE_K_ANONYMITY = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CASE WHEN SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS is_k_anonymous
+FROM groups
+"""
+
+
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness per user — the measurement that tunes a
+    streaming watermark: lateness = (per-user running max event-time) −
+    (this event's time) in seconds, profiled as max and count-late per
+    user, for users with any disorder.  The running max rides ONE
+    exchange keyed on user_id (the same partitioning sessionization
+    uses); arrival order is the event_id sequence.  A p99 over these
+    maxima is how you'd pick `withWatermark`'s delay."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("late_s"),
+    )
+    return (
+        late.groupBy("user_id")
+        .agg(
+            F.max("late_s").alias("max_late_s"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias("n_late"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_late") > 0)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_LATENESS_PROFILE = """
+WITH late AS (
+  SELECT user_id,
+         CAST(epoch(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING))
+              - epoch(ts) AS BIGINT) AS late_s
+  FROM events
+)
+SELECT user_id, MAX(late_s) AS max_late_s,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM late GROUP BY user_id
+HAVING SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -3724,6 +3803,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "skew_profile": q_skew_profile,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "k_anonymity": q_k_anonymity,
+    "lateness_profile": q_lateness_profile,
 }
 
 ORACLES = {
@@ -3822,4 +3903,6 @@ ORACLES = {
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "skew_profile": ORACLE_SKEW_PROFILE,
     "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
+    "k_anonymity": ORACLE_K_ANONYMITY,
+    "lateness_profile": ORACLE_LATENESS_PROFILE,
 }
