@@ -723,3 +723,128 @@ def chunk_dedup(
             " ",
         ).alias("dedup_text"),
     )
+
+
+def _minhash_band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    unit: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, sig, band, bucket) — the banded LSH table minhash_lsh_pairs
+    builds inline, factored out so an incremental dedup can persist it."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, unit, num_hashes).drop(
+        "shingles"
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * r + 1, r)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def minhash_store_init(
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    unit: str = "word",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Materialize the corpus's banded MinHash table to parquet — the
+    standing state incremental dedup joins new batches against."""
+    _minhash_band_table(docs, id_col, text_col, k, unit, num_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    unit: str = "word",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    update_store: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against the standing corpus without re-pairing the
+    corpus against itself — the production shape for a corpus that grows
+    daily: full-batch LSH is O((old+new)·bands) candidate work per run and
+    repeats all old-vs-old pairs forever; this touches the store only
+    through bucket-equality joins keyed on (band, bucket), so per-batch
+    cost is O(new·bands + matching buckets).
+
+    Returns (new_id, dup_of, est_jaccard): every new doc whose signature
+    estimate clears ``threshold`` against an existing doc (dup_of = the
+    stored id) or an earlier-id doc within the same batch (intra-batch
+    dedup, first-id-wins like dedup_exact).  With ``update_store``, the
+    SURVIVING new docs' band rows append to the store so the next batch
+    sees them — duplicates never enter the store, keeping it one row per
+    retained doc per band.  Exactly the pair set the full-batch
+    ``minhash_lsh_pairs`` would emit for pairs touching the new batch
+    (asserted by test), because signatures and banding hash identically."""
+    spark = new_docs.sparkSession
+    new_b = _minhash_band_table(
+        new_docs, id_col, text_col, k, unit, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    old_b = spark.read.parquet(store_path)
+
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(num_hashes)
+
+    n = new_b.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    o = old_b.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    vs_old = (
+        n.join(o, ["band", "bucket"])
+        .select("id_b", "id_a", "sig_a", "sig_b")
+        .distinct()
+    )
+    n2 = new_b.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    vs_new = (
+        n.join(n2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", "id_a", "sig_a", "sig_b")
+        .distinct()
+    )
+    pairs = (
+        vs_old.unionByName(vs_new)
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("dup_of"),
+            "est_jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    if update_store:
+        dup_ids = pairs.select(F.col("new_id").alias("id")).distinct()
+        survivors = new_b.join(dup_ids, "id", "left_anti")
+        survivors.write.mode("append").parquet(store_path)
+    return pairs

@@ -437,3 +437,41 @@ def test_nb_quality_separates_classes(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_incremental_minhash_dedup_matches_full_batch(spark, sf_dir, tmp_path):
+    """Splitting the corpus into old+new and deduping new against the store
+    must find exactly the full-batch pair set restricted to pairs touching
+    the new half (signatures and banding hash identically), and survivors
+    must enter the store while duplicates stay out."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_lsh_pairs,
+        minhash_store_init,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "store")
+    minhash_store_init(old, store)
+    before = spark.read.parquet(store).count()
+
+    inc = minhash_dedup_incremental(new, store)
+    got = {(r["new_id"], r["dup_of"]) for r in inc.collect()}
+
+    full = minhash_lsh_pairs(docs).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if b in new_ids:
+            want.add((b, a))   # later/new id is the duplicate
+        elif a in new_ids:
+            want.add((a, b))   # a is new, b is old
+    assert got == want and got, (len(got), len(want))
+
+    after = spark.read.parquet(store).count()
+    n_new = new.count()
+    n_dup_new = len({p[0] for p in got})
+    assert after - before == (n_new - n_dup_new) * 8  # bands=8 rows per survivor
