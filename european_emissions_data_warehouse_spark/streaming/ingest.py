@@ -378,3 +378,91 @@ def run_sketch_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_neardup_dedup_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> None:
+    """Continuous corpus ingestion with NEAR-duplicate suppression: each
+    micro-batch runs operators/dedup.minhash_dedup_incremental against the
+    standing band-bucket store, appends only surviving docs to the output
+    corpus, and lets the store grow by exactly those survivors.
+
+    Contrast with dedup_stream (exact content keys, state bounded by a
+    watermark): here the "state" is the persisted LSH store, so a
+    duplicate is caught no matter how far apart the copies arrive — the
+    trade is a bucket-equality join per batch instead of in-memory
+    dropDuplicates state.  Per-batch cost is O(batch·bands + matching
+    buckets); the old corpus is never re-paired (the incremental
+    contract).  First batch bootstraps the store from its own survivors."""
+    import os
+
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        _minhash_band_table,
+        minhash_dedup_incremental,
+        minhash_store_init,
+    )
+
+    spark = stream.sparkSession
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # two consumers below
+        try:
+            spark.read.parquet(store_path).limit(1).collect()
+            store_exists = True
+        except Exception:
+            store_exists = False
+        if not store_exists:
+            # bootstrap: intra-batch dedup via the standing pair logic on
+            # an empty-store equivalent — first-id-wins within the batch
+            pairs = (
+                _minhash_band_table(batch, id_col, text_col, 5, "word", 32, 8)
+                .alias("n")
+                .join(
+                    _minhash_band_table(batch, id_col, text_col, 5, "word", 32, 8).alias("o"),
+                    ["band", "bucket"],
+                )
+                .filter(F.col("o.id") < F.col("n.id"))
+                .select(
+                    F.col("n.id").alias("new_id"),
+                    F.size(
+                        F.filter(
+                            F.zip_with("n.sig", "o.sig", lambda x, y: x == y),
+                            lambda eq: eq,
+                        )
+                    ).alias("eq"),
+                )
+                .filter(F.col("eq") / 32 >= threshold)
+                .select("new_id")
+                .distinct()
+            )
+            survivors = batch.join(
+                pairs.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+            )
+            minhash_store_init(survivors, store_path)
+        else:
+            dups = minhash_dedup_incremental(
+                batch, store_path, id_col=id_col, text_col=text_col,
+                threshold=threshold, update_store=True,
+            )
+            survivors = batch.join(
+                dups.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        survivors.write.mode("append").parquet(out_path)
+
+    (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

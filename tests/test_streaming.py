@@ -521,3 +521,49 @@ def test_sketch_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_neardup_dedup_stream_suppresses_across_batches(spark, sf_dir, tmp_path):
+    """Near-dup suppression survives ACROSS micro-batches (unlike the
+    watermark-bounded exact dedup): re-streaming the SAME docs in a later
+    drop adds nothing to the corpus, and the surviving set matches what
+    batch LSH dedup would keep."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_neardup_dedup_stream,
+        stream_from_directory,
+    )
+
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    run_neardup_dedup_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        store, out, ck,
+    )
+    kept1 = spark.read.parquet(out)
+    # batch truth: docs minus later-id members of LSH pairs
+    pairs = minhash_lsh_pairs(docs).collect()
+    dup_ids = {r["id_b"] for r in pairs}
+    assert {r["doc_id"] for r in kept1.collect()} == (
+        {r["doc_id"] for r in docs.collect()} - dup_ids
+    )
+
+    # second drop: identical content, shifted ids -> all near-dups of kept1
+    docs.withColumn("doc_id", F.col("doc_id") + 1000).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run_neardup_dedup_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        store, out, ck,
+    )
+    kept2 = spark.read.parquet(out)
+    assert kept2.count() == kept1.count(), "replayed content must all be suppressed"
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
