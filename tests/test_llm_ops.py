@@ -475,3 +475,29 @@ def test_incremental_minhash_dedup_matches_full_batch(spark, sf_dir, tmp_path):
     n_new = new.count()
     n_dup_new = len({p[0] for p in got})
     assert after - before == (n_new - n_dup_new) * 8  # bands=8 rows per survivor
+
+
+def test_chunk_dedup_conservation_properties(spark, sf_dir):
+    """Structural invariants over the real corpus: kept chunks never exceed
+    total chunks, reassembled text length never exceeds the original, and
+    summing n_kept over docs equals the number of DISTINCT chunks in the
+    corpus (each distinct chunk survives exactly once)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_dedup(docs, chunk_words=16)
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    distinct_chunks = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+')) / 16.0) as int) - 1), "
+                    "i -> array_join(slice(split(trim(text), '\\\\s+'), i * 16 + 1, 16), ' '))"
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_chunks
