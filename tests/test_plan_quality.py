@@ -317,7 +317,13 @@ def test_scalar_total_queries_scan_fact_once(spark, sf_dir):
     deduplicate the two lineages (observed), so the per-group rollup is
     checkpoint-materialized and both consumers read it.  Guard the executed
     plan to one FileScan of the fact."""
-    for name, fact in [("important_parts", "lineitem"), ("skew_profile", "lineitem")]:
+    for name, fact in [
+        ("important_parts", "lineitem"),
+        ("skew_profile", "lineitem"),
+        # heavy_hitters_cms derives truth set, N, AND the sketch from one
+        # checkpointed vocabulary — the result plan re-scans nothing
+        ("heavy_hitters_cms", "documents"),
+    ]:
         plan = _executed(entry_mod.queries()[name](spark, sf_dir))
         scans = [
             ln for ln in plan.splitlines() if "FileScan" in ln and fact in ln
