@@ -121,6 +121,7 @@ _DEFER_NEXT_ROUND = [
     "readability",            # Flesch-Kincaid readability screen
     "k_anonymity",            # privacy audit before publication
     "lateness_profile",       # event-time disorder, watermark tuning
+    "cohort_retention",       # first-order-year retention matrix
 ]
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_rate_by_source",
     "nb_quality",
     "readability",
+    "cohort_retention",
     # mutual_nn is excluded like ann_pq: embeddings is not sf-proportional,
     # so its O(n_a*n_b) exact baseline isn't a scaling signal
     # ann_pq / ann_ivfpq are deliberately NOT benched: the embeddings table

@@ -3707,6 +3707,74 @@ ORDER BY user_id
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic warehouse growth matrix: customers
+    bucketed by first-order YEAR, counted distinct in every subsequent
+    order year, with the retained share of the cohort in exact ppm.
+
+    Shape: the first-order rollup is one customer-keyed aggregate joined
+    back to orders (both sides pre-aggregated to (customer, year) pairs
+    first, so the join carries one row per customer-year, not per order);
+    the final matrix groupBy is tiny (years²).  No window over the full
+    fact, no skew key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_year = (
+        orders.select(
+            "o_custkey", F.year("o_orderdate").alias("order_year")
+        ).distinct()
+    )
+    first = cust_year.groupBy("o_custkey").agg(
+        F.min("order_year").alias("cohort_year")
+    )
+    cohort_size = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    matrix = (
+        cust_year.join(first, "o_custkey")
+        .groupBy("cohort_year", "order_year")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+    return (
+        matrix.join(F.broadcast(cohort_size), "cohort_year")
+        .select(
+            "cohort_year",
+            "order_year",
+            "active_customers",
+            "cohort_customers",
+            F.floor(
+                F.col("active_customers") * 1000000 / F.col("cohort_customers")
+            )
+            .cast("bigint")
+            .alias("retained_ppm"),
+        )
+        .orderBy("cohort_year", "order_year")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH cust_year AS (
+  SELECT DISTINCT o_custkey, EXTRACT(year FROM o_orderdate) AS order_year
+  FROM orders
+), first AS (
+  SELECT o_custkey, MIN(order_year) AS cohort_year
+  FROM cust_year GROUP BY o_custkey
+), cohort_size AS (
+  SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+  FROM first GROUP BY cohort_year
+), matrix AS (
+  SELECT f.cohort_year, c.order_year,
+         CAST(COUNT(*) AS BIGINT) AS active_customers
+  FROM cust_year c JOIN first f USING (o_custkey)
+  GROUP BY f.cohort_year, c.order_year
+)
+SELECT cohort_year, order_year, active_customers, cohort_customers,
+       CAST(FLOOR(active_customers * 1000000 / cohort_customers) AS BIGINT)
+         AS retained_ppm
+FROM matrix JOIN cohort_size USING (cohort_year)
+ORDER BY cohort_year, order_year
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_building_orders": q_top_unshipped,
@@ -3805,6 +3873,7 @@ QUERIES = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "k_anonymity": q_k_anonymity,
     "lateness_profile": q_lateness_profile,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -3905,4 +3974,5 @@ ORACLES = {
     "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
     "k_anonymity": ORACLE_K_ANONYMITY,
     "lateness_profile": ORACLE_LATENESS_PROFILE,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
 }
