@@ -29,86 +29,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_etl_flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the FIRST 50 queries in registration order.  Rounds 1+2
-# together produced green rows for 98 of the 124 then-registered queries;
-# round 3 front-loads the remaining 26 (every entry added after round 2's
-# window was frozen — including the four llm additions dsir_weights,
-# mixture_temperature, pmi_pairs, quantize_int8), then the first 24 round-3
-# additions.  Every further round-3 addition overflows the 50-slot window
-# and is listed in _DEFER_NEXT_ROUND (replica-gate green at sf0.001, 0.01
-# AND 0.1; they rotate to the FRONT of round 4's window, and
-# tests/test_driver_contract.py fails if a deferral is ever silent).
-# Queries whose implementation changed this round but which already hold
-# green r1/r2 rows (dedup_exact, corpus_prep, semdedup, minhash_neardup)
-# yield their slots to never-graded entries — their unchanged oracles keep
-# verifying them through the replica gate.
+# The driver grades the FIRST 50 queries in registration order.  Rounds 1-3
+# produced green rows for 148 of the 163 registered queries; round 4 leads
+# with the final 15 never-driver-graded entries (round 3's documented
+# _DEFER_NEXT_ROUND rotation, VERDICT r3 item #1), taking the engine to
+# 163/163 driver-graded.  The remaining 35 slots re-verify a cross-section
+# of already-green queries: the flagship/parity chain, every heavy LLM
+# operator reworked in round 3 (hash-key dedup exchanges, SemDeDup block
+# cap, banded MinHash), and representative analytics shapes — re-grading a
+# green query is free insurance that the current code still matches its
+# oracle under the driver's own protocol.
 _GRADE_FIRST = [
-    # --- the 26 queries with no driver CORRECTNESS row yet (rounds 1+2) ---
-    "date_spine",
-    "order_count_histogram",
-    "top_supplier_revenue",
-    "idle_rich_customers",
-    "unpivot_status",
-    "small_qty_parts",
-    "dominant_suppliers",
-    "waiting_suppliers",
-    "local_supplier_revenue",
-    "large_orders",
-    "dq_report",
-    "incremental_agg",
-    "approx_percentile",
-    "price_histogram",
-    "stats_summary",
-    "rolling_wau",
-    "dedup_components_star",
-    "decontaminate",
-    "repetition_signals",
-    "token_rarity",
-    "source_mixture",
-    "media_resize",
-    "dsir_weights",
-    "mixture_temperature",
-    "pmi_pairs",
-    "quantize_int8",
-    # --- new round-3 queries (every addition this round must appear here) ---
-    "nation_trade_volume",
-    "market_share",
-    "product_profit",
-    "priority_by_status",
-    "lateral_top_orders",
-    "event_transitions",
-    "orphan_audit",
-    "price_regression",
-    "median_by_segment",
-    "order_gap_stats",
-    "recursive_ancestry",
-    "unigram_logprob",
-    "bigram_logprob",
-    "vocab_coverage",
-    "length_deciles",
-    "time_weighted_value",
-    "monthly_growth",
-    "repeat_buyer_share",
-    "ann_pq",
-    "ann_ivfpq",
-    # --- added late in round 3, still never driver-graded ---
-    "chunk_dedup",
-    "bpe_pair_counts",
-    "variant_extract",
-    "pipe_syntax_summary",
-]
-
-# Ungraded queries that do NOT fit this round's 50-entry window.  Each is
-# replica-gate green (tests/test_oracle_parity.py runs the driver's exact
-# rows+schema+hash protocol over every one at sf0.001, and they were
-# additionally gated at sf0.01 and sf0.1 when added) and MUST lead round
-# 4's _GRADE_FIRST.  The contract guard asserts the set of
-# ungraded-outside-window queries equals exactly this list — a silent
-# deferral fails the suite.
-_DEFER_NEXT_ROUND = [
-    "corpus_shuffle",
-    "padding_efficiency",
-    # continuation-session additions (window already full this round):
+    # --- the last 15 queries with no driver CORRECTNESS row (r3 deferrals) ---
     "important_parts",        # TPC-H Q11 shape — completes the 22/22 sweep
     "supplier_part_variety",  # TPC-H Q16 shape
     "bpe_apply_merge",        # tokenizer training: apply the learned merge
@@ -122,7 +54,56 @@ _DEFER_NEXT_ROUND = [
     "k_anonymity",            # privacy audit before publication
     "lateness_profile",       # event-time disorder, watermark tuning
     "cohort_retention",       # first-order-year retention matrix
+    "corpus_shuffle",         # seeded deterministic training-data shuffle
+    "padding_efficiency",     # length-bucketed batching profile
+    # --- re-verification: flagship + parity chain ---
+    "etl_flagship",
+    "upsert_lww",
+    "surrogate_key",
+    "dedupe_last",
+    "dim_decode_join",
+    "csv_roundtrip",
+    "try_cast_import",
+    # --- re-verification: heavy LLM operators (all reworked in round 3) ---
+    "dedup_exact",
+    "corpus_prep",
+    "semdedup",
+    "minhash_neardup",
+    "simhash_neardup",
+    "dedup_components",
+    "chunk_dedup",
+    "bpe_pair_counts",
+    "kmeans_clusters",
+    "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "text_stats",
+    "text_clean",
+    "lang_predict",
+    "doc_fingerprint",
+    "token_topk",
+    "train_test_split",
+    "tfidf_terms",
+    "bm25_search",
+    # --- re-verification: analytics cross-section ---
+    "pricing_summary",
+    "sessionize",
+    "scd2_dim",
+    "asof_join",
+    "range_join_peak",
+    "funnel_conversion",
+    "user_streaks",
+    "salted_join_hot",
 ]
+
+# Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
+# of round 4: every registered query either holds a driver CORRECTNESS row
+# or sits in this round's graded window.  The contract guard asserts the
+# set of ungraded-outside-window queries equals exactly this list — a
+# silent deferral fails the suite.  (Used only when a round registers more
+# new queries than the 50-slot window can grade; each entry must then be
+# replica-gate green at sf0.001/0.01/0.1 and lead the next round's window.)
+_DEFER_NEXT_ROUND: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3661,11 +3661,19 @@ FROM groups
 def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time out-of-orderness per user — the measurement that tunes a
     streaming watermark: lateness = (per-user running max event-time) −
-    (this event's time) in seconds, profiled as max and count-late per
-    user, for users with any disorder.  The running max rides ONE
-    exchange keyed on user_id (the same partitioning sessionization
-    uses); arrival order is the event_id sequence.  A p99 over these
-    maxima is how you'd pick `withWatermark`'s delay."""
+    (this event's time) in whole seconds, profiled as max / count-late /
+    count per user.  EVERY user gets a row (a zero-disorder feed is itself
+    the answer: "watermark delay 0 is safe" — ADVICE r3 flagged the old
+    disorder-only HAVING as vacuous on in-order data).  The running max
+    rides ONE exchange keyed on user_id (the same partitioning
+    sessionization uses); arrival order is the event_id sequence.  A p99
+    over these maxima is how you'd pick `withWatermark`'s delay.
+
+    Cross-engine determinism: both engines floor each event's epoch to a
+    whole second BEFORE the window max and the subtraction (Spark's
+    unix_timestamp truncates pre-subtraction while DuckDB's epoch() keeps
+    sub-second fractions and rounds the difference — floor-first on both
+    sides removes that ±1 s disagreement on fractional timestamps)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -3674,9 +3682,11 @@ def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = ev.select(
         "user_id",
-        (
-            F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
-        ).alias("late_s"),
+        "event_id",
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("ep"),
+    ).select(
+        "user_id",
+        (F.max("ep").over(w) - F.col("ep")).alias("late_s"),
     )
     return (
         late.groupBy("user_id")
@@ -3685,24 +3695,24 @@ def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0)).alias("n_late"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .filter(F.col("n_late") > 0)
         .orderBy("user_id")
     )
 
 
 ORACLE_LATENESS_PROFILE = """
-WITH late AS (
-  SELECT user_id,
-         CAST(epoch(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS UNBOUNDED PRECEDING))
-              - epoch(ts) AS BIGINT) AS late_s
+WITH ep AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
   FROM events
+), late AS (
+  SELECT user_id,
+         MAX(ep) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) - ep AS late_s
+  FROM ep
 )
 SELECT user_id, MAX(late_s) AS max_late_s,
        CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM late GROUP BY user_id
-HAVING SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) > 0
 ORDER BY user_id
 """
 
