@@ -818,8 +818,13 @@ def minhash_dedup_incremental(
     o = old_b.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
+    # id_a != id_b: a doc is never a duplicate of ITSELF — without this, a
+    # crash-replayed batch whose survivors already reached the store would
+    # self-match at est_jaccard 1.0 and flag every survivor as a duplicate,
+    # permanently dropping the documents from the output corpus (ADVICE r3)
     vs_old = (
         n.join(o, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_b", "id_a", "sig_a", "sig_b")
         .distinct()
     )

@@ -177,7 +177,13 @@ class SnapshotTable:
                 raise ValueError(f"no commits yet at {self.path}")
         return self.spark.read.parquet(f"{self.path}/{self._manifest(version)}")
 
-    def diff(self, v_from: int, v_to: int, key: Sequence[str]) -> DataFrame:
+    def diff(
+        self,
+        v_from: int,
+        v_to: int,
+        key: Sequence[str],
+        check_unique: bool = True,
+    ) -> DataFrame:
         """Change-data-feed between two committed versions: one row per
         change with ``_change_type`` in {insert, delete, update_preimage,
         update_postimage} — the Delta-CDF row contract, recomputed from the
@@ -190,7 +196,20 @@ class SnapshotTable:
         once on the key — the same cost envelope as the upsert that
         produced the new version.  Updates emit preimage AND postimage
         rows so downstream incremental consumers can subtract/add without
-        re-reading either snapshot."""
+        re-reading either snapshot.
+
+        The CDF row contract REQUIRES ``key`` unique within each snapshot
+        — duplicate keys would fan the full-outer join out m×n and emit
+        change rows with wrong multiplicities, silently corrupting the
+        apply_cdf algebra downstream (ADVICE r3).  Each side therefore
+        carries a per-key count window that raises at execution on the
+        first duplicate (the check is folded into the payload column the
+        join consumes, so the optimizer cannot prune it; the window
+        partitions on the same key the join shuffles on, so it rides the
+        join's own exchange — no extra shuffle).  Callers with known-
+        unique keys by construction can pass ``check_unique=False``."""
+        from pyspark.sql import Window
+
         key = list(key)
         old = self.read(v_from)
         new = self.read(v_to)
@@ -205,8 +224,26 @@ class SnapshotTable:
         def payload_struct():
             return F.struct(*payload) if payload else F.lit(0)
 
-        o = old.select(F.struct(*key).alias("_k"), payload_struct().alias("_old_p"))
-        n = new.select(F.struct(*key).alias("_k"), payload_struct().alias("_new_p"))
+        def side_frame(df: DataFrame, alias: str, version: int) -> DataFrame:
+            out = df.select(F.struct(*key).alias("_k"), payload_struct().alias(alias))
+            if not check_unique:
+                return out
+            n_per_key = F.count(F.lit(1)).over(Window.partitionBy("_k"))
+            guarded = F.when(n_per_key == 1, F.col(alias)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"SnapshotTable.diff: duplicate key {key} in "
+                            f"v{version} of {self.path}: "
+                        ),
+                        F.col("_k").cast("string"),
+                    )
+                ).cast(out.schema[alias].dataType.simpleString())
+            )
+            return out.select("_k", guarded.alias(alias))
+
+        o = side_frame(old, "_old_p", v_from)
+        n = side_frame(new, "_new_p", v_to)
         joined = o.join(n, "_k", "full_outer").select(
             "_k",
             "_old_p",

@@ -105,6 +105,39 @@ def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _merge_fold(syms_col, left: str, right: str):
+    """One BPE merge applied to a symbol-array Column: fold left-to-right,
+    gluing every adjacent (left, right) occurrence into one symbol.
+
+    The rule symbols are bound as ``F.lit`` DATA, never spliced into SQL
+    text — corpus-derived symbols can contain quotes, backslashes, or
+    anything else (an apostrophe is a common top merge in real text), and
+    Python ``repr`` only coincidentally matches Spark's string-literal
+    escaping (ADVICE r3: a single-quoted symbol came out double-quoted,
+    which ANSI double-quoted-identifier mode parses as an identifier).
+    Column binding has no escaping layer to get wrong, under any parser
+    flags.
+
+    aggregate() walks the array left-to-right, so overlapping runs merge
+    greedily exactly like the reference BPE algorithm ("aaaa" under rule
+    a+a -> [aa, aa]: a just-merged symbol can never match ``left`` again
+    unless it literally equals it, which the recurrence handles
+    naturally)."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:
@@ -154,29 +187,10 @@ def bpe_train(
             break
         left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         rules.append((left, right, int(cnt)))
-        # apply the merge: fold adjacent (left, right) into one symbol.
-        # aggregate() walks the array left-to-right, so overlapping runs
-        # merge greedily exactly like the reference BPE algorithm ("aaaa"
-        # under rule a+a -> [aa, aa]: a just-merged symbol can never match
-        # `left` again unless it literally equals it, which the recurrence
-        # handles naturally).
+        # apply the merge via the Column-bound fold (_merge_fold) — the
+        # learned symbols travel as literals, never as SQL text
         words = words.select(
-            F.expr(
-                f"""
-                aggregate(
-                  syms,
-                  array()::array<string>,
-                  (acc, s) -> CASE
-                    WHEN size(acc) > 0
-                         AND element_at(acc, -1) = {left!r}
-                         AND s = {right!r}
-                    THEN concat(slice(acc, 1, size(acc) - 1),
-                                array(element_at(acc, -1) || s))
-                    ELSE concat(acc, array(s))
-                  END
-                )
-                """
-            ).alias("syms"),
+            _merge_fold(F.col("syms"), left, right).alias("syms"),
             "wfreq",
         ).localCheckpoint(eager=True)
     return rules
@@ -201,31 +215,15 @@ def bpe_encode(
     is the right tool for the rule counts a Spark-side analysis uses.
 
     Returns (doc_id, bpe_tokens, n_words)."""
-    def fold(expr: str, left: str, right: str) -> str:
-        return f"""
-            aggregate(
-              {expr},
-              array()::array<string>,
-              (acc, s) -> CASE
-                WHEN size(acc) > 0
-                     AND element_at(acc, -1) = {left!r}
-                     AND s = {right!r}
-                THEN concat(slice(acc, 1, size(acc) - 1),
-                            array(element_at(acc, -1) || s))
-                ELSE concat(acc, array(s))
-              END
-            )
-        """
-
-    syms = "split(word, '')"
+    syms = F.split(F.col("word"), "")
     for rule in rules:
-        syms = fold(syms, rule[0], rule[1])
+        syms = _merge_fold(syms, rule[0], rule[1])
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     return (
-        words.select("doc_id", F.expr(f"size({syms})").alias("n_toks"))
+        words.select("doc_id", F.size(syms).alias("n_toks"))
         .groupBy("doc_id")
         .agg(
             F.sum("n_toks").alias("bpe_tokens"),

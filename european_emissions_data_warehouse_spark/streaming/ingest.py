@@ -328,47 +328,41 @@ def run_sketch_stream(
     depth×width table, never a vocabulary — the stream's distinct-token
     cardinality is irrelevant to memory.
 
-    The merge is read-modify-publish through a staging rename (the same
-    atomic-swap discipline as run_incremental_upsert): a crash between
-    write and rename leaves the previous table intact, and the replayed
-    batch re-merges from it — the checkpoint guarantees each batch merges
-    exactly once into the published lineage."""
+    The sketch lives in a :class:`SnapshotTable` (one version per merged
+    batch; read it with ``SnapshotTable(spark, path).read()``), which
+    closes both at-least-once holes ADVICE r3 found in the old
+    delete-then-rename layout: each commit records its micro-batch id, so
+    a batch replayed after a crash between sketch publish and checkpoint
+    commit is recognized and SKIPPED instead of double-counted (sketch
+    counters are sums — re-merging a replay would silently inflate every
+    cell); and publish is the log's rename-without-overwrite CAS, so no
+    crash window ever leaves the previous table deleted-but-unreplaced."""
     from european_emissions_data_warehouse_spark.operators.sketches import (
         count_min_build,
+    )
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        SnapshotTable,
     )
 
     spark = stream.sparkSession
 
-    def swap_dirs(staging: str, final: str) -> None:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        final_p = jvm.org.apache.hadoop.fs.Path(final)
-        staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-        if fs.exists(final_p):
-            fs.delete(final_p, True)
-        fs.rename(staging_p, final_p)
-
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        table = SnapshotTable(spark, sketch_path)
+        if batch_id in table.applied_batch_ids():
+            return  # crash-replay of an already-merged batch
         delta = count_min_build(
             batch, token_col=token_col, depth=depth, width=width, seed=seed
         )
-        try:
-            old = spark.read.parquet(sketch_path)
-            exists = True
-        except Exception:
-            exists = False
-        if exists:
+        if table.history():
             merged = (
-                old.unionByName(delta)
+                table.read()
+                .unionByName(delta)
                 .groupBy("row_j", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-            staging = f"{sketch_path}__staging_{batch_id}"
-            merged.write.mode("overwrite").parquet(staging)
-            swap_dirs(staging, sketch_path)
         else:
-            delta.write.mode("overwrite").parquet(sketch_path)
+            merged = delta
+        table.commit(merged, meta={"batch_id": str(batch_id)})
 
     (
         stream.writeStream.foreachBatch(merge_batch)
@@ -391,7 +385,7 @@ def run_neardup_dedup_stream(
 ) -> None:
     """Continuous corpus ingestion with NEAR-duplicate suppression: each
     micro-batch runs operators/dedup.minhash_dedup_incremental against the
-    standing band-bucket store, appends only surviving docs to the output
+    standing band-bucket store, adds only surviving docs to the output
     corpus, and lets the store grow by exactly those survivors.
 
     Contrast with dedup_stream (exact content keys, state bounded by a
@@ -400,9 +394,24 @@ def run_neardup_dedup_stream(
     trade is a bucket-equality join per batch instead of in-memory
     dropDuplicates state.  Per-batch cost is O(batch·bands + matching
     buckets); the old corpus is never re-paired (the incremental
-    contract).  First batch bootstraps the store from its own survivors."""
-    import os
+    contract).  First batch bootstraps the store from its own survivors.
 
+    Crash safety (ADVICE r3): foreachBatch is at-least-once, and the old
+    append-to-store-then-append-to-out sequence had TWO unrecoverable
+    windows — a replay after the store append would self-match every
+    survivor (est_jaccard 1.0) and append nothing to the corpus, silently
+    LOSING documents; a replay after the out append would duplicate
+    output rows.  The batch function is now idempotent end-to-end:
+    (a) the store join excludes self-id matches (a doc is never its own
+    duplicate), so a replayed batch recomputes the identical survivor
+    set even when its own survivors already sit in the store; and
+    (b) both the store and the corpus are laid out as ``batch_id=N``
+    partition directories written with per-partition OVERWRITE, so a
+    replay rewrites its own partition with identical content instead of
+    appending a second copy.  Re-running any suffix of batches converges
+    to the same store and corpus — no ledger required, and readers see
+    the standard partition-discovery layout (the ``batch_id`` column is
+    free ingest lineage)."""
     from european_emissions_data_warehouse_spark.operators.dedup import (
         _minhash_band_table,
         minhash_dedup_incremental,
@@ -412,7 +421,9 @@ def run_neardup_dedup_stream(
     spark = stream.sparkSession
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)  # two consumers below
+        batch = batch.localCheckpoint(eager=True)  # multiple consumers below
+        store_part = f"{store_path}/batch_id={batch_id}"
+        out_part = f"{out_path}/batch_id={batch_id}"
         try:
             spark.read.parquet(store_path).limit(1).collect()
             store_exists = True
@@ -444,19 +455,25 @@ def run_neardup_dedup_stream(
             )
             survivors = batch.join(
                 pairs.withColumnRenamed("new_id", id_col), id_col, "left_anti"
-            )
-            minhash_store_init(survivors, store_path)
+            ).localCheckpoint(eager=True)
+            minhash_store_init(survivors, store_part)
         else:
             dups = minhash_dedup_incremental(
                 batch, store_path, id_col=id_col, text_col=text_col,
-                threshold=threshold, update_store=True,
+                threshold=threshold, update_store=False,
             )
             survivors = batch.join(
                 dups.select(F.col("new_id").alias(id_col)).distinct(),
                 id_col,
                 "left_anti",
-            )
-        survivors.write.mode("append").parquet(out_path)
+            ).localCheckpoint(eager=True)
+            # survivors' band rows land in THIS batch's store partition —
+            # replay overwrites it with identical content (idempotent),
+            # and duplicates never enter the store
+            _minhash_band_table(
+                survivors, id_col, text_col, 5, "word", 32, 8
+            ).write.mode("overwrite").parquet(store_part)
+        survivors.write.mode("overwrite").parquet(out_part)
 
     (
         stream.writeStream.foreachBatch(dedup_batch)

@@ -416,6 +416,38 @@ def test_bpe_encode_roundtrip_with_trained_rules(spark):
     assert r0["bpe_tokens"] == len("low") * 2 + len("lower")
 
 
+def test_bpe_symbols_with_quotes_and_backslashes(spark):
+    """Merge symbols are bound as Column data, not spliced into SQL text
+    (ADVICE r3): an apostrophe — a common top merge in real English text —
+    or a backslash in the learned symbol must train and encode cleanly
+    even with ANSI double-quoted-identifier parsing enabled."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    old = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "don't don't don't it's"), (2, r"a\'b a\'b")],
+            "doc_id long, text string",
+        )
+        rules = bpe_train(docs, n_merges=3)
+        # four pairs tie at count 3; ("'", "t") wins the lexicographic
+        # tie-break (quote sorts before letters) — the top rule itself
+        # carries the apostrophe the old SQL splicing mangled
+        assert rules[0][:2] == ("'", "t")
+        assert any("'" in left or "'" in right for left, right, _ in rules)
+        enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, rules).collect()}
+        assert enc[1] > 0 and enc[2] > 0
+        # character tokenization baseline shrinks after merges apply
+        base = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, []).collect()}
+        assert enc[1] < base[1]
+    finally:
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", old)
+
+
 def test_nb_quality_separates_classes(spark, sf_dir):
     """The classifier must assign higher mean log-odds to pseudo-good docs
     than pseudo-bad ones (it trained on exactly that signal)."""

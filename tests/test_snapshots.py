@@ -147,3 +147,27 @@ def test_diff_key_only_table(spark, tmp_path):
     t.commit(spark.createDataFrame([(2,), (3,)], "id long"))
     got = {(r["id"], r["_change_type"]) for r in t.diff(0, 1, key=["id"]).collect()}
     assert got == {(1, "delete"), (3, "insert")}
+
+
+def test_diff_rejects_duplicate_keys(spark, tmp_path):
+    """Duplicate keys in either snapshot would fan the full-outer join out
+    m x n and corrupt the CDF multiplicities — the embedded per-key count
+    guard must raise at execution instead (ADVICE r3); check_unique=False
+    restores the old unchecked behavior for callers with keys unique by
+    construction."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "c")], "id long, v string"))
+    with pytest.raises(SparkRuntimeException, match="duplicate key"):
+        t.diff(0, 1, key=["id"]).collect()
+    # the clean side alone is fine: dup in v0 only, still caught
+    t.commit(spark.createDataFrame([(3, "d")], "id long, v string"))
+    with pytest.raises(SparkRuntimeException, match="duplicate key"):
+        t.diff(0, 2, key=["id"]).collect()
+    # unique snapshots pass the guard unchanged
+    got = {(r["id"], r["_change_type"]) for r in t.diff(1, 2, key=["id"]).collect()}
+    assert got == {(1, "delete"), (2, "delete"), (3, "insert")}
+    # escape hatch: unchecked diff still executes on duplicate keys
+    assert t.diff(0, 1, key=["id"], check_unique=False).count() >= 1

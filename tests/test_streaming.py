@@ -511,15 +511,37 @@ def test_sketch_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
         depth=3,
         width=256,
     )
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(spark, sketch_path)
     streamed = {
-        (r["row_j"], r["bucket"]): r["cnt"]
-        for r in spark.read.parquet(sketch_path).collect()
+        (r["row_j"], r["bucket"]): r["cnt"] for r in table.read().collect()
     }
     batch = {
         (r["row_j"], r["bucket"]): r["cnt"]
         for r in count_min_build(tokens, depth=3, width=256).collect()
     }
     assert streamed == batch
+    # crash-replay idempotence (ADVICE r3): losing the checkpoint replays
+    # every batch; the batch-id-stamped commits must skip them all — the
+    # sketch is a sum, so a single double-merge would inflate every cell
+    versions_before = table.history()
+    assert table.applied_batch_ids() == {0, 1}
+    shutil.rmtree(ckpt, ignore_errors=True)
+    run_sketch_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        sketch_path,
+        ckpt,
+        depth=3,
+        width=256,
+    )
+    assert table.history() == versions_before, "replayed batches must not commit"
+    replayed = {
+        (r["row_j"], r["bucket"]): r["cnt"] for r in table.read().collect()
+    }
+    assert replayed == batch
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
@@ -565,5 +587,26 @@ def test_neardup_dedup_stream_suppresses_across_batches(spark, sf_dir, tmp_path)
         store, out, ck,
     )
     kept2 = spark.read.parquet(out)
-    assert kept2.count() == kept1.count(), "replayed content must all be suppressed"
+    assert kept2.count() == kept1.count(), "re-streamed content must all be suppressed"
+
+    # crash-replay idempotence (ADVICE r3): losing the checkpoint replays
+    # every batch against a store that already contains the survivors.
+    # Self-id exclusion + per-batch partition overwrite must converge to
+    # the same corpus — the old append layout either lost every survivor
+    # (self-match at est_jaccard 1.0) or duplicated output rows.
+    kept_ids_before = {r["doc_id"] for r in kept2.collect()}
+    store_rows_before = spark.read.parquet(store).count()
+    shutil.rmtree(ck, ignore_errors=True)
+    run_neardup_dedup_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        store, out, ck,
+    )
+    # partition overwrite changed part-file names; drop the session's
+    # cached file listings before re-reading
+    spark.catalog.refreshByPath(out)
+    spark.catalog.refreshByPath(store)
+    kept3_rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in kept3_rows} == kept_ids_before
+    assert len(kept3_rows) == len(kept_ids_before), "replay must not duplicate output rows"
+    assert spark.read.parquet(store).count() == store_rows_before
     shutil.rmtree(str(tmp_path), ignore_errors=True)
