@@ -114,9 +114,16 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: a speculatively retried task logs its ERROR-level
+    # stack to stderr even when the job succeeds, leaving truncated
+    # DAGScheduler fragments in the BENCH tail where a real failure could
+    # hide (VERDICT r3 item #5).  Genuine query failures are reported
+    # through the Python exception channel below (-1 timing + one clean
+    # stderr line), which log4j level does not touch.
+    spark.sparkContext.setLogLevel("FATAL")
 
     import __spark_entry__ as entrymod
 
@@ -145,6 +152,29 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
 
+    # Fixed-size ANN side table (VERDICT r3 item #7): the embeddings table
+    # is NOT sf-proportional, so ann_pq/ann_ivfpq/mutual_nn stay out of the
+    # sf-scaling headline — but their index build/serve path still needs a
+    # round-over-round regression signal.  Benched once at the same fixed
+    # embedding size every round, reported separately from the suite total.
+    ann_fixed: dict[str, float] = {}
+    for name in ("ann_ivfpq", "ann_pq", "mutual_nn"):
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        ann_fixed[name] = round(best, 3)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -153,6 +183,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann_fixed": ann_fixed,
                 "sf": sf,
                 "repeats": repeats,
             }

@@ -47,9 +47,27 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
             return (n % 640, (n * 7) % 480)
     else:
         def decode(payload: bytes, media_type: str) -> tuple[int, int]:
+            # the real-codec boundary: images decode through PIL when the
+            # environment provides it (the env-gated integration test
+            # lights up automatically then — VERDICT r3 item #6); anything
+            # else still fails loudly rather than fabricating features
+            if media_type.startswith("image/"):
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "image decode needs PIL, which is not available in "
+                        "this environment; run with fake=True for the "
+                        "deterministic stub"
+                    ) from exc
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    return im.size
             raise NotImplementedError(
-                "media codecs (PIL/ffmpeg/soundfile) are not available in "
-                "this environment; run with fake=True for the deterministic stub"
+                f"no codec for media_type={media_type!r} (audio/video need "
+                "ffmpeg/soundfile, absent here); run with fake=True for the "
+                "deterministic stub"
             )
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -125,6 +125,80 @@ def test_etl_flagship_merge_is_only_shuffle_work(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def _tree_marker_pos(line: str) -> int:
+    """Column of a plan line's `+-`/`:-` tree marker (-1 for markerless
+    lines such as the root or section headers).  In Spark's tree dump a
+    child's marker always sits strictly right of its parent's, so marker
+    position IS tree depth."""
+    import re
+
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1
+
+
+def _subtree_indices(lines: list[str], j: int) -> list[int]:
+    """Line indices of the operator subtree rooted at ``lines[j]``,
+    SKIPPING embedded Subquery plan dumps: an executed plan string inlines
+    each subquery's own adaptive plan (section headers, its final-stage
+    single-partition aggregate exchanges, ...) under the consuming
+    operator, but those operators are not part of the node's input chain.
+    Markerless lines (section headers like `== Final Plan ==` rendered
+    without a tree marker) are treated as noise, not subtree exits."""
+    pos = _tree_marker_pos(lines[j])
+    out = []
+    k = j + 1
+    while k < len(lines):
+        p = _tree_marker_pos(lines[k])
+        if p != -1 and p <= pos:
+            break
+        if "Subquery" in lines[k]:  # Subquery / SubqueryBroadcast / Reused
+            sq = p
+            k += 1
+            while k < len(lines):
+                q = _tree_marker_pos(lines[k])
+                if q != -1 and q <= sq:
+                    break
+                k += 1
+            continue
+        if p != -1:
+            out.append(k)
+        k += 1
+    return out
+
+
+def _single_partition_window_offenders(plan: str) -> list[str]:
+    """Window/WindowGroupLimit operators whose input funnels through an
+    `Exchange SinglePartition` that is NOT fed by a limit-bounded subtree.
+
+    The exemption (TakeOrderedAndProject / GlobalLimit / CollectLimit
+    bounds the exchange's input to k rows) is anchored to the exchange's
+    OWN child subtree by tree indentation — a limit operator that merely
+    appears nearby in the plan TEXT (a sibling branch, a subquery section,
+    the query's outer LIMIT above the window) cannot mask a genuine
+    global-sort window (VERDICT r3 item #3; the previous fixed 7-line
+    lookahead could be fooled)."""
+    import re
+
+    lines = plan.splitlines()
+    offenders = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow(GroupLimit)?\b", ln):
+            continue
+        # first Exchange in the window's subquery-free subtree = the
+        # partitioning its input actually arrives through
+        for j in _subtree_indices(lines, i):
+            if "Exchange" not in lines[j]:
+                continue
+            if "Exchange SinglePartition" in lines[j]:
+                subtree = "\n".join(lines[k] for k in _subtree_indices(lines, j))
+                if not re.search(
+                    r"TakeOrderedAndProject|GlobalLimit|CollectLimit", subtree
+                ):
+                    offenders.append(ln.strip())
+            break
+    return offenders
+
+
 def test_no_window_over_single_partition_anywhere(spark, sf_dir):
     """No graded query may sort the whole input through one reducer to feed
     a window function (VERDICT r1: sequence_pack + surrogate_key were the
@@ -135,32 +209,60 @@ def test_no_window_over_single_partition_anywhere(spark, sf_dir):
     subtree (TakeOrderedAndProject / GlobalLimit) ranks at most k rows —
     that is the scale-safe global-top-k shape (bm25_search), not a global
     sort, so it is exempt."""
-    import re
-
     offenders = {}
     for name, fn in entry_mod.queries().items():
         plan = _executed(fn(spark, sf_dir))
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines):
-            if not re.search(r"\bWindow(GroupLimit)?\b", ln):
-                continue
-            for j in range(i + 1, min(i + 4, len(lines))):
-                if "Exchange SinglePartition" not in lines[j]:
-                    continue
-                # the exemption must hold in the EXCHANGE'S OWN child chain
-                # (the rows actually funneled into one partition), not just
-                # anywhere near the window in the plan text — an unrelated
-                # limit elsewhere in the lookahead must not mask a genuine
-                # global sort (ADVICE r2)
-                child = "\n".join(lines[j + 1 : j + 4])
-                if not re.search(
-                    r"TakeOrderedAndProject|GlobalLimit|CollectLimit", child
-                ):
-                    offenders[name] = ln.strip()
-                break
-            if name in offenders:
-                break
+        bad = _single_partition_window_offenders(plan)
+        if bad:
+            offenders[name] = bad[0]
     assert not offenders, offenders
+
+
+def test_single_partition_window_guard_is_not_fooled_by_nearby_limits():
+    """The guard itself, on synthetic plan text (VERDICT r3 item #3): a
+    CollectLimit in a SIBLING branch or ABOVE the window must not excuse a
+    global-sort window; a GlobalLimit genuinely below the exchange must."""
+    masked_by_sibling = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- BroadcastNestedLoopJoin BuildRight, Inner",
+        "   :- Window [row_number() ...], [x ASC]",
+        "   :  +- Sort [x ASC NULLS FIRST], false, 0",
+        "   :     +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "   :        +- FileScan parquet [x#1L]",
+        "   +- BroadcastExchange IdentityBroadcastMode",
+        "      +- CollectLimit 1",
+        "         +- FileScan parquet [y#2L]",
+    ])
+    assert len(_single_partition_window_offenders(masked_by_sibling)) == 1
+
+    masked_by_outer_limit = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- CollectLimit 21",
+        "   +- Window [row_number() ...], [x ASC]",
+        "      +- Sort [x ASC NULLS FIRST], false, 0",
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "            +- FileScan parquet [x#1L]",
+    ])
+    assert len(_single_partition_window_offenders(masked_by_outer_limit)) == 1
+
+    genuinely_bounded = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- Window [row_number() ...], [score DESC]",
+        "   +- Sort [score DESC NULLS LAST], false, 0",
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+        "         +- TakeOrderedAndProject(limit=10, orderBy=[score DESC])",
+        "            +- FileScan parquet [score#1]",
+    ])
+    assert _single_partition_window_offenders(genuinely_bounded) == []
+
+    hash_partitioned_window = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- Window [row_number() ...], [k#1], [x ASC]",
+        "   +- Sort [k#1 ASC, x ASC], false, 0",
+        "      +- Exchange hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS",
+        "         +- FileScan parquet [k#1,x#2]",
+    ])
+    assert _single_partition_window_offenders(hash_partitioned_window) == []
 
 
 def test_bm25_topk_uses_heap_not_global_sort(spark, sf_dir):

@@ -89,3 +89,36 @@ def test_orc_roundtrip_preserves_values_and_pushes_filters(spark, sf_dir, tmp_pa
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan, plan
+
+
+def test_parquet_ts_unit_directory_contract(tmp_path):
+    """_parquet_ts_unit over a directory (VERDICT r3 item #2): agreeing
+    parts resolve to one unit; a NANOS/MICROS mix fails loudly (one scan
+    can apply only one physical-type treatment); an empty directory raises
+    an explicit error, not a bare StopIteration."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        _parquet_ts_unit,
+    )
+
+    def write_part(dirname, fname, unit):
+        d = tmp_path / dirname
+        d.mkdir(exist_ok=True)
+        tbl = pa.table({"ts": pa.array([0, 1_000_000], type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / fname))
+
+    write_part("uniform", "part-0.parquet", "us")
+    write_part("uniform", "part-1.parquet", "us")
+    assert _parquet_ts_unit(str(tmp_path / "uniform")) == ("us", False)
+
+    write_part("mixed", "part-0.parquet", "us")
+    write_part("mixed", "part-1.parquet", "ns")
+    with pytest.raises(ValueError, match="mixed timestamp layouts"):
+        _parquet_ts_unit(str(tmp_path / "mixed"))
+
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError, match="no .parquet part files"):
+        _parquet_ts_unit(str(tmp_path / "empty"))
