@@ -447,6 +447,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     m: int = 4,
     pq_k: int = 16,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the production cluster-scale ANN layout
     (Jégou et al.): a coarse IVF quantizer partitions the corpus into
@@ -455,16 +456,21 @@ def ivfpq_topk(
     lists and ranks candidates by cosine against (coarse centroid +
     reconstructed residual) — raw vectors are never touched after
     indexing, so the searchable state is m·log2(pq_k) bits per vector plus
-    two broadcastable codebooks.
+    two broadcastable codebooks.  ``rerank`` enables the two-stage serve:
+    the top-``rerank`` ADC candidates are re-scored on the original
+    vectors (point lookups by id, see :func:`ivfpq_search`).
 
     Spark shape: coarse centroids and PQ codebooks broadcast; the corpus
     shuffles once at index build (list assignment); the probe join is
     equality-keyed on the list id.  Returns (query_id, rank, neighbor_id,
-    sim) ranked by the approximate similarity."""
+    sim) ranked by the approximate (or, with rerank, exact) similarity."""
     index, coarse = ivfpq_build_index(
         corpus, id_col, vec_col, dim=dim, n_centroids=n_centroids, m=m, pq_k=pq_k
     )
-    return ivfpq_search(queries, index, coarse, id_col, vec_col, k=k, n_probe=n_probe)
+    return ivfpq_search(
+        queries, index, coarse, id_col, vec_col, k=k, n_probe=n_probe,
+        rerank=rerank, raw_vectors=corpus if rerank is not None else None,
+    )
 
 
 def ivfpq_build_index(
@@ -534,11 +540,24 @@ def ivfpq_search(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
+    rerank: int | None = None,
+    raw_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """The serving half of IVF-PQ: route each query to its n_probe nearest
     coarse lists (broadcast routing table), rank the probed lists' stored
     reconstructions by cosine.  Only the probed centroid_id partitions of a
-    persisted index are read."""
+    persisted index are read.
+
+    With ``rerank`` (and ``raw_vectors`` = the (id, vec) table to fetch
+    originals from), the top ``rerank`` ADC candidates per query are
+    re-scored on their TRUE vectors and the final top-k ranked on exact
+    cosine — the standard two-stage IVF-PQ serve (Jégou et al. §V): ADC
+    does the cheap 99% cull from the quantized index, the exact pass
+    fixes the ordering quantization error scrambles near the top.  Cost
+    is one equality join of |Q|·rerank candidate ids (broadcast — tiny)
+    against the vector table, i.e. the point-lookup fetch every
+    production ANN server does; the raw corpus is still never scanned
+    against all queries."""
     from pyspark.sql import Window
 
     q_scored = (
@@ -558,8 +577,25 @@ def ivfpq_search(
         .withColumn("sim", cosine(F.col("q_vec"), F.col("approx_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "rank", "neighbor_id", "sim"
+        )
+    if raw_vectors is None:
+        raise ValueError("rerank requires raw_vectors to fetch originals from")
+    pool = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "q_vec", "neighbor_id"
+    )
+    raw = raw_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("true_vec")
+    )
+    exact = F.broadcast(pool).join(raw, "neighbor_id").withColumn(
+        "sim", cosine(F.col("q_vec"), F.col("true_vec"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )

@@ -405,17 +405,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance against reconstructions only.  Same verdict columns as the
     other ANN entries, with one twist: the ADC sim itself is approximate
     (reconstruction error can INFLATE it past the exact top-1), so the
-    bound is checked on the TRUE cosine of the ADC-chosen top-1 — the
-    re-ranking step a production IVF-PQ pipeline runs anyway.  Recall is
-    graded at >=1/5 per query (measured: every query recalls >=1 at both
-    SFs through 128x compression on these weak-signal embeddings;
-    deterministic, no RNG anywhere)."""
+    bound is checked on the TRUE cosine of the chosen top-1.  The serve
+    runs the full production two-stage shape: ADC culls each query's
+    probed lists to a 100-candidate pool, which is re-ranked on the
+    ORIGINAL vectors (point lookups by id) — without the re-rank pass,
+    128x compression on these weak-signal embeddings buries true
+    neighbors past rank 5 even when the probes find their lists (r4
+    measurement: recall@5 went to 0 for 3/10 queries at sf0.1 on ADC
+    order alone; with n_probe=3 + rerank=100 every query recalls >=1 at
+    sf0.001/0.01/0.1).  Recall is graded at >=1/5 per query;
+    deterministic, no RNG anywhere."""
     from european_emissions_data_warehouse_spark.functions.vectors import cosine
     from european_emissions_data_warehouse_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = ivfpq_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=2)
+    out = ivfpq_topk(
+        queries, emb, dim=64, k=5, n_centroids=8, n_probe=3, rerank=100
+    )
 
     exact = brute_force_topk(queries, emb, k=5)
     e1 = exact.filter(F.col("rank") == 1).select(

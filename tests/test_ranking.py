@@ -171,3 +171,51 @@ def test_ivfpq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
 
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_ivfpq_rerank_recovers_adc_buried_neighbors(spark, sf_dir):
+    """The two-stage serve: re-ranking the ADC candidate pool on original
+    vectors must never lose recall vs ADC-only order, and the re-ranked
+    sims must be TRUE cosines (bounded by the exact top-1).  Pins the r4
+    fix where ADC-only order buried every true top-5 neighbor for 3/10
+    queries at sf0.1."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+
+    def recall(out):
+        hits = (
+            exact.join(out.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").count().collect()
+        )
+        got = {r["query_id"]: r["count"] for r in hits}
+        return [got.get(q, 0) for q in range(10)]
+
+    adc_only = recall(ivfpq_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=3))
+    reranked = recall(
+        ivfpq_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=3, rerank=100)
+    )
+    assert all(r >= a for r, a in zip(reranked, adc_only)), (adc_only, reranked)
+    assert min(reranked) >= 1, reranked
+
+    # re-ranked sims are true cosines: every sim <= the exact top-1 + eps
+    out = ivfpq_topk(queries, emb, dim=64, k=5, n_centroids=8, n_probe=3, rerank=100)
+    e1 = (
+        brute_force_topk(queries, emb, k=1)
+        .select("query_id", F.col("sim").alias("exact1"))
+    )
+    viol = (
+        out.join(e1, "query_id")
+        .filter(F.col("sim") > F.col("exact1") + 1e-9)
+        .count()
+    )
+    assert viol == 0
