@@ -68,20 +68,37 @@ def run_incremental_upsert(
     the existing warehouse parquet.  The read-modify-overwrite footgun
     (SURVEY.md §7.4: mode('overwrite') deletes the input it is still lazily
     reading) is avoided by writing the merged result to a staging directory
-    and atomically renaming — never a driver-side collect, so the pattern
-    holds at any warehouse size."""
+    and swapping it in — never a driver-side collect, so the pattern holds
+    at any warehouse size.
+
+    The swap parks the previous table in a trash directory BEFORE renaming
+    the staging dir over the final path (never delete-then-rename): at no
+    instant do the only bytes live under a path a crash would strand, and
+    a failure mid-swap leaves both the old table (trash) and the merged
+    result (staging) on disk for recovery.  The swap is still two renames,
+    not one atomic publish — a reader racing the swap can see a missing
+    path for an instant.  For the log-committed guarantee (readers pin a
+    version, concurrent writers conflict cleanly, crash-replayed batches
+    are skipped) use :func:`run_snapshot_ingest`, which this function
+    predates and which supersedes it wherever history is wanted."""
     spark = stream.sparkSession
     key = list(key)
 
-    def swap_dirs(staging: str, final: str) -> None:
+    def swap_dirs(staging: str, final: str, batch_id: int) -> None:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
         final_p = jvm.org.apache.hadoop.fs.Path(final)
         staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-        if fs.exists(final_p):
-            fs.delete(final_p, True)
+        trash_p = jvm.org.apache.hadoop.fs.Path(f"{final}__trash_{batch_id}")
+        if fs.exists(trash_p):
+            fs.delete(trash_p, True)  # leftover from a crashed prior swap
+        had_final = fs.exists(final_p)
+        if had_final:
+            fs.rename(final_p, trash_p)
         fs.rename(staging_p, final_p)
+        if had_final:
+            fs.delete(trash_p, True)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         cleaned = dedupe_last(batch, key, order_by)
@@ -93,7 +110,7 @@ def run_incremental_upsert(
         if exists:
             staging = f"{warehouse_path}__staging_{batch_id}"
             upsert_anti_join(old, cleaned, key).write.mode("overwrite").parquet(staging)
-            swap_dirs(staging, warehouse_path)
+            swap_dirs(staging, warehouse_path, batch_id)
         else:
             cleaned.write.mode("overwrite").parquet(warehouse_path)
 
