@@ -230,3 +230,61 @@ def bpe_encode(
             F.count(F.lit(1)).alias("n_words"),
         )
     )
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    rules: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched twin of :func:`bpe_encode` for PRODUCTION rule counts:
+    the expression form composes one fold per rule into the plan, so at
+    10⁴⁺ merges codegen size and analysis time blow up with the
+    vocabulary; here the rule list ships once per executor inside the UDF
+    closure (cloudpickle — the classic broadcast-small-side pattern) and
+    each Arrow batch applies all merges in plain Python over the batch's
+    words.  Same contract and bit-identical output as bpe_encode
+    (asserted by the parity test): (doc_id, bpe_tokens, n_words), no
+    shuffle before the per-doc rollup, scan-bound at any corpus size.
+
+    Merges apply in training order with the same greedy left-to-right
+    overlap semantics as _merge_fold; per word the merge loop touches
+    only rules whose glued pair actually occurs (substring pre-check), so
+    the common case is O(len(word) + rules-that-fire), not O(all rules).
+    """
+    import pandas as pd
+
+    merge_list = [(left, right) for left, right, *_ in (tuple(r) for r in rules)]
+
+    def encode_word(word: str) -> int:
+        syms = list(word)
+        for left, right in merge_list:
+            if left + right not in "".join(syms):
+                continue
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = out[-1] + s
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    def encode(batches):
+        for pdf in batches:
+            ids, n_toks, n_words = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").strip().split() if w]
+                if not words:
+                    continue  # parity: the explode form emits no row either
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_toks.append(sum(encode_word(w) for w in words))
+            yield pd.DataFrame(
+                {"doc_id": ids, "bpe_tokens": n_toks, "n_words": n_words}
+            )
+
+    return (
+        docs.select("doc_id", F.col(text_col).alias("text"))
+        .mapInPandas(encode, schema="doc_id long, bpe_tokens long, n_words long")
+    )

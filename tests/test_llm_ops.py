@@ -483,6 +483,35 @@ def test_bpe_symbols_with_quotes_and_backslashes(spark):
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", old)
 
 
+def test_bpe_encode_arrow_matches_expression_form(spark, sf_dir):
+    """The Arrow-batched encoder (production path for 10^4+ rule lists)
+    must be bit-identical to the expression-chain form on the same rules:
+    same docs, same token counts, zero-word docs dropped by both."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    rules = bpe_train(docs, n_merges=6)
+    assert len(rules) == 6
+    expr = {tuple(r) for r in bpe_encode(docs, rules).collect()}
+    arrow = {tuple(r) for r in bpe_encode_arrow(docs, rules).collect()}
+    assert expr == arrow
+
+    # greedy-overlap + quote symbols + a whitespace-only doc (must vanish)
+    tricky = spark.createDataFrame(
+        [(1, "aaaa don't a'a"), (2, "   "), (3, "aa aa aa")],
+        "doc_id long, text string",
+    )
+    t_rules = bpe_train(tricky, n_merges=3)
+    expr_t = {tuple(r) for r in bpe_encode(tricky, t_rules).collect()}
+    arrow_t = {tuple(r) for r in bpe_encode_arrow(tricky, t_rules).collect()}
+    assert expr_t == arrow_t
+    assert not any(r[0] == 2 for r in arrow_t), "whitespace-only doc must drop"
+
+
 def test_nb_quality_separates_classes(spark, sf_dir):
     """The classifier must assign higher mean log-odds to pseudo-good docs
     than pseudo-bad ones (it trained on exactly that signal)."""
