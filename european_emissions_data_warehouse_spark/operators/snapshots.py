@@ -281,6 +281,54 @@ class SnapshotTable:
 
     # --- maintenance ----------------------------------------------------
 
+    def optimize(
+        self,
+        target_file_mb: int = 128,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
+        """Delta-style OPTIMIZE: commit a compacted rewrite of the CURRENT
+        snapshot as a new version — readers keep pinning versions, nothing
+        is rewritten in place, and the superseded small-file snapshot is
+        reclaimed by the normal ``vacuum``.
+
+        Streaming ingest is the canonical caller: one commit per
+        micro-batch accretes many small snapshots whose final one still
+        carries per-batch file sizing; a periodic optimize folds the
+        current state into ~``target_file_mb`` files (sized from the
+        snapshot's actual on-disk bytes, AQE-coalesced by repartition).
+        With ``zorder_by``, rows are range-partitioned on the interleaved
+        z-value of the named columns first (operators/maintenance.z_value),
+        so min/max footer stats turn multi-column predicates into file
+        skips — same layout contract as cluster_zorder, but transactional.
+        Returns the new version number."""
+        from european_emissions_data_warehouse_spark.operators.maintenance import (
+            z_value,
+        )
+
+        current = self.latest_version()
+        if current is None:
+            raise ValueError(f"no commits yet at {self.path}")
+        data_dir = f"{self.path}/{self._manifest(current)}"
+        jvm, fs = _fs(self.spark, data_dir)
+        summary = fs.getContentSummary(self._jpath(data_dir))
+        n_files = max(
+            1, int(summary.getLength() / (target_file_mb * 1024 * 1024)) + 1
+        )
+        df = self.read(current)
+        if zorder_by is not None:
+            cols = list(zorder_by)
+            if len(cols) != 2:
+                raise ValueError("zorder_by takes exactly two columns")
+            df = (
+                df.withColumn("_z", z_value(F.col(cols[0]), F.col(cols[1])))
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            df = df.repartition(n_files)
+        return self.commit(df)
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data dirs referenced only by commits older than the last
         ``keep_last``; returns the deleted dir names.  Time travel reaches

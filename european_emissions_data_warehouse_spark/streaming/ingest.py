@@ -391,6 +391,66 @@ def run_sketch_stream(
     )
 
 
+def run_hll_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> None:
+    """Maintain per-key HLL distinct-count sketches over a stream — the
+    streaming twin of the batch ``hll_sketch_agg`` rollup (plans.analytics
+    q_hll_distinct), mirroring run_sketch_stream's shape for CMS.
+
+    Each micro-batch builds one DataSketches HLL per key and merges it
+    into the stored table with ``hll_union_agg``.  HLL union is a
+    register-wise max — associative, commutative, idempotent on re-union
+    of the SAME sketch — so the stored estimates equal the batch sketch
+    of everything ingested no matter how the stream was chopped
+    (batch-parity test).  State per key is 2^lg_k registers, independent
+    of the value cardinality: the streaming answer to "distinct users per
+    key over all time", where dropDuplicates state would grow unboundedly.
+
+    Same exactly-once discipline as run_sketch_stream: the table is a
+    SnapshotTable, each commit records its micro-batch id, replayed
+    batches are skipped (a re-merge would be harmless for HLL's max — but
+    version history stays replay-stable), and publish is rename-CAS."""
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        table = SnapshotTable(spark, table_path)
+        if batch_id in table.applied_batch_ids():
+            return
+        delta = batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")
+        )
+        if table.history():
+            merged = (
+                table.read()
+                .unionByName(delta)
+                .groupBy(*keys)
+                .agg(F.hll_union_agg("hll").alias("hll"))
+            )
+        else:
+            merged = delta
+        table.commit(merged, meta={"batch_id": str(batch_id)})
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_neardup_dedup_stream(
     stream: DataFrame,
     store_path: str,

@@ -171,3 +171,35 @@ def test_diff_rejects_duplicate_keys(spark, tmp_path):
     assert got == {(1, "delete"), (2, "delete"), (3, "insert")}
     # escape hatch: unchecked diff still executes on duplicate keys
     assert t.diff(0, 1, key=["id"], check_unique=False).count() >= 1
+
+
+def test_optimize_compacts_into_new_version(spark, tmp_path):
+    """OPTIMIZE commits a compacted rewrite as a NEW version: same rows,
+    fewer files, history intact, old snapshot vacuumable; the z-ordered
+    variant clusters both dimensions so footer stats can skip files."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(0, 2000).selectExpr(
+        "id", "id % 50 AS x", "CAST(id / 40 AS LONG) AS y"
+    )
+    # many-small-files snapshot (the post-streaming-ingest shape)
+    t.commit(df.repartition(16))
+
+    def n_files(version):
+        d = str(tmp_path / "tbl" / t._manifest(version))
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert n_files(0) == 16
+    v1 = t.optimize(target_file_mb=128)
+    assert v1 == 1
+    assert n_files(1) < 16
+    assert t.read(1).count() == 2000
+    assert {r["id"] for r in t.read(1).collect()} == set(range(2000))
+
+    v2 = t.optimize(target_file_mb=128, zorder_by=["x", "y"])
+    assert t.read(v2).count() == 2000
+    assert t.history() == [0, 1, 2]
+    # the small-file version is reclaimable without touching the optimized one
+    removed = t.vacuum(keep_last=1)
+    assert t._manifest(0) in removed and t.read(v2).count() == 2000

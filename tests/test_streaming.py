@@ -610,3 +610,52 @@ def test_neardup_dedup_stream_suppresses_across_batches(spark, sf_dir, tmp_path)
     assert len(kept3_rows) == len(kept_ids_before), "replay must not duplicate output rows"
     assert spark.read.parquet(store).count() == store_rows_before
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_hll_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming HLL union across micro-batches must estimate exactly what
+    one batch sketch over the whole stream estimates (register-wise max is
+    chop-invariant), and replayed batches must not add versions."""
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_hll_stream,
+        stream_from_directory,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    half_a = ev.filter(F.crc32(F.col("user_id").cast("string")) % 2 == 0)
+    half_b = ev.filter(F.crc32(F.col("user_id").cast("string")) % 2 == 1)
+    half_a.coalesce(1).write.mode("overwrite").parquet(landing)
+    half_b.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    run_hll_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        table, ck, key_cols=["event_type"], value_col="user_id",
+    )
+    t = SnapshotTable(spark, table)
+    streamed = {
+        r["event_type"]: r["est"]
+        for r in t.read()
+        .select("event_type", F.hll_sketch_estimate("hll").alias("est"))
+        .collect()
+    }
+    batch = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est"))
+        .collect()
+    }
+    assert streamed == batch
+    versions = t.history()
+    shutil.rmtree(ck, ignore_errors=True)
+    run_hll_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        table, ck, key_cols=["event_type"], value_col="user_id",
+    )
+    assert t.history() == versions, "replayed batches must not commit"
