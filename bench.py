@@ -8,6 +8,10 @@ Env knobs:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] threads (default 32)
     SPARK_GRAFT_REPEATS  runs per query, min reported (default 3)
+    SPARK_GRAFT_ONLY     comma-separated subset of HEADLINE to run (used by
+                         tools/make_scale.py's higher-decade measurement,
+                         where only the relational tables are scaled); the
+                         fixed-size ANN side section is skipped when set
 
 Each query is forced end-to-end with a noop sink (full execution, no
 driver-side collect — the same measurement you'd take on a cluster).
@@ -133,8 +137,10 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs.get(name)
         if fn is None:
             continue
@@ -176,6 +182,8 @@ def main() -> None:
         ("mutual_nn_ann", mutual_nn_ann_plan),
     ]
     ann_fixed: dict[str, float] = {}
+    if only:
+        ann_fixed_entries = []
     for name, fn in ann_fixed_entries:
         if fn is None:
             continue

@@ -1,0 +1,78 @@
+"""Materialize a larger synthetic scale factor from /root/testdata/sf0.1 by
+stacking key-shifted copies of the RELATIONAL tables — the measurement rig
+behind SCALING.md's higher-decade section.
+
+    python tools/make_scale.py /tmp/sfscale/sf1 10
+    python tools/make_scale.py /tmp/sfscale/sf10 100
+
+Semantics: every copy shifts all PK/FK ids by the same stride, so joins
+resolve exactly as in the source (copy i's orders join copy i's customers);
+`nation` and `region` stay fixed like TPC-H dims do across scale factors,
+and nationkey/regionkey columns are NOT shifted.  `events` keeps its time
+range (more events per hour — growth, not a longer history).  `documents`
+and `embeddings` are copied UNCHANGED: they are not sf-proportional in the
+driver's testdata either, and naive duplication would measure the data's
+duplication rate, not the engine (10 identical copies of a corpus make
+every LSH bucket quadratically heavier — a property of that corpus, not a
+plan regression).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+STRIDE = 10**9
+
+# table -> columns to shift by copy*STRIDE (PKs and the FKs that reference
+# scaled tables; nation/region FKs stay put)
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+FIXED = ["region", "nation", "documents", "embeddings"]
+
+
+def main() -> None:
+    out_dir, n_copies = sys.argv[1], int(sys.argv[2])
+    src = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("make-scale")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+
+    copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
+    for t, keys in SHIFT.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(copies)
+        for k in keys:
+            df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(STRIDE))
+        df = df.drop("_copy")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"{t}: x{n_copies} -> {df.count()} rows")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
