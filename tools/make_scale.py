@@ -15,6 +15,13 @@ driver's testdata either, and naive duplication would measure the data's
 duplication rate, not the engine (10 identical copies of a corpus make
 every LSH bucket quadratically heavier — a property of that corpus, not a
 plan regression).
+
+`--with-docs` (third arg) scales `documents` by doc_id-shifted duplication
+anyway — valid for the per-doc and groupBy text family (stats, LM scores,
+rarity, BPE counts, sketches), whose work is linear in rows regardless of
+content duplication; the pair-forming dedup/similarity operators must NOT
+be read against such a corpus.  `embeddings` always stays fixed (duplicate
+vectors create exact ANN ties that flip verdict booleans).
 """
 
 from __future__ import annotations
@@ -39,6 +46,12 @@ FIXED = ["region", "nation", "documents", "embeddings"]
 
 def main() -> None:
     out_dir, n_copies = sys.argv[1], int(sys.argv[2])
+    with_docs = "--with-docs" in sys.argv[3:]
+    shift = dict(SHIFT)
+    fixed = list(FIXED)
+    if with_docs:
+        shift["documents"] = ["doc_id"]
+        fixed.remove("documents")
     src = "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession
@@ -56,14 +69,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
 
-    for t in FIXED:
+    for t in fixed:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
         print(f"{t}: copied")
 
     copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
-    for t, keys in SHIFT.items():
+    for t, keys in shift.items():
         df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(copies)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(STRIDE))
