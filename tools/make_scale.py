@@ -20,8 +20,14 @@ plan regression).
 anyway — valid for the per-doc and groupBy text family (stats, LM scores,
 rarity, BPE counts, sketches), whose work is linear in rows regardless of
 content duplication; the pair-forming dedup/similarity operators must NOT
-be read against such a corpus.  `embeddings` always stays fixed (duplicate
-vectors create exact ANN ties that flip verdict booleans).
+be read against such a corpus.  `--perturb-docs` instead suffixes every
+token with the copy index: cross-copy jaccard drops to zero while each
+copy keeps the source's internal near-duplicate structure — the honest
+scaling corpus for the PAIR-FORMING family (MinHash/SimHash/n-gram
+dedup, connected components): candidate volume grows linearly with
+copies, as it would on a real corpus that grows without growing its
+duplication rate.  `embeddings` always stays fixed (duplicate vectors
+create exact ANN ties that flip verdict booleans).
 """
 
 from __future__ import annotations
@@ -47,9 +53,10 @@ FIXED = ["region", "nation", "documents", "embeddings"]
 def main() -> None:
     out_dir, n_copies = sys.argv[1], int(sys.argv[2])
     with_docs = "--with-docs" in sys.argv[3:]
+    perturb_docs = "--perturb-docs" in sys.argv[3:]
     shift = dict(SHIFT)
     fixed = list(FIXED)
-    if with_docs:
+    if with_docs or perturb_docs:
         shift["documents"] = ["doc_id"]
         fixed.remove("documents")
     src = "/root/testdata/sf0.1"
@@ -80,6 +87,19 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(copies)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(STRIDE))
+        if t == "documents" and perturb_docs:
+            # token-suffix each copy: cross-copy similarity -> 0, per-copy
+            # near-dup structure preserved (pure column expression, no UDF)
+            df = df.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit("x"), F.col("_copy").cast("string")),
+                    ),
+                    " ",
+                ),
+            )
         df = df.drop("_copy")
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
         print(f"{t}: x{n_copies} -> {df.count()} rows")
