@@ -158,7 +158,17 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, v, centroid_id): nearest centroid per vector by cosine.
-    Centroids broadcast; one narrow pass over the corpus."""
+    Centroids broadcast; one pass over the corpus.
+
+    The scored-rows + per-id window form is DELIBERATE for this flat
+    assignment: its callers (IVF routing, PQ codebooks, flat k-means)
+    use a small FIXED k, where the n·k scored explosion is modest and
+    whole-stage codegen on the cosine beats the interpreted
+    higher-order-function alternative (measured r4: an array-fold argmax
+    slowed the IVF-PQ build ~3x at small k).  When k must GROW with n —
+    constant-cluster-size clustering, the SemDeDup recipe — the n·k
+    window shuffle becomes the bottleneck; that regime belongs to
+    kmeans_two_level, whose per-list narrow argmax avoids it."""
     from pyspark.sql import Window
 
     scored = (
@@ -238,6 +248,128 @@ def exact_centroid_means(assigned: DataFrame, scale: int = 1 << 20) -> DataFrame
             F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
         )
     )
+
+
+def kmeans_two_level(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    n_iters: int = 1,
+    coarse_iters: int = 1,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Two-level (hierarchical) k-means: a coarse kmeans_exact with
+    k1=ceil(sqrt(k)) lists, then an independent Lloyd refinement with
+    k2=ceil(k/k1) sub-clusters INSIDE each coarse list.  Returns the same
+    (id, v, centroid_id) contract as kmeans_exact with centroid_id in
+    [0, k1*k2).
+
+    Why it exists (r4 decade measurement, SCALING.md): flat k-means
+    assignment scores every vector against every centroid — n*k cosines
+    per iteration — and the production SemDeDup recipe scales k WITH n to
+    hold cluster size constant, which turns flat assignment into n^2 /
+    cluster_size work.  Measured: 10x vectors with 10x k cost ~30x wall
+    time; another decade would be hours.  Two-level assignment scores
+    n*(k1 + k2) ~ 2n*sqrt(k) cosines — at k=800 that is 14x less work,
+    and the refinement join fans each vector only to ITS coarse list's
+    sub-centroids (equality join on the coarse id against a broadcast
+    k-row table), so the decade scaling returns to ~linear.
+
+    Same determinism guarantees as kmeans_exact: stratified min-id init
+    per (coarse_id, id mod k2) stratum, fixed-point exact means, ties
+    broken by sub-centroid id — reproducible on any partitioning."""
+    import math
+
+    k1 = max(1, int(math.ceil(math.sqrt(k))))
+    k2 = max(1, int(math.ceil(k / k1)))
+    coarse = kmeans_exact(vectors, id_col, vec_col, k=k1, n_iters=coarse_iters,
+                          scale=scale)
+    vecs = coarse.select(
+        "id", "v", F.col("centroid_id").alias("coarse_id")
+    ).localCheckpoint(eager=False)
+
+    def assign(sub_centroids: DataFrame) -> DataFrame:
+        # same narrow argmax as ivf_assign, but the broadcast array is
+        # per-COARSE-list: each vector folds over only its own list's k2
+        # sub-centroids — no scored-row explosion, no shuffle
+        per_list = F.broadcast(
+            sub_centroids.groupBy("coarse_id").agg(
+                F.collect_list(F.struct("sub_id", "centroid")).alias("_subs")
+            )
+        )
+        scored = F.transform(
+            F.col("_subs"),
+            lambda c: F.struct(
+                cosine(F.col("v"), c.getField("centroid")).alias("s"),
+                (-c.getField("sub_id").cast("int")).alias("negsid"),
+            ),
+        )
+        best = F.array_max(scored)
+        return vecs.join(per_list, "coarse_id").select(
+            "id", "v", "coarse_id", (-best.getField("negsid")).alias("sub_id")
+        )
+
+    def sub_means(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "coarse_id", "sub_id", F.posexplode("v").alias("dim", "x")
+        )
+        sums = comp.groupBy("coarse_id", "sub_id", "dim").agg(
+            F.sum(F.floor(F.col("x") * scale)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return (
+            sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
+            .groupBy("coarse_id", "sub_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "coarse_id",
+                "sub_id",
+                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+
+    init = vecs.groupBy(
+        "coarse_id", F.pmod(F.col("id"), F.lit(k2)).cast("int").alias("sub_id")
+    ).agg(F.min("id").alias("id"))
+    sub_centroids = F.broadcast(init).join(
+        vecs.select("id", "v"), "id"
+    ).select("coarse_id", "sub_id", F.col("v").alias("centroid"))
+    for _ in range(n_iters):
+        sub_centroids = sub_means(assign(sub_centroids))
+        if n_iters > 1:
+            sub_centroids = sub_centroids.localCheckpoint(eager=False)
+    final = assign(sub_centroids)
+    return final.select(
+        "id",
+        "v",
+        (F.col("coarse_id") * F.lit(k2) + F.col("sub_id")).cast("int").alias(
+            "centroid_id"
+        ),
+    )
+
+
+def semdedup_pairs_scaled(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    n_iters: int = 1,
+    threshold: float = 0.95,
+    max_pair_block: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup over the two-level clustering — the decade-scaling form for
+    corpora where k must grow with n (constant cluster size): assignment
+    work is ~2n*sqrt(k) instead of flat k-means' n*k, and the pairing
+    stage (shared with semdedup_pairs, including the lossless hot-cluster
+    block cap) is unchanged.  Same recall trade as flat SemDeDup —
+    near-dups split across clusters are missed; the hierarchy adds the
+    coarse boundary as a second split surface, so recall is measured
+    (tests) rather than assumed."""
+    assigned = kmeans_two_level(
+        vectors, id_col, vec_col, k=k, n_iters=n_iters
+    ).localCheckpoint(eager=False)
+    return _pairs_within_clusters(assigned, threshold, max_pair_block)
 
 
 def pq_reconstruct(
@@ -384,6 +516,17 @@ def semdedup_pairs(
     assigned = kmeans_exact(vectors, id_col, vec_col, k, n_iters).localCheckpoint(
         eager=False
     )
+    return _pairs_within_clusters(assigned, threshold, max_pair_block)
+
+
+def _pairs_within_clusters(
+    assigned: DataFrame,
+    threshold: float,
+    max_pair_block: int | None,
+) -> DataFrame:
+    """The SemDeDup pairing stage over an (id, v, centroid_id) assignment —
+    shared by the flat (kmeans_exact) and two-level (kmeans_two_level)
+    clusterings; see semdedup_pairs for the block-cap contract."""
     if max_pair_block is None:
         a = assigned.select(
             "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")

@@ -219,3 +219,47 @@ def test_ivfpq_rerank_recovers_adc_buried_neighbors(spark, sf_dir):
         .count()
     )
     assert viol == 0
+
+
+def test_kmeans_two_level_partitions_and_is_deterministic(spark, sf_dir):
+    """Two-level assignment must cover every id exactly once with cluster
+    ids in [0, k1*k2), and be bit-reproducible across runs (stratified
+    min-id init + fixed-point means, no RNG)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        kmeans_two_level,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a1 = kmeans_two_level(emb, k=16, n_iters=2)
+    rows = a1.select("id", "centroid_id").collect()
+    assert len(rows) == n and len({r["id"] for r in rows}) == n
+    assert all(0 <= r["centroid_id"] < 16 for r in rows)
+    a2 = kmeans_two_level(emb, k=16, n_iters=2)
+    assert {(r["id"], r["centroid_id"]) for r in rows} == {
+        (r["id"], r["centroid_id"]) for r in a2.select("id", "centroid_id").collect()
+    }
+
+
+def test_semdedup_scaled_finds_planted_duplicates(spark, sf_dir):
+    """Identical vectors always share both the coarse and refined cluster
+    (deterministic tie-break), so planted exact duplicates must be found;
+    every emitted pair must clear the threshold on true cosine."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        semdedup_pairs_scaled,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(planted)
+    pairs = semdedup_pairs_scaled(corpus, k=16, threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found, (i, sorted(found))
+    assert all(r["sim"] >= 0.999 for r in pairs)

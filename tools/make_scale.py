@@ -26,8 +26,15 @@ copy keeps the source's internal near-duplicate structure — the honest
 scaling corpus for the PAIR-FORMING family (MinHash/SimHash/n-gram
 dedup, connected components): candidate volume grows linearly with
 copies, as it would on a real corpus that grows without growing its
-duplication rate.  `embeddings` always stays fixed (duplicate vectors
-create exact ANN ties that flip verdict booleans).
+duplication rate.  By default `embeddings` stays fixed (duplicate vectors
+create exact ANN ties that flip verdict booleans); `--with-embeddings`
+scales it by vec_id shift + a per-copy deterministic SIGN FLIP of the
+vector dimensions — an orthogonal transform, so every copy keeps the
+source's internal cosine geometry exactly while cross-copy similarities
+decorrelate to noise.  The honest growth model for embedding-space
+operators, used by the embedding-family decade measurement (where
+k-means k scales with n to hold cluster size constant — the production
+SemDeDup knob).
 """
 
 from __future__ import annotations
@@ -54,11 +61,15 @@ def main() -> None:
     out_dir, n_copies = sys.argv[1], int(sys.argv[2])
     with_docs = "--with-docs" in sys.argv[3:]
     perturb_docs = "--perturb-docs" in sys.argv[3:]
+    with_embeddings = "--with-embeddings" in sys.argv[3:]
     shift = dict(SHIFT)
     fixed = list(FIXED)
     if with_docs or perturb_docs:
         shift["documents"] = ["doc_id"]
         fixed.remove("documents")
+    if with_embeddings:
+        shift["embeddings"] = ["vec_id"]
+        fixed.remove("embeddings")
     src = "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession
@@ -87,6 +98,20 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(copies)
         for k in keys:
             df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(STRIDE))
+        if t == "embeddings" and with_embeddings:
+            # per-copy sign flip (orthogonal transform): within-copy cosines
+            # identical to the source, cross-copy cosines decorrelate
+            df = df.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    * (
+                        F.lit(1)
+                        - F.lit(2) * F.pmod(F.hash(F.col("_copy"), i), F.lit(2))
+                    ).cast("float"),
+                ),
+            )
         if t == "documents" and perturb_docs:
             # token-suffix each copy: cross-copy similarity -> 0, per-copy
             # near-dup structure preserved (pure column expression, no UDF)
