@@ -68,6 +68,7 @@ _GRADE_FIRST = [
     "dedup_exact",
     "corpus_prep",
     "semdedup",
+    "semdedup_scaled",        # NEW r4: two-level-clustered SemDeDup (k grows with n)
     "minhash_neardup",
     "simhash_neardup",
     "dedup_components",
@@ -92,9 +93,10 @@ _GRADE_FIRST = [
     "asof_join",
     "range_join_peak",
     "funnel_conversion",
-    "user_streaks",
     "salted_join_hot",
 ]
+# (user_streaks rotated out of the re-verification slots to make room for
+# semdedup_scaled — it holds a green r1 row and is unchanged since.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
 # of round 4: every registered query either holds a driver CORRECTNESS row

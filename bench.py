@@ -180,6 +180,10 @@ def main() -> None:
         ("ann_pq", qs.get("ann_pq")),
         ("mutual_nn", qs.get("mutual_nn")),
         ("mutual_nn_ann", mutual_nn_ann_plan),
+        # two-level-clustered SemDeDup: embedding-family, fixed-size like
+        # the rest of this table — tracked here so index/clustering-path
+        # regressions show round-over-round
+        ("semdedup_scaled", qs.get("semdedup_scaled")),
     ]
     ann_fixed: dict[str, float] = {}
     if only:
