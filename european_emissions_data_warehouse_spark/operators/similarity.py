@@ -160,27 +160,33 @@ def ivf_assign(
     """(id, v, centroid_id): nearest centroid per vector by cosine.
     Centroids broadcast; one pass over the corpus.
 
-    The scored-rows + per-id window form is DELIBERATE for this flat
-    assignment: its callers (IVF routing, PQ codebooks, flat k-means)
-    use a small FIXED k, where the n·k scored explosion is modest and
-    whole-stage codegen on the cosine beats the interpreted
-    higher-order-function alternative (measured r4: an array-fold argmax
-    slowed the IVF-PQ build ~3x at small k).  When k must GROW with n —
-    constant-cluster-size clustering, the SemDeDup recipe — the n·k
-    window shuffle becomes the bottleneck; that regime belongs to
-    kmeans_two_level, whose per-list narrow argmax avoids it."""
-    from pyspark.sql import Window
-
+    Argmax via ``max_by`` over the broadcast-scored rows, NOT a per-id
+    ``row_number`` window and NOT an array-fold: the window form shuffles
+    all n·k scored rows WITH their full vectors (the r4 decade study
+    measured that exchange as the flat-assignment wall at 200k x k=80:
+    ~24 GB of vector bytes per Lloyd pass), while the interpreted
+    higher-order-function fold leaves whole-stage codegen (~3x slower at
+    codebook-sized k).  ``max_by`` keeps the cosine inside codegen AND
+    partial-aggregates map-side — every vector's k scored copies collapse
+    to one row inside their producing task, so the exchange carries n
+    rows (one vector-width each, the same volume as the corpus itself).
+    Tie-break (sim desc, centroid_id asc) is encoded in the comparison
+    struct, preserving bit-identical winners vs the window form.  When k
+    must GROW with n — constant-cluster-size clustering, the SemDeDup
+    recipe — even n·k map-side cosines are the bottleneck; that regime
+    belongs to kmeans_two_level, which scores only ~2·sqrt(k) centroids
+    per vector."""
     scored = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(centroids))
         .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "centroid_id")
+    return scored.groupBy("id").agg(
+        F.any_value("v").alias("v"),  # all k copies carry the same vector
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id"),
     )
 
 
@@ -416,14 +422,20 @@ def pq_reconstruct(
     )
 
     def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
+        # max_by, not a window: partial aggregation collapses each
+        # (sub, id)'s k scored copies map-side, so the exchange carries
+        # n·m sub-vector rows instead of n·m·k (see ivf_assign)
         scored = frame.join(F.broadcast(cents), "sub").withColumn(
             "sim", cosine(F.col("v"), F.col("centroid"))
         )
-        w = Window.partitionBy("sub", "id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sub", "id", "v", "centroid_id")
+        return scored.groupBy("sub", "id").agg(
+            F.any_value("v").alias("v"),
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc")
+                ),
+            ).alias("centroid_id"),
         )
 
     def means(assigned: DataFrame) -> DataFrame:
