@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from european_emissions_data_warehouse_spark.functions.vectors import cosine
+from european_emissions_data_warehouse_spark.functions.vectors import cosine, dot, norm
 
 
 def brute_force_topk(
@@ -35,14 +35,28 @@ def brute_force_topk(
     the plan is a single scan of the corpus with no shuffle until the
     per-query top-k (a k-row-per-group window on query_id).
     """
+    # norms hoisted out of the |Q|-way fan-out: |q| once per broadcast
+    # query, |c| once per corpus row; sim = dot/(|q|·|c|) is the same
+    # expression tree as cosine(), so values are bit-identical
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_nq"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("_ncv"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_nq") * F.col("_ncv")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -176,10 +190,20 @@ def ivf_assign(
     recipe — even n·k map-side cosines are the bottleneck; that regime
     belongs to kmeans_two_level, which scores only ~2·sqrt(k) centroids
     per vector."""
+    # cosine factored as dot/(|v|·|c|) with both norms hoisted OUT of the
+    # k-way cross product: |v| is computed once per corpus row and |c| once
+    # per broadcast centroid, so each scored copy evaluates ONE array fold
+    # (the dot) instead of three.  The expression tree per value is
+    # unchanged (same sqrt-of-fold, same multiply/divide order), so every
+    # sim — and therefore every winner — is bit-identical to cosine().
     scored = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+        .withColumn("_nv", norm(F.col("v")))
+        .crossJoin(F.broadcast(centroids.withColumn("_ncn", norm(F.col("centroid")))))
+        .withColumn(
+            "sim",
+            dot(F.col("v"), F.col("centroid")) / (F.col("_nv") * F.col("_ncn")),
+        )
     )
     return scored.groupBy("id").agg(
         F.any_value("v").alias("v"),  # all k copies carry the same vector
@@ -298,22 +322,34 @@ def kmeans_two_level(
     def assign(sub_centroids: DataFrame) -> DataFrame:
         # same narrow argmax as ivf_assign, but the broadcast array is
         # per-COARSE-list: each vector folds over only its own list's k2
-        # sub-centroids — no scored-row explosion, no shuffle
+        # sub-centroids — no scored-row explosion, no shuffle.  Norms are
+        # hoisted out of the fold: |v| once per vector, |c| pre-baked into
+        # the broadcast struct (sim = dot/(|v|·|c|) — cosine()'s exact
+        # expression tree, bit-identical winners).
         per_list = F.broadcast(
-            sub_centroids.groupBy("coarse_id").agg(
-                F.collect_list(F.struct("sub_id", "centroid")).alias("_subs")
+            sub_centroids.withColumn("_ncn", norm(F.col("centroid")))
+            .groupBy("coarse_id")
+            .agg(
+                F.collect_list(F.struct("sub_id", "centroid", "_ncn")).alias("_subs")
             )
         )
         scored = F.transform(
             F.col("_subs"),
             lambda c: F.struct(
-                cosine(F.col("v"), c.getField("centroid")).alias("s"),
+                (
+                    dot(F.col("v"), c.getField("centroid"))
+                    / (F.col("_nv") * c.getField("_ncn"))
+                ).alias("s"),
                 (-c.getField("sub_id").cast("int")).alias("negsid"),
             ),
         )
         best = F.array_max(scored)
-        return vecs.join(per_list, "coarse_id").select(
-            "id", "v", "coarse_id", (-best.getField("negsid")).alias("sub_id")
+        return (
+            vecs.withColumn("_nv", norm(F.col("v")))
+            .join(per_list, "coarse_id")
+            .select(
+                "id", "v", "coarse_id", (-best.getField("negsid")).alias("sub_id")
+            )
         )
 
     def sub_means(assigned: DataFrame) -> DataFrame:
@@ -424,9 +460,18 @@ def pq_reconstruct(
     def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
         # max_by, not a window: partial aggregation collapses each
         # (sub, id)'s k scored copies map-side, so the exchange carries
-        # n·m sub-vector rows instead of n·m·k (see ivf_assign)
-        scored = frame.join(F.broadcast(cents), "sub").withColumn(
-            "sim", cosine(F.col("v"), F.col("centroid"))
+        # n·m sub-vector rows instead of n·m·k; norms hoisted out of the
+        # k-way join exactly as in ivf_assign (bit-identical sims)
+        scored = (
+            frame.withColumn("_nv", norm(F.col("v")))
+            .join(
+                F.broadcast(cents.withColumn("_ncn", norm(F.col("centroid")))), "sub"
+            )
+            .withColumn(
+                "sim",
+                dot(F.col("v"), F.col("centroid"))
+                / (F.col("_nv") * F.col("_ncn")),
+            )
         )
         return scored.groupBy("sub", "id").agg(
             F.any_value("v").alias("v"),
@@ -539,12 +584,24 @@ def _pairs_within_clusters(
     """The SemDeDup pairing stage over an (id, v, centroid_id) assignment —
     shared by the flat (kmeans_exact) and two-level (kmeans_two_level)
     clusterings; see semdedup_pairs for the block-cap contract."""
+    # the pair join fans every row into ~cluster_size candidates; the norm
+    # is computed ONCE per assignment row here and carried as 8 bytes, so
+    # each candidate pair evaluates one dot instead of a dot plus two
+    # norm folds (sim = dot/(|a|·|b|) — cosine()'s exact expression tree,
+    # bit-identical values)
+    assigned = assigned.withColumn("_nv", norm(F.col("v")))
     if max_pair_block is None:
         a = assigned.select(
-            "centroid_id", F.col("id").alias("id_a"), F.col("v").alias("vec_a")
+            "centroid_id",
+            F.col("id").alias("id_a"),
+            F.col("v").alias("vec_a"),
+            F.col("_nv").alias("_na"),
         )
         b = assigned.select(
-            "centroid_id", F.col("id").alias("id_b"), F.col("v").alias("vec_b")
+            "centroid_id",
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vec_b"),
+            F.col("_nv").alias("_nb"),
         )
         cand = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -565,6 +622,7 @@ def _pairs_within_clusters(
             F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_bb"),
             F.col("id").alias("id_a"),
             F.col("v").alias("vec_a"),
+            F.col("_nv").alias("_na"),
         )
         b = blocked.select(
             "centroid_id",
@@ -572,6 +630,7 @@ def _pairs_within_clusters(
             F.col("_blk").alias("_bb"),
             F.col("id").alias("id_b"),
             F.col("v").alias("vec_b"),
+            F.col("_nv").alias("_nb"),
         )
         # on the diagonal key both orders of a pair appear — keep one via
         # id order; on off-diagonal keys each unordered pair appears exactly
@@ -580,7 +639,10 @@ def _pairs_within_clusters(
             (F.col("_ba") != F.col("_bb")) | (F.col("id_a") < F.col("id_b"))
         )
     return (
-        cand.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("sim") >= threshold)
         .select(
             "centroid_id",
