@@ -74,12 +74,23 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — exact, O(n^2/2).
     Use on a subsample or within LSH buckets at scale."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("_norm_a"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("_norm_b"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b")),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -595,13 +606,13 @@ def _pairs_within_clusters(
             "centroid_id",
             F.col("id").alias("id_a"),
             F.col("v").alias("vec_a"),
-            F.col("_nv").alias("_na"),
+            F.col("_nv").alias("_norm_a"),
         )
         b = assigned.select(
             "centroid_id",
             F.col("id").alias("id_b"),
             F.col("v").alias("vec_b"),
-            F.col("_nv").alias("_nb"),
+            F.col("_nv").alias("_norm_b"),
         )
         cand = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -622,7 +633,7 @@ def _pairs_within_clusters(
             F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_bb"),
             F.col("id").alias("id_a"),
             F.col("v").alias("vec_a"),
-            F.col("_nv").alias("_na"),
+            F.col("_nv").alias("_norm_a"),
         )
         b = blocked.select(
             "centroid_id",
@@ -630,7 +641,7 @@ def _pairs_within_clusters(
             F.col("_blk").alias("_bb"),
             F.col("id").alias("id_b"),
             F.col("v").alias("vec_b"),
-            F.col("_nv").alias("_nb"),
+            F.col("_nv").alias("_norm_b"),
         )
         # on the diagonal key both orders of a pair appear — keep one via
         # id order; on off-diagonal keys each unordered pair appears exactly
@@ -641,7 +652,7 @@ def _pairs_within_clusters(
     return (
         cand.withColumn(
             "sim",
-            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_na") * F.col("_nb")),
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b")),
         )
         .filter(F.col("sim") >= threshold)
         .select(
@@ -777,8 +788,16 @@ def ivfpq_search(
     against all queries."""
     from pyspark.sql import Window
 
+    # |q| once per query (carried through routing), |approx| once per
+    # index row (the projection sits below the probe join, so it is not
+    # re-evaluated per candidate); sim = dot/(|q|·|approx|) — cosine()'s
+    # exact expression tree, bit-identical ranking
     q_scored = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_nq"),
+        )
         .crossJoin(F.broadcast(coarse))
         .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
     )
@@ -786,12 +805,18 @@ def ivfpq_search(
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "_nq", "centroid_id")
     )
     cand = (
-        probes.join(index, "centroid_id")
+        probes.join(
+            index.withColumn("_napx", norm(F.col("approx_vec"))), "centroid_id"
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("approx_vec")))
+        .withColumn(
+            "sim",
+            dot(F.col("q_vec"), F.col("approx_vec"))
+            / (F.col("_nq") * F.col("_napx")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     ranked = cand.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -802,13 +827,16 @@ def ivfpq_search(
     if raw_vectors is None:
         raise ValueError("rerank requires raw_vectors to fetch originals from")
     pool = ranked.filter(F.col("rank") <= rerank).select(
-        "query_id", "q_vec", "neighbor_id"
+        "query_id", "q_vec", "_nq", "neighbor_id"
     )
     raw = raw_vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("true_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("true_vec"),
+        norm(F.col(vec_col)).alias("_ntv"),
     )
     exact = F.broadcast(pool).join(raw, "neighbor_id").withColumn(
-        "sim", cosine(F.col("q_vec"), F.col("true_vec"))
+        "sim",
+        dot(F.col("q_vec"), F.col("true_vec")) / (F.col("_nq") * F.col("_ntv")),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -841,11 +869,18 @@ def ivf_topk(
 
     centroids = ivf_build_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
     inv_lists = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "centroid_id"
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("c_vec"),
+        norm(F.col("v")).alias("_ncv"),
+        "centroid_id",
     )
-    # probe lists per query
+    # probe lists per query; norms hoisted as in ivfpq_search
     q_scored = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_nq"),
+        )
         .crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
     )
@@ -853,12 +888,15 @@ def ivf_topk(
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "_nq", "centroid_id")
     )
     cand = (
         probes.join(inv_lists, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_nq") * F.col("_ncv")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -891,12 +929,19 @@ def lsh_topk(
     r = n_planes // bands
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # the norm rides the banded frame as 8 bytes (computed once per
+        # input vector, not once per band-collision candidate)
         return (
-            df.select(F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"))
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                norm(F.col(vec_col)).alias(f"_n{prefix}"),
+            )
             .withColumn("sig", _hyperplane_signature(F.col(f"{prefix}_vec"), dim, n_planes))
             .select(
                 f"{prefix}_id",
                 f"{prefix}_vec",
+                f"_n{prefix}",
                 F.explode(
                     F.array(
                         *[
@@ -909,18 +954,27 @@ def lsh_topk(
                     )
                 ).alias("bb"),
             )
-            .select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+            .select(f"{prefix}_id", f"{prefix}_vec", f"_n{prefix}", "bb.band", "bb.bucket")
         )
 
     qb = banded(queries, "q")
     cb = banded(corpus, "c")
+    # the norm columns are functions of the vecs, so keeping them in the
+    # distinct leaves the candidate set unchanged
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("c_id") != F.col("q_id"))
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "q_vec", "c_vec")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "q_vec", "c_vec", "_nq", "_nc",
+        )
         .distinct()
     )
-    scored = cand.withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    # sim = dot/(|q|·|c|) — cosine()'s exact expression tree, bit-identical
+    scored = cand.withColumn(
+        "sim", dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_nq") * F.col("_nc"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -955,14 +1009,21 @@ def mutual_nn_pairs(
     of the cross join, and the mutual/margin logic is unchanged.
     """
     a = vectors.filter(F.col(group_col) == group_a).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("_norm_a"),
     )
     b = vectors.filter(F.col(group_col) == group_b).select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("_norm_b"),
     )
     scored = (
         a.crossJoin(F.broadcast(b))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("_norm_a") * F.col("_norm_b")),
+        )
         .select("id_a", "id_b", "sim")
     )
     wa = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
