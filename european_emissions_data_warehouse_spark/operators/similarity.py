@@ -122,6 +122,59 @@ def _hyperplane_signature(vec_col, dim: int, n_planes: int, seed: str = "lsh"):
     return F.array(*[bit(p) for p in range(n_planes)])
 
 
+def _hyperplane_planes(
+    spark, dim: int, n_planes: int, seed: str = "lsh"
+) -> list[list[float]]:
+    """The ±1 plane matrix behind :func:`_hyperplane_signature`, evaluated
+    ONCE as a driver-side literal table (one 1-row JVM job over the same
+    xxhash64 expressions) instead of per corpus row.  The per-row form
+    re-derives every component — an xxhash64 over a freshly CONCATENATED
+    string per (row, plane, dim): n·n_planes·dim string builds + hashes
+    that are row-independent constants Catalyst cannot fold (the dim index
+    comes from a sequence element, not a literal).  Hashing here keeps the
+    plane values bit-identical to the per-row form — same expressions,
+    same JVM — so signatures, buckets, and candidates are unchanged."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.xxhash64(
+                    F.concat_ws("_", F.lit(seed), F.lit(p), F.lit(str(d)))
+                )
+                .bitwiseAND(F.lit(1))
+                .alias(f"b_{p}_{d}")
+                for p in range(n_planes)
+                for d in range(dim)
+            ]
+        )
+        .first()
+    )
+    return [
+        [float(row[f"b_{p}_{d}"] * 2 - 1) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _signature_from_planes(vec_col, planes: list[list[float]]):
+    """Sign-LSH signature against a literal plane matrix: one zip_with
+    fold per plane over constant ±1 doubles — no per-row hashing.  The
+    fold order and the component products match _hyperplane_signature
+    exactly, so the resulting bits are bit-identical."""
+    def bit(plane: list[float]):
+        s = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.array(*[bit(plane) for plane in planes])
+
+
 def ivf_build_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -927,6 +980,9 @@ def lsh_topk(
     At 100 TB the bucket join replaces the cross join — shuffle volume drops
     from |Q|x|N| to the bucket occupancy."""
     r = n_planes // bands
+    # plane matrix evaluated once (driver-side literals, bit-identical to
+    # the per-row hash derivation — see _hyperplane_planes)
+    planes = _hyperplane_planes(corpus.sparkSession, dim, n_planes)
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
         # the norm rides the banded frame as 8 bytes (computed once per
@@ -937,7 +993,7 @@ def lsh_topk(
                 F.col(vec_col).alias(f"{prefix}_vec"),
                 norm(F.col(vec_col)).alias(f"_n{prefix}"),
             )
-            .withColumn("sig", _hyperplane_signature(F.col(f"{prefix}_vec"), dim, n_planes))
+            .withColumn("sig", _signature_from_planes(F.col(f"{prefix}_vec"), planes))
             .select(
                 f"{prefix}_id",
                 f"{prefix}_vec",
