@@ -263,3 +263,31 @@ def test_semdedup_scaled_finds_planted_duplicates(spark, sf_dir):
     for i in range(5):
         assert (i, i + 100000) in found, (i, sorted(found))
     assert all(r["sim"] >= 0.999 for r in pairs)
+
+
+def test_lsh_literal_planes_match_per_row_hash_derivation(spark, sf_dir):
+    """_signature_from_planes must produce BIT-identical signatures to the
+    per-row hash derivation (_hyperplane_signature) — lsh_topk's buckets,
+    candidates, and verdict all assume the two forms are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        _hyperplane_planes,
+        _hyperplane_signature,
+        _signature_from_planes,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplane_planes(spark, 64, 16)
+    assert len(planes) == 16 and all(len(p) == 64 for p in planes)
+    assert all(w in (-1.0, 1.0) for p in planes for w in p)
+    mismatches = (
+        emb.select(
+            _hyperplane_signature(F.col("embedding"), 64, 16).alias("per_row"),
+            _signature_from_planes(F.col("embedding"), planes).alias("literal"),
+        )
+        .filter(F.col("per_row") != F.col("literal"))
+        .count()
+    )
+    assert mismatches == 0
