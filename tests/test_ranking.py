@@ -291,3 +291,39 @@ def test_lsh_literal_planes_match_per_row_hash_derivation(spark, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def test_ivfpq_train_on_sample_keeps_recall_and_determinism(spark, sf_dir):
+    """FAISS-style train-on-sample (train_sample_mod) must still serve: the
+    sampled-quantizer index finds most exact top-1 neighbors within its
+    top-5 (recall floor), its emitted sims are TRUE cosines (rerank), and
+    the whole build is deterministic (hash sample, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).localCheckpoint()
+    exact_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(queries, emb, k=1).collect()
+    }
+    approx = ivfpq_topk(
+        queries, emb, dim=64, k=5, n_centroids=8, n_probe=5, rerank=50,
+        train_sample_mod=3,
+    ).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, nb in exact_top1.items() if nb in got.get(q, set()))
+    assert hits / len(exact_top1) >= 0.6, (hits, len(exact_top1))
+    again = ivfpq_topk(
+        queries, emb, dim=64, k=5, n_centroids=8, n_probe=5, rerank=50,
+        train_sample_mod=3,
+    ).collect()
+    key = lambda rows: {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
+    assert key(approx) == key(again)
