@@ -252,9 +252,16 @@ def bpe_encode_arrow(
     only rules whose glued pair actually occurs (substring pre-check), so
     the common case is O(len(word) + rules-that-fire), not O(all rules).
     """
+    import re
+
     import pandas as pd
 
     merge_list = [(left, right) for left, right, *_ in (tuple(r) for r in rules)]
+    # Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's trim strips
+    # only 0x20 — Python's str.split()/strip() are Unicode-aware (U+00A0,
+    # U+2009, U+0085 ... all split), which silently breaks parity on real
+    # web text (code-review r4).  Reproduce the JVM tokenization exactly.
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode_word(word: str) -> int:
         syms = list(word)
@@ -274,7 +281,7 @@ def bpe_encode_arrow(
         for pdf in batches:
             ids, n_toks, n_words = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").strip().split() if w]
+                words = [w for w in java_ws.split((text or "").strip(" ")) if w]
                 if not words:
                     continue  # parity: the explode form emits no row either
                 ids.append(doc_id)

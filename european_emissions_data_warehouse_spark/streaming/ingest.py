@@ -73,21 +73,59 @@ def run_incremental_upsert(
 
     The swap parks the previous table in a trash directory BEFORE renaming
     the staging dir over the final path (never delete-then-rename): at no
-    instant do the only bytes live under a path a crash would strand, and
-    a failure mid-swap leaves both the old table (trash) and the merged
-    result (staging) on disk for recovery.  The swap is still two renames,
-    not one atomic publish — a reader racing the swap can see a missing
-    path for an instant.  For the log-committed guarantee (readers pin a
+    instant do the only bytes live under a path a crash would strand.
+    Every rename's boolean return is checked (Hadoop FileSystem.rename
+    reports failure by returning false, not raising) so a failed swap
+    aborts the batch instead of committing the checkpoint with the merged
+    data stranded in staging; and a crash BETWEEN the two renames is
+    healed on replay — merge_batch restores the newest ``__trash_N`` dir
+    as the table before reading, so the replayed merge sees the full
+    warehouse, never a truncated one.  The swap is still two renames, not
+    one atomic publish — a reader racing the swap can see a missing path
+    for an instant.  For the log-committed guarantee (readers pin a
     version, concurrent writers conflict cleanly, crash-replayed batches
     are skipped) use :func:`run_snapshot_ingest`, which this function
     predates and which supersedes it wherever history is wanted."""
     spark = stream.sparkSession
     key = list(key)
 
-    def swap_dirs(staging: str, final: str, batch_id: int) -> None:
+    def _fs():
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+
+    def _rename_or_raise(fs, src, dst) -> None:
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"run_incremental_upsert: rename {src} -> {dst} failed "
+                "(FileSystem.rename returned false); aborting the batch so "
+                "the checkpoint does not commit past unmerged data"
+            )
+
+    def recover_interrupted_swap(final: str) -> None:
+        """If a prior swap crashed between its two renames the table lives
+        under ``{final}__trash_N`` and ``final`` is missing — restore the
+        newest trash dir so the replayed merge reads the full warehouse."""
+        jvm, fs = _fs()
+        final_p = jvm.org.apache.hadoop.fs.Path(final)
+        if fs.exists(final_p):
+            return
+        parent = final_p.getParent()
+        if parent is None or not fs.exists(parent):
+            return
+        prefix = final_p.getName() + "__trash_"
+        stranded = [
+            st.getPath()
+            for st in fs.listStatus(parent)
+            if st.getPath().getName().startswith(prefix)
+        ]
+        if not stranded:
+            return
+        newest = max(stranded, key=lambda p: int(p.getName().rsplit("_", 1)[1]))
+        _rename_or_raise(fs, newest, final_p)
+
+    def swap_dirs(staging: str, final: str, batch_id: int) -> None:
+        jvm, fs = _fs()
         final_p = jvm.org.apache.hadoop.fs.Path(final)
         staging_p = jvm.org.apache.hadoop.fs.Path(staging)
         trash_p = jvm.org.apache.hadoop.fs.Path(f"{final}__trash_{batch_id}")
@@ -95,13 +133,19 @@ def run_incremental_upsert(
             fs.delete(trash_p, True)  # leftover from a crashed prior swap
         had_final = fs.exists(final_p)
         if had_final:
-            fs.rename(final_p, trash_p)
-        fs.rename(staging_p, final_p)
+            _rename_or_raise(fs, final_p, trash_p)
+        try:
+            _rename_or_raise(fs, staging_p, final_p)
+        except IOError:
+            if had_final:  # put the old table back before surfacing
+                fs.rename(trash_p, final_p)
+            raise
         if had_final:
             fs.delete(trash_p, True)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         cleaned = dedupe_last(batch, key, order_by)
+        recover_interrupted_swap(warehouse_path)
         try:
             old = spark.read.parquet(warehouse_path)
             exists = True

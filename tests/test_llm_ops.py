@@ -511,6 +511,25 @@ def test_bpe_encode_arrow_matches_expression_form(spark, sf_dir):
     assert expr_t == arrow_t
     assert not any(r[0] == 2 for r in arrow_t), "whitespace-only doc must drop"
 
+    # Unicode whitespace: Java \s+ is ASCII-only, so NBSP / thin space /
+    # NEL stay INSIDE words while \t\n\x0b\f\r split — the Arrow path must
+    # reproduce the JVM tokenization exactly on scraped-web-style text
+    # (code-review r4: Python str.split() is Unicode-aware and diverged).
+    uni = spark.createDataFrame(
+        [
+            (10, "foo\u00a0bar baz"),          # NBSP glues foo+bar: 2 words
+            (11, "a\u2009b\u0085c"),            # thin space + NEL: 1 word
+            (12, "\tlead\ttab\nnl\x0bvt\fff\rcr "),  # ASCII ws all split
+            (13, "\u00a0\u00a0"),               # NBSP-only: ONE nonempty word
+        ],
+        "doc_id long, text string",
+    )
+    expr_u = {tuple(r) for r in bpe_encode(uni, []).collect()}
+    arrow_u = {tuple(r) for r in bpe_encode_arrow(uni, []).collect()}
+    assert expr_u == arrow_u
+    n_words_u = {r[0]: r[2] for r in expr_u}
+    assert n_words_u == {10: 2, 11: 1, 12: 6, 13: 1}
+
 
 def test_nb_quality_separates_classes(spark, sf_dir):
     """The classifier must assign higher mean log-odds to pseudo-good docs

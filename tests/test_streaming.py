@@ -77,6 +77,51 @@ def test_file_drop_ingest_with_upsert(spark, events_batch, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_interrupted_swap_recovers_stranded_table(spark, events_batch, tmp_path):
+    """A crash between swap_dirs' two renames leaves the table under
+    ``warehouse__trash_N`` with the final path missing.  The next drain
+    must restore it before merging — NOT silently reinitialize the
+    warehouse with only the replayed batch's rows (code-review r4)."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events_batch.filter(F.col("event_id") < 100)
+    first.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    def drain():
+        run_incremental_upsert(
+            stream_from_directory(spark, landing, schema),
+            warehouse,
+            ckpt,
+            key=["event_id"],
+            order_by=["ts", "value"],
+        )
+
+    drain()
+    n_first = spark.read.parquet(warehouse).count()
+    assert n_first == first.count()
+
+    # Simulate the crash window: final renamed to trash, staging never
+    # promoted (an older leftover trash must lose to the newest).
+    os.rename(warehouse, warehouse + "__trash_3")
+    os.makedirs(warehouse + "__trash_1")
+
+    news = events_batch.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 120)
+    )
+    news.coalesce(1).write.mode("append").parquet(landing)
+    drain()
+
+    wh = spark.read.parquet(warehouse)
+    assert wh.count() == n_first + 20  # old rows survived the crash
+    assert check_unique(wh, ["event_id"]) == 0
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
 def test_checkpoint_no_reprocess(spark, events_batch, tmp_path):
     """Draining twice without new files must not change the warehouse
     (file-source checkpoint = the exactly-once input ledger)."""
