@@ -90,9 +90,20 @@ def main() -> None:
         for q, t in sorted(big["ann_fixed"].items()):
             lines.append(f"| {q} | {t:.2f} |")
     path = os.path.join(REPO, "SCALING.md")
+    # Preserve the hand-authored sections (everything from the first "## "
+    # heading on — the higher-decade studies are measured once on generated
+    # sf1/sf10 data, not per-run): only the generated sf0.01->sf0.1 block
+    # above the first H2 is rewritten (code-review r4: full-file mode "w"
+    # silently wiped ~200 hand-written lines).
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            manual = old[cut:]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {path}: {len(rows)} rows")
+        f.write("\n".join(lines) + "\n" + manual)
+    print(f"wrote {path}: {len(rows)} rows, kept {len(manual.splitlines())} manual lines")
 
 
 if __name__ == "__main__":
