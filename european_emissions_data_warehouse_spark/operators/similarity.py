@@ -219,6 +219,17 @@ def ivf_build_centroids(
             F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(train_sample_mod))
             == 0
         ).localCheckpoint(eager=False)
+        # FAISS errors on too few training points; a sample smaller than k
+        # would silently shrink (or empty) the quantizer and every index
+        # built on it (code-review r4).  The count is one pass over the
+        # SAMPLE, never the corpus.
+        n_train = train.count()
+        if n_train < n_centroids:
+            raise ValueError(
+                f"ivf_build_centroids: train_sample_mod={train_sample_mod} keeps only "
+                f"{n_train} training vectors (< n_centroids={n_centroids}); "
+                "lower the mod or train on the full corpus (None)"
+            )
     else:
         train = vecs
     firsts = train.groupBy(
@@ -602,6 +613,15 @@ def pq_reconstruct(
             )
             == 0
         ).localCheckpoint(eager=False)
+        # guard as in kmeans_exact: a sample below k vectors silently
+        # shrinks every subspace codebook; count one pass over the sample
+        n_train = train_subs.count() // m
+        if n_train < k:
+            raise ValueError(
+                f"pq_reconstruct: train_sample_mod={train_sample_mod} keeps "
+                f"only {n_train} training vectors (< k={k}); lower the mod "
+                "or train on the full corpus (None)"
+            )
     else:
         train_subs = subs
     init = train_subs.groupBy(

@@ -4,6 +4,8 @@ prove the operators mean what they claim)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from european_emissions_data_warehouse_spark.operators.ranking import (
@@ -327,3 +329,23 @@ def test_ivfpq_train_on_sample_keeps_recall_and_determinism(spark, sf_dir):
     ).collect()
     key = lambda rows: {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
     assert key(approx) == key(again)
+
+
+def test_train_sample_too_small_raises(spark, sf_dir):
+    """A train_sample_mod that keeps fewer vectors than the centroid count
+    must raise loudly — FAISS errors on too few training points; silently
+    shrinking (or emptying) the quantizer builds an empty index with no
+    signal anywhere (code-review r4)."""
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        ivf_build_centroids,
+        pq_reconstruct,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    with pytest.raises(ValueError, match="training vectors"):
+        ivf_build_centroids(emb, n_centroids=8, train_sample_mod=10_000_000)
+    with pytest.raises(ValueError, match="training vectors"):
+        pq_reconstruct(emb, dim=64, m=4, k=16, train_sample_mod=10_000_000)
