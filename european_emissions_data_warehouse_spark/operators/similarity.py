@@ -377,6 +377,19 @@ def exact_centroid_means(assigned: DataFrame, scale: int = 1 << 20) -> DataFrame
     )
 
 
+def two_level_split(k: int) -> tuple[int, int]:
+    """The (k1, k2) grid behind :func:`kmeans_two_level`: k1=ceil(sqrt(k))
+    coarse lists x k2=ceil(k/k1) sub-clusters.  The ACTUAL cluster-id space
+    is [0, k1*k2), which exceeds ``k`` whenever k is not grid-exact (k=7 ->
+    3x3=9 ids) — consumers checking coverage bounds must use this helper,
+    not ``k`` (code-review r4)."""
+    import math
+
+    k1 = max(1, int(math.ceil(math.sqrt(k))))
+    k2 = max(1, int(math.ceil(k / k1)))
+    return k1, k2
+
+
 def kmeans_two_level(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -390,7 +403,8 @@ def kmeans_two_level(
     k1=ceil(sqrt(k)) lists, then an independent Lloyd refinement with
     k2=ceil(k/k1) sub-clusters INSIDE each coarse list.  Returns the same
     (id, v, centroid_id) contract as kmeans_exact with centroid_id in
-    [0, k1*k2).
+    [0, k1*k2) — note k1*k2 >= k (the id space is the GRID, not k; use
+    :func:`two_level_split` for the exact bound).
 
     Why it exists (r4 decade measurement, SCALING.md): flat k-means
     assignment scores every vector against every centroid — n*k cosines
@@ -406,10 +420,7 @@ def kmeans_two_level(
     Same determinism guarantees as kmeans_exact: stratified min-id init
     per (coarse_id, id mod k2) stratum, fixed-point exact means, ties
     broken by sub-centroid id — reproducible on any partitioning."""
-    import math
-
-    k1 = max(1, int(math.ceil(math.sqrt(k))))
-    k2 = max(1, int(math.ceil(k / k1)))
+    k1, k2 = two_level_split(k)
     coarse = kmeans_exact(vectors, id_col, vec_col, k=k1, n_iters=coarse_iters,
                           scale=scale)
     vecs = coarse.select(
@@ -496,6 +507,7 @@ def semdedup_pairs_scaled(
     n_iters: int = 1,
     threshold: float = 0.95,
     max_pair_block: int | None = 4096,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup over the two-level clustering — the decade-scaling form for
     corpora where k must grow with n (constant cluster size): assignment
@@ -504,10 +516,16 @@ def semdedup_pairs_scaled(
     block cap) is unchanged.  Same recall trade as flat SemDeDup —
     near-dups split across clusters are missed; the hierarchy adds the
     coarse boundary as a second split surface, so recall is measured
-    (tests) rather than assumed."""
-    assigned = kmeans_two_level(
-        vectors, id_col, vec_col, k=k, n_iters=n_iters
-    ).localCheckpoint(eager=False)
+    (tests) rather than assumed.
+
+    ``assigned``: a precomputed :func:`kmeans_two_level` result — callers
+    that also inspect the clustering (coverage checks, telemetry) pass it
+    here so the Lloyd passes run ONCE, not once per consumer (clustering
+    dominates the cost; code-review r4)."""
+    if assigned is None:
+        assigned = kmeans_two_level(
+            vectors, id_col, vec_col, k=k, n_iters=n_iters
+        ).localCheckpoint(eager=False)
     return _pairs_within_clusters(assigned, threshold, max_pair_block)
 
 

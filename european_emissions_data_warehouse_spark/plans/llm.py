@@ -1381,11 +1381,16 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering levels by deterministic tie-break), every emitted pair
     must clear the threshold on an INDEPENDENTLY re-joined true cosine,
     and the clustering must cover every corpus id exactly once with ids
-    in [0, k)."""
+    in [0, k1*k2) (the two-level GRID bound — k1*k2 >= k for non-grid-
+    exact k; two_level_split is the authority).  The clustering runs
+    ONCE: the same eagerly-checkpointed assignment feeds both the pair
+    stage and the coverage aggregate (it previously ran twice — the
+    dominant cost of this query; code-review r4)."""
     from european_emissions_data_warehouse_spark.functions.vectors import cosine
     from european_emissions_data_warehouse_spark.operators.similarity import (
         kmeans_two_level,
         semdedup_pairs_scaled,
+        two_level_split,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1394,8 +1399,12 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted).localCheckpoint(eager=False)
     k = 16
+    k1, k2 = two_level_split(k)
+    assigned = kmeans_two_level(corpus, k=k, n_iters=1).localCheckpoint(
+        eager=False
+    )
     pairs = semdedup_pairs_scaled(
-        corpus, k=k, n_iters=1, threshold=0.999
+        corpus, k=k, n_iters=1, threshold=0.999, assigned=assigned
     ).localCheckpoint(eager=False)
     vecs = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     rechecked = (
@@ -1429,8 +1438,7 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     coverage = (
-        kmeans_two_level(corpus, k=k, n_iters=1)
-        .agg(
+        assigned.agg(
             F.count(F.lit(1)).alias("n_assigned"),
             F.countDistinct("id").alias("n_ids"),
             F.min("centroid_id").alias("cmin"),
@@ -1442,7 +1450,7 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_assigned") == F.col("n_corpus"))
                 & (F.col("n_ids") == F.col("n_corpus"))
                 & (F.col("cmin") >= 0)
-                & (F.col("cmax") < k)
+                & (F.col("cmax") < k1 * k2)
             )
             .cast("long")
             .alias("coverage_ok")

@@ -244,6 +244,43 @@ def test_kmeans_two_level_partitions_and_is_deterministic(spark, sf_dir):
     }
 
 
+def test_kmeans_two_level_non_grid_exact_k(spark, sf_dir):
+    """For k that is not grid-exact (k=7 -> 3x3 grid) the id space is
+    [0, k1*k2), NOT [0, k): two_level_split is the bound authority, and
+    coverage must still be exactly-once (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        kmeans_two_level,
+        two_level_split,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    k1, k2 = two_level_split(7)
+    assert (k1, k2) == (3, 3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = kmeans_two_level(emb, k=7, n_iters=1).select("id", "centroid_id").collect()
+    assert len(rows) == n and len({r["id"] for r in rows}) == n
+    assert all(0 <= r["centroid_id"] < k1 * k2 for r in rows)
+
+
+def test_semdedup_scaled_precomputed_assignment_is_identical(spark, sf_dir):
+    """Passing a precomputed kmeans_two_level assignment (the single-
+    clustering path q_semdedup_scaled uses) must emit exactly the pairs
+    the self-computing form emits."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        kmeans_two_level,
+        semdedup_pairs_scaled,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    own = semdedup_pairs_scaled(emb, k=16, threshold=0.98).collect()
+    pre = kmeans_two_level(emb, k=16, n_iters=1).localCheckpoint()
+    given = semdedup_pairs_scaled(emb, k=16, threshold=0.98, assigned=pre).collect()
+    key = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
+    assert key(own) == key(given)
+
+
 def test_semdedup_scaled_finds_planted_duplicates(spark, sf_dir):
     """Identical vectors always share both the coarse and refined cluster
     (deterministic tie-break), so planted exact duplicates must be found;
