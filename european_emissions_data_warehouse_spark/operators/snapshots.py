@@ -133,15 +133,38 @@ class SnapshotTable:
         self._publish(version, data_dir, meta)
         return version
 
-    def applied_batch_ids(self) -> set[int]:
+    def applied_batch_ids(self, gen: str | None = None) -> set[int]:
         """batch_id values recorded by streaming commits, across the whole
-        history (one tiny driver-side manifest read per version)."""
+        history (one tiny driver-side manifest read per version).
+
+        ``gen``: a checkpoint-generation id (the streaming query id Spark
+        pins in the checkpoint's metadata file).  Micro-batch ids are only
+        meaningful WITHIN one checkpoint — a fresh checkpoint restarts at
+        batch 0 with a possibly different file chop, so skipping its
+        batches against another generation's ledger silently drops data
+        (code-review r4).  When given, only commits stamped with the same
+        ``ckpt_gen`` count as applied; legacy commits without the stamp
+        are treated as matching (pre-r4 tables keep their replay skips)."""
         out = set()
         for v in self.history():
-            b = self.commit_meta(v).get("batch_id")
-            if b is not None:
-                out.add(int(b))
+            meta = self.commit_meta(v)
+            b = meta.get("batch_id")
+            if b is None:
+                continue
+            if gen is not None and meta.get("ckpt_gen", gen) != gen:
+                continue
+            out.add(int(b))
         return out
+
+    def commit_generations(self) -> set[str]:
+        """Distinct ``ckpt_gen`` stamps across streaming commits (absent
+        stamps excluded) — lets additive-state streams refuse to merge a
+        NEW checkpoint generation into state built by an old one."""
+        return {
+            g
+            for v in self.history()
+            if (g := self.commit_meta(v).get("ckpt_gen")) is not None
+        }
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: commit the current snapshot minus rows

@@ -38,6 +38,33 @@ from european_emissions_data_warehouse_spark.operators.merge import (
 )
 
 
+def _checkpoint_generation(spark: SparkSession, checkpoint_path: str) -> str | None:
+    """The streaming query id Spark pins in ``{checkpoint}/metadata`` —
+    stable across restarts FROM THE SAME checkpoint, different for a fresh
+    one.  Micro-batch ids are only unique within a generation: a new
+    checkpoint restarts numbering at 0 over a possibly different file
+    chop, so a batch-id replay ledger must be generation-scoped
+    (code-review r4).  Returns None if the metadata file does not exist
+    yet (foreachBatch always runs after Spark writes it, so None only
+    happens outside a live query)."""
+    import json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/metadata")
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return None
+    stream_in = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream_in, "UTF-8"
+        )
+    finally:
+        stream_in.close()
+    return json.loads(text).get("id")
+
+
 def stream_from_directory(
     spark: SparkSession,
     src_dir: str,
@@ -197,14 +224,22 @@ def run_snapshot_ingest(
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, table_path)
-        if batch_id in table.applied_batch_ids():
+        gen = _checkpoint_generation(spark, checkpoint_path)
+        # generation-scoped skip: a FRESH checkpoint restarts batch ids at
+        # 0, so another generation's ledger must not suppress its batches
+        # (re-merging across generations is safe here — LWW upsert is
+        # content-idempotent; only version history grows)
+        if batch_id in table.applied_batch_ids(gen):
             return  # crash-replay of an already-committed batch
         cleaned = dedupe_last(batch, key, order_by)
         if table.history():
             merged = upsert_anti_join(table.read(), cleaned, key)
         else:
             merged = cleaned
-        table.commit(merged, meta={"batch_id": str(batch_id)})
+        meta = {"batch_id": str(batch_id)}
+        if gen is not None:
+            meta["ckpt_gen"] = gen
+        table.commit(merged, meta=meta)
 
     (
         stream.writeStream.foreachBatch(commit_batch)
@@ -397,7 +432,14 @@ def run_sketch_stream(
     commit is recognized and SKIPPED instead of double-counted (sketch
     counters are sums — re-merging a replay would silently inflate every
     cell); and publish is the log's rename-without-overwrite CAS, so no
-    crash window ever leaves the previous table deleted-but-unreplaced."""
+    crash window ever leaves the previous table deleted-but-unreplaced.
+    The ledger is scoped to the CHECKPOINT GENERATION (the query id Spark
+    pins in the checkpoint): batch ids restart at 0 in a fresh checkpoint
+    over a possibly different file chop, so another generation's ledger
+    must never suppress them — and since re-merging would double-count,
+    a fresh checkpoint against an existing sketch table raises instead
+    of doing either silently (checkpoint and table live and die
+    together)."""
     from european_emissions_data_warehouse_spark.operators.sketches import (
         count_min_build,
     )
@@ -409,8 +451,22 @@ def run_sketch_stream(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, sketch_path)
-        if batch_id in table.applied_batch_ids():
+        gen = _checkpoint_generation(spark, checkpoint_path)
+        if batch_id in table.applied_batch_ids(gen):
             return  # crash-replay of an already-merged batch
+        # CMS counters are SUMS: merging a new checkpoint generation into
+        # state built by an old one double-counts everything the new
+        # generation re-reads.  Checkpoint and sketch table live and die
+        # together — refuse loudly instead of silently inflating.
+        foreign = table.commit_generations() - ({gen} if gen else set())
+        if foreign:
+            raise RuntimeError(
+                f"run_sketch_stream: sketch table {sketch_path} was built by "
+                f"checkpoint generation(s) {sorted(foreign)} but this query "
+                f"runs generation {gen!r}; a fresh checkpoint re-reads all "
+                "input and would double-count every counter. Restore the "
+                "original checkpoint or start a fresh sketch table."
+            )
         delta = count_min_build(
             batch, token_col=token_col, depth=depth, width=width, seed=seed
         )
@@ -423,7 +479,10 @@ def run_sketch_stream(
             )
         else:
             merged = delta
-        table.commit(merged, meta={"batch_id": str(batch_id)})
+        meta = {"batch_id": str(batch_id)}
+        if gen is not None:
+            meta["ckpt_gen"] = gen
+        table.commit(merged, meta=meta)
 
     (
         stream.writeStream.foreachBatch(merge_batch)
@@ -469,7 +528,12 @@ def run_hll_stream(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, table_path)
-        if batch_id in table.applied_batch_ids():
+        gen = _checkpoint_generation(spark, checkpoint_path)
+        # generation-scoped skip, as in run_sketch_stream.  HLL union is a
+        # register-wise max (idempotent on re-union), so a cross-generation
+        # re-merge cannot inflate estimates — no foreign-generation guard
+        # needed, only the correct non-skip of a fresh generation's batches.
+        if batch_id in table.applied_batch_ids(gen):
             return
         delta = batch.groupBy(*keys).agg(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")
@@ -483,7 +547,10 @@ def run_hll_stream(
             )
         else:
             merged = delta
-        table.commit(merged, meta={"batch_id": str(batch_id)})
+        meta = {"batch_id": str(batch_id)}
+        if gen is not None:
+            meta["ckpt_gen"] = gen
+        table.commit(merged, meta=meta)
 
     (
         stream.writeStream.foreachBatch(merge_batch)
@@ -503,6 +570,10 @@ def run_neardup_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    k: int = 5,
+    unit: str = "word",
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> None:
     """Continuous corpus ingestion with NEAR-duplicate suppression: each
     micro-batch runs operators/dedup.minhash_dedup_incremental against the
@@ -532,7 +603,15 @@ def run_neardup_dedup_stream(
     appending a second copy.  Re-running any suffix of batches converges
     to the same store and corpus — no ledger required, and readers see
     the standard partition-discovery layout (the ``batch_id`` column is
-    free ingest lineage)."""
+    free ingest lineage).
+
+    The MinHash parameters (``k``/``unit``/``num_hashes``/``bands``) are
+    threaded from THIS signature through every call site — the bootstrap
+    band tables, the ``eq / num_hashes`` estimate, the store init, the
+    incremental probe, and the store-update band table — so a tuning
+    change cannot leave the store with mismatched signature widths that
+    silently stop detecting duplicates (code-review r4).  They must match
+    whatever an existing store at ``store_path`` was built with."""
     from european_emissions_data_warehouse_spark.operators.dedup import (
         _minhash_band_table,
         minhash_dedup_incremental,
@@ -553,13 +632,12 @@ def run_neardup_dedup_stream(
         if not store_exists:
             # bootstrap: intra-batch dedup via the standing pair logic on
             # an empty-store equivalent — first-id-wins within the batch
+            band = _minhash_band_table(
+                batch, id_col, text_col, k, unit, num_hashes, bands
+            )
             pairs = (
-                _minhash_band_table(batch, id_col, text_col, 5, "word", 32, 8)
-                .alias("n")
-                .join(
-                    _minhash_band_table(batch, id_col, text_col, 5, "word", 32, 8).alias("o"),
-                    ["band", "bucket"],
-                )
+                band.alias("n")
+                .join(band.alias("o"), ["band", "bucket"])
                 .filter(F.col("o.id") < F.col("n.id"))
                 .select(
                     F.col("n.id").alias("new_id"),
@@ -570,17 +648,21 @@ def run_neardup_dedup_stream(
                         )
                     ).alias("eq"),
                 )
-                .filter(F.col("eq") / 32 >= threshold)
+                .filter(F.col("eq") / num_hashes >= threshold)
                 .select("new_id")
                 .distinct()
             )
             survivors = batch.join(
                 pairs.withColumnRenamed("new_id", id_col), id_col, "left_anti"
             ).localCheckpoint(eager=True)
-            minhash_store_init(survivors, store_part)
+            minhash_store_init(
+                survivors, store_part, id_col=id_col, text_col=text_col,
+                k=k, unit=unit, num_hashes=num_hashes, bands=bands,
+            )
         else:
             dups = minhash_dedup_incremental(
                 batch, store_path, id_col=id_col, text_col=text_col,
+                k=k, unit=unit, num_hashes=num_hashes, bands=bands,
                 threshold=threshold, update_store=False,
             )
             survivors = batch.join(
@@ -592,7 +674,7 @@ def run_neardup_dedup_stream(
             # replay overwrites it with identical content (idempotent),
             # and duplicates never enter the store
             _minhash_band_table(
-                survivors, id_col, text_col, 5, "word", 32, 8
+                survivors, id_col, text_col, k, unit, num_hashes, bands
             ).write.mode("overwrite").parquet(store_part)
         survivors.write.mode("overwrite").parquet(out_part)
 

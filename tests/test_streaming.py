@@ -510,16 +510,26 @@ def test_snapshot_ingest_versions_per_batch(spark, events_batch, tmp_path):
     assert v0.count() == first.count()
     assert v0.filter(F.col("value") == 777.0).count() == 0
 
-    # crash-replay idempotence (ADVICE r2): losing the streaming checkpoint
-    # replays every batch; batch-id-stamped commits must recognize and skip
-    # them all, leaving the VERSION HISTORY (not just the head contents)
-    # unchanged — commit_meta records which batch produced each version
-    assert t.commit_meta(0) == {"batch_id": "0"} and t.commit_meta(1) == {"batch_id": "1"}
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # crash-replay idempotence (ADVICE r2): restarting from the SAME
+    # checkpoint replays nothing, leaving the VERSION HISTORY (not just the
+    # head contents) unchanged — commit_meta records which batch produced
+    # each version, stamped with its checkpoint generation
+    assert t.commit_meta(0)["batch_id"] == "0"
+    assert t.commit_meta(1)["batch_id"] == "1"
+    assert "ckpt_gen" in t.commit_meta(0)
     drain()
     t = SnapshotTable(spark, tbl)
     assert t.history() == [0, 1]
+    # checkpoint LOSS = a new generation: its batches must NOT be skipped
+    # against the old ledger (a different chop would silently drop data —
+    # code-review r4).  LWW upsert is content-idempotent, so the re-ingest
+    # adds versions while the head content stays identical.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    drain()
+    t = SnapshotTable(spark, tbl)
+    assert len(t.history()) > 2, "fresh generation must re-ingest"
     assert t.read().count() == first.count() + 20
+    assert check_unique(t.read(), ["event_id"]) == 0
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
@@ -569,12 +579,11 @@ def test_sketch_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
         for r in count_min_build(tokens, depth=3, width=256).collect()
     }
     assert streamed == batch
-    # crash-replay idempotence (ADVICE r3): losing the checkpoint replays
-    # every batch; the batch-id-stamped commits must skip them all — the
-    # sketch is a sum, so a single double-merge would inflate every cell
+    # crash-replay idempotence (ADVICE r3): restarting from the SAME
+    # checkpoint replays nothing new and commits nothing — the sketch is a
+    # sum, so a single double-merge would inflate every cell
     versions_before = table.history()
     assert table.applied_batch_ids() == {0, 1}
-    shutil.rmtree(ckpt, ignore_errors=True)
     run_sketch_stream(
         stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
         sketch_path,
@@ -582,11 +591,25 @@ def test_sketch_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
         depth=3,
         width=256,
     )
-    assert table.history() == versions_before, "replayed batches must not commit"
+    assert table.history() == versions_before, "same checkpoint: no new commits"
+    # checkpoint LOSS is a different story (code-review r4): a fresh
+    # checkpoint restarts batch numbering over a possibly different file
+    # chop, so its batches must NOT be skipped against the old ledger —
+    # and since CMS counters are sums, re-merging would double-count.
+    # The stream must refuse loudly instead of doing either silently.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    with pytest.raises(Exception, match="checkpoint generation"):
+        run_sketch_stream(
+            stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+            sketch_path,
+            ckpt,
+            depth=3,
+            width=256,
+        )
     replayed = {
         (r["row_j"], r["bucket"]): r["cnt"] for r in table.read().collect()
     }
-    assert replayed == batch
+    assert replayed == batch, "refused generation must leave the sketch intact"
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
@@ -698,9 +721,27 @@ def test_hll_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     versions = t.history()
+    # same checkpoint: nothing replays, nothing commits
+    run_hll_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        table, ck, key_cols=["event_type"], value_col="user_id",
+    )
+    assert t.history() == versions, "same checkpoint: no new commits"
+    # checkpoint loss = a NEW generation: its batch ids must not be
+    # suppressed by the old ledger (that silently drops any file the new
+    # chop groups differently — code-review r4).  HLL union is idempotent
+    # register-wise max, so the re-merge is content-safe: version history
+    # grows, estimates stay exactly the batch truth.
     shutil.rmtree(ck, ignore_errors=True)
     run_hll_stream(
         stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
         table, ck, key_cols=["event_type"], value_col="user_id",
     )
-    assert t.history() == versions, "replayed batches must not commit"
+    assert len(t.history()) > len(versions), "fresh generation must re-merge"
+    re_streamed = {
+        r["event_type"]: r["est"]
+        for r in t.read()
+        .select("event_type", F.hll_sketch_estimate("hll").alias("est"))
+        .collect()
+    }
+    assert re_streamed == batch
