@@ -29,7 +29,6 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from european_emissions_data_warehouse_spark.functions.text import char_shingles, word_shingles
 
 
 def content_keys(text_col) -> tuple:
@@ -75,10 +74,6 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .alias("keep_id"),
         "n_copies",
     )
-
-
-def _shingles(text_col, k: int, unit: str):
-    return word_shingles(text_col, k) if unit == "word" else char_shingles(text_col, k)
 
 
 # Rolling-gram machinery: k-gram *identities* as integers, never as strings.
@@ -460,10 +455,15 @@ def minhash_signatures(
     # multiplier -> bijection mod 2^31; products stay < 2^62 under ANSI).
     # A single nested-lambda form was tried and is ~4x slower per row —
     # nested HOF eval overhead beats the larger-but-flat tree's compile cost.
+    # The & 2^31-1 reduction is load-bearing: without it a*h+b is strictly
+    # MONOTONE in h, every slot's argmin is the same min gram, and the
+    # whole signature degenerates to a bottom-1 sketch replicated 32x —
+    # est_jaccard only ever 0 or 1, unrelated docs sharing one min gram
+    # flagged as exact duplicates (code-review r4, measured on sf0.01).
     def perm(i: int):
         a = ((2 * i + 1) * 0x9E3779B9) & 0x7FFFFFFF | 1
         b = (i * 0x85EBCA6B) & 0x7FFFFFFF
-        return lambda h: h * F.lit(a) + F.lit(b)
+        return lambda h: (h * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(0x7FFFFFFF))
 
     sig = F.array(
         *[F.array_min(F.transform(F.col("hs"), perm(i))) for i in range(num_hashes)]
@@ -489,31 +489,14 @@ def minhash_lsh_pairs(
     minhashes) — cheap, already materialized; swap in ngram verification for
     exactness when the corpus affords it.
     """
-    r = num_hashes // bands
     # both sides of the bucket self-join reference the signature frame; the
     # checkpoint materializes it once instead of re-running the whole
     # shingle->minhash DAG per side (~33% of query time at sf0.1 — the same
     # double-execution semdedup_pairs fixed in r2)
-    sigs = (
-        minhash_signatures(docs, id_col, text_col, k, unit, num_hashes)
-        .drop("shingles")
-        .localCheckpoint(eager=False)
-    )
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * r + 1, r)).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    sigs = minhash_signatures(
+        docs, id_col, text_col, k, unit, num_hashes
+    ).localCheckpoint(eager=False)
+    banded = _band_from_sigs(sigs, num_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
     cand = (
@@ -546,11 +529,22 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     codegen aggregates.  bit_i is set iff 2*S_i > n (S_i = tokens with bit i
     on) — identical votes to the per-bit array-aggregate form, but every
     pass is whole-stage codegen instead of 63 interpreted HOF reductions,
-    and the shuffle is the partial-aggregated (id, 63 counts) rows only."""
+    and the shuffle is the partial-aggregated (id, 63 counts) rows only.
+
+    Tokens are Unicode word runs (``[\\p{L}\\p{N}]+``), not ASCII
+    ``[a-z0-9]+`` — the ASCII class silently emitted ZERO tokens for pure
+    CJK/Cyrillic/Greek documents, so whole language slices vanished from
+    the fingerprint output and were exempt from near-dup detection
+    (code-review r4).  Every input doc gets exactly one output row: docs
+    with no tokens at all (pure punctuation) carry fingerprint 0 rather
+    than disappearing, matching chunk_dedup's conservation contract."""
+    ids = docs.select(F.col(id_col).alias("id"))
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0))
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+            )
         ).alias("tok"),
     )
     h = F.xxhash64("tok")
@@ -574,7 +568,10 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         range(_SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    return sums.select("id", fp.alias("fingerprint"))
+    fps = sums.select("id", fp.alias("fingerprint"))
+    return ids.join(fps, "id", "left").select(
+        "id", F.coalesce("fingerprint", F.lit(0).cast("long")).alias("fingerprint")
+    )
 
 
 def simhash_pairs(
@@ -725,21 +722,12 @@ def chunk_dedup(
     )
 
 
-def _minhash_band_table(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    unit: str,
-    num_hashes: int,
-    bands: int,
-) -> DataFrame:
-    """(id, sig, band, bucket) — the banded LSH table minhash_lsh_pairs
-    builds inline, factored out so an incremental dedup can persist it."""
+def _band_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bucket): the banding step, shared by
+    minhash_lsh_pairs and the persisted-store table so the bucket hash can
+    never drift between the full and incremental paths (code-review r4 —
+    the two copies previously had to stay bit-identical by hand)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, unit, num_hashes).drop(
-        "shingles"
-    )
     return sigs.select(
         "id",
         "sig",
@@ -755,6 +743,24 @@ def _minhash_band_table(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def _minhash_band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    unit: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, sig, band, bucket) — the banded LSH table minhash_lsh_pairs
+    builds inline, factored out so an incremental dedup can persist it."""
+    return _band_from_sigs(
+        minhash_signatures(docs, id_col, text_col, k, unit, num_hashes),
+        num_hashes,
+        bands,
+    )
 
 
 def minhash_store_init(
@@ -801,7 +807,15 @@ def minhash_dedup_incremental(
     sees them — duplicates never enter the store, keeping it one row per
     retained doc per band.  Exactly the pair set the full-batch
     ``minhash_lsh_pairs`` would emit for pairs touching the new batch
-    (asserted by test), because signatures and banding hash identically."""
+    (asserted by test), because signatures and banding hash identically.
+
+    The ``update_store`` append is NOT crash-replay idempotent: re-running
+    a batch that already appended duplicates its band rows (downstream
+    ``.distinct()`` keeps answers right, but the store grows and bucket
+    joins fan out).  Orchestrated callers should pass update_store=False
+    and own the store write — streaming/ingest.run_neardup_dedup_stream
+    does exactly that with per-batch partition OVERWRITE, which is the
+    replay-safe layout (code-review r4)."""
     spark = new_docs.sparkSession
     new_b = _minhash_band_table(
         new_docs, id_col, text_col, k, unit, num_hashes, bands

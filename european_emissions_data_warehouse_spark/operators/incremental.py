@@ -78,7 +78,14 @@ def apply_cdf(
 
     Cost: one |changes|-sized partial aggregate + one |groups|-keyed merge
     — refresh is O(changed rows + state), independent of table size, which
-    at 100 TB is the difference between a counter update and a full scan."""
+    at 100 TB is the difference between a counter update and a full scan.
+
+    A merged ``n_rows`` below zero is impossible under exactly-once CDF
+    delivery — it means a replayed/duplicated delete batch.  It used to be
+    silently filtered away with the legitimately-empty groups, losing the
+    negative residual forever (a later insert would then recreate the
+    group looking consistent); it now fails loudly so the corruption is
+    caught at apply time (code-review r4)."""
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -90,12 +97,25 @@ def apply_cdf(
             F.sum("_sign").cast("long").alias("n_rows"),
         )
     )
-    return (
+    merged = (
         state.unionByName(delta)
         .groupBy(*keys)
         .agg(
             F.sum("sum_v").alias("sum_v"),
             F.sum("n_rows").alias("n_rows"),
         )
+    )
+    guard = F.when(
+        F.col("n_rows") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("apply_cdf: group n_rows went negative ("),
+                F.col("n_rows").cast("string"),
+                F.lit(") — the change feed was replayed or duplicated"),
+            )
+        ),
+    ).otherwise(F.col("n_rows"))
+    return (
+        merged.withColumn("n_rows", guard)
         .filter(F.col("n_rows") > 0)
     )

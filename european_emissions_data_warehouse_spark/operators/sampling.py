@@ -26,9 +26,14 @@ from pyspark.sql import functions as F
 
 # Multiplicative integer hash, Knuth's 2^32 golden-ratio constant. All
 # arithmetic stays below 2^62 (ANSI mode would throw on 64-bit overflow):
-# the key is folded into [0, 2^30) before the multiply, and the high bits
-# of the product are used for the bucket (the low bits of a multiplicative
-# hash cycle badly for sequential keys).
+# the key is folded into [0, 2^30) before the multiply — with an explicit
+# pmod, since SQL % follows the dividend's sign and hash-derived keys are
+# negative half the time (code-review r4: a bare % handed negative buckets
+# to every key below -salt, silently inflating the first split).  The
+# bucket uses the product's bits above the bottom 6 (the low bits of a
+# multiplicative hash cycle badly for sequential keys): a [0, 2^26) range,
+# so the % n_buckets bias is <= ~2^-16 — the previous div 65536 kept only
+# 16 bits, a measurable 7:6 bucket skew at modulus 10000.
 _KNUTH = 2654435761
 _FOLD = 1 << 30
 _MOD32 = 1 << 32
@@ -36,9 +41,11 @@ _MOD32 = 1 << 32
 
 def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer key — integer
-    +,*,%,div only, so the exact expression is portable to any SQL engine."""
-    h = f"((({key_col} + {salt}) % {_FOLD}) * {_KNUTH}) % {_MOD32}"
-    return F.expr(f"(({h}) div 65536) % {n_buckets}")
+    +,*,%,div only, so the exact expression is portable to any SQL engine
+    (the oracles inline it verbatim; keep them in lockstep)."""
+    folded = f"((({key_col} + {salt}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
+    h = f"(({folded}) * {_KNUTH}) % {_MOD32}"
+    return F.expr(f"(({h}) div 64) % {n_buckets}")
 
 
 def split_by_hash(
@@ -74,7 +81,7 @@ def stratified_sample_hash(
     fractions: Mapping[str, float],
     key_col: str,
     modulus: int = 10000,
-    salt: int = 40503,
+    salt: int = 52711,
 ) -> DataFrame:
     """Deterministic stratified downsample: keep a row iff its key-hash
     bucket falls below the stratum's fraction — ``sampleBy`` semantics with
@@ -82,7 +89,14 @@ def stratified_sample_hash(
     reproducible cross-engine (the DuckDB oracle runs the identical
     arithmetic), stable under corpus growth, and map-side only (no shuffle,
     no state — the same 100 TB story as ``split_by_hash``).  Strata absent
-    from ``fractions`` are dropped (fraction 0)."""
+    from ``fractions`` are dropped (fraction 0).
+
+    The default salt deliberately differs from ``split_by_hash``'s: with a
+    SHARED salt and nested moduli (100 | 10000) the sample bucket mod 100
+    EQUALS the split bucket, so every document kept at fraction <= 0.008
+    was a 'train' row and valid/test samples came out empty (code-review
+    r4).  Pass distinct salts whenever two hash decisions must be
+    independent."""
     frac: Column | None = None
     for stratum, f in fractions.items():
         cond = F.col(strata_col) == stratum

@@ -1176,7 +1176,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAIN_TEST_SPLIT = """
 WITH b AS (
   SELECT doc_id, lang,
-         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 100 AS bucket
+         ((((((doc_id + 40503) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 100 AS bucket
   FROM documents
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -1201,7 +1201,10 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", quality_score(F.col("text")).alias("quality")
     )
     return (
-        scored.withColumn("bucket", hash_bucket("doc_id", 10000))
+        # salt 52711 decorrelates the keep decision from split_by_hash's
+        # train/valid/test buckets (shared-salt nested moduli made every
+        # sampled doc a 'train' row — code-review r4)
+        scored.withColumn("bucket", hash_bucket("doc_id", 10000, salt=52711))
         .filter(F.col("bucket") < F.col("quality") * 10000.0)
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
@@ -1224,7 +1227,7 @@ WITH m AS (
           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
                   ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
           + LEAST(1.0, stop_ratio * 4)) / 3 AS quality,
-         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 10000 AS bucket
   FROM m
 )
 SELECT doc_id, lang, quality FROM q
@@ -1253,7 +1256,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STRATIFIED_SAMPLE = """
 WITH b AS (
   SELECT doc_id, lang,
-         (((((doc_id + 40503) % 1073741824) * 2654435761) % 4294967296) // 65536) % 10000 AS bucket
+         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 10000 AS bucket
   FROM documents
 )
 SELECT doc_id, lang FROM b

@@ -65,3 +65,23 @@ def test_apply_cdf_equals_recompute(spark, tmp_path):
     r = {x["grp"]: (x["sum_v"], x["n_rows"]) for x in recomputed.collect()}
     assert m == r
     assert "c" not in m  # fully-deleted group vanished
+
+
+def test_apply_cdf_raises_on_replayed_deletes(spark):
+    """A duplicated delete feed drives a group's count negative — an
+    impossible state under exactly-once delivery.  It must raise, not be
+    silently filtered with the legitimately-empty groups (code-review r4)."""
+    import pytest
+    from european_emissions_data_warehouse_spark.operators.incremental import (
+        apply_cdf,
+        invertible_state,
+    )
+
+    base = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    state = invertible_state(base, ["k"], "v")
+    deletes = spark.createDataFrame(
+        [("a", 1.0, "delete"), ("a", 1.0, "delete")],
+        "k string, v double, _change_type string",
+    )
+    with pytest.raises(Exception, match="negative"):
+        apply_cdf(state, deletes, ["k"], "v").collect()

@@ -616,3 +616,34 @@ def test_chunk_dedup_conservation_properties(spark, sf_dir):
         .count()
     )
     assert total_kept == distinct_chunks
+
+
+def test_simhash_covers_non_latin_and_empty_docs(spark):
+    """Pure-CJK/Cyrillic documents must get fingerprints (the ASCII token
+    class silently exempted whole language slices from near-dup detection;
+    code-review r4), near-identical CJK docs must pair, and token-less docs
+    keep a row (fingerprint 0) instead of vanishing."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    zh = "数据 处理 引擎 训练 语料 " * 8
+    ru = "обработка данных " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, zh),
+            (2, zh + " 额外"),   # near-dup of 1
+            (3, ru),
+            (4, "!!! ... ???"),           # no tokens at all
+            (5, "plain ascii text here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["fingerprint"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert set(fps) == {1, 2, 3, 4, 5}, fps
+    assert fps[1] != 0 and fps[3] != 0, "non-Latin docs must be fingerprinted"
+    assert fps[4] == 0, "token-less doc carries the empty fingerprint"
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(docs, max_hamming=6).collect()}
+    assert (1, 2) in pairs, pairs

@@ -139,3 +139,60 @@ def test_padding_efficiency_bucketed_never_worse_than_fixed(spark, sf_dir):
     for r in rows:
         assert r["pad_bucketed"] <= r["pad_fixed"]
         assert r["useful_tokens"] + r["pad_bucketed"] == r["bucket_len"] * r["n_docs"]
+
+
+def test_hash_bucket_negative_keys_stay_in_range(spark):
+    """Hash-derived keys are negative half the time; every bucket must land
+    in [0, n) regardless of sign (SQL %% follows the dividend — the bare
+    fold handed negative buckets to keys below -salt; code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.sampling import (
+        hash_bucket,
+        split_by_hash,
+    )
+
+    df = spark.range(2000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("key")
+    )
+    assert df.filter(F.col("key") < 0).count() > 0, "fixture needs negatives"
+    buckets = df.select(hash_bucket("key", 100).alias("b"))
+    assert buckets.filter((F.col("b") < 0) | (F.col("b") >= 100)).count() == 0
+    split = split_by_hash(df, "key")
+    shares = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(shares.values())
+    assert 0.7 < shares["train"] / n < 0.9, shares
+    assert shares.get("valid", 0) > 0 and shares.get("test", 0) > 0, shares
+
+
+def test_hash_bucket_distribution_unbiased(spark):
+    """At modulus 10000 the old 16-bit bucket had a 7:6 skew — realized
+    fractions off by up to ~7%%.  With 26 bits the realized fraction of a
+    0.5 cut must sit within ~2%% of 0.5 on sequential AND hashed keys."""
+    from european_emissions_data_warehouse_spark.operators.sampling import hash_bucket
+
+    for key in (F.col("id"), F.xxhash64(F.col("id").cast("string"))):
+        df = spark.range(20000).select(key.alias("key"))
+        kept = df.filter(hash_bucket("key", 10000) < 5000).count()
+        assert abs(kept / 20000 - 0.5) < 0.02, kept
+
+
+def test_sample_decorrelated_from_split(spark, sf_dir):
+    """A stratified sample must draw from ALL splits in proportion — the
+    shared-salt nested-moduli bug made every sampled doc a 'train' row
+    (code-review r4).  At fraction 0.2, each split keeps some docs and the
+    train share of the sample stays near the train share of the corpus."""
+    from european_emissions_data_warehouse_spark.operators.sampling import (
+        split_by_hash,
+        stratified_sample_hash,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    split = split_by_hash(docs, "doc_id")
+    sampled = stratified_sample_hash(
+        split, "lang", {l: 0.2 for l in ("en", "de", "es", "fr", "zh")},
+        key_col="doc_id",
+    )
+    by_split = {r["split"]: r["n"] for r in
+                sampled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_split) == {"train", "valid", "test"}, by_split
