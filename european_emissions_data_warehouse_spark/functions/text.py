@@ -47,15 +47,20 @@ def char_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are punctuation/symbols (double)."""
+    """Fraction of characters that are punctuation/symbols (double); 0.0
+    for empty text — under the repo's ANSI-on session the unguarded
+    division turned ONE empty document into a DIVIDE_BY_ZERO job abort
+    (code-review r4; guards mirrored in the DuckDB oracles)."""
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
-    return n_punct / F.length(text)
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are common English stopwords."""
+    """Fraction of whitespace tokens that are common English stopwords;
+    0.0 for token-less text (same ANSI guard as punct_ratio)."""
     hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), F.lit(0)))
-    return hits / ws_token_count(text)
+    ws = ws_token_count(text)
+    return F.when(ws > 0, hits / ws).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:

@@ -23,16 +23,33 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    """L2 norm of an array column (double)."""
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+    """L2 norm of an array column (double), floored at 1e-150.
+
+    Every consumer uses this as a DIVISOR (cosine's denominator and the 19
+    hoisted ``dot/(_na*_nb)`` forms in operators/similarity.py); under the
+    repo's ANSI-on session a zero-norm vector — a null-imputed embedding,
+    a zero-padded tail, or the exactly-zero residual of a singleton IVF
+    cluster — turned every similarity fan-out into a DIVIDE_BY_ZERO job
+    abort (code-review r4, reproduced on 4.1.2).  The floor is far below
+    any real norm (embeddings are O(1)), so all non-zero results are
+    bit-identical, while a zero vector now scores sim = 0/(1e-150·n) = 0.0
+    against everything — ranked last, never crashing.  1e-150, not
+    smaller: two floored norms multiply in the hoisted dot/(na·nb) forms,
+    and the product must stay a normal double (1e-300 > 0), not underflow
+    back to the zero it guards against."""
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        ),
+        F.lit(1e-150),
     )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array columns (double)."""
+    """Cosine similarity of two array columns (double); 0.0 when either
+    side is the zero vector (see :func:`norm`)."""
     return dot(a, b) / (norm(a) * norm(b))
 
 

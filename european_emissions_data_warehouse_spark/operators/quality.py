@@ -36,7 +36,8 @@ def repetition_signals(
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    )
+    ).filter(F.col("w") != "")  # split('') yields [''] — a phantom token that
+    # scored every empty doc as maximally repetitive (code-review r4)
     uni = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
     uni_stats = uni.groupBy("id").agg(
         F.sum("c").alias("n_words"),
@@ -90,7 +91,7 @@ def token_rarity(
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    )
+    ).filter(F.col("w") != "")  # same phantom-''-token guard as repetition_signals
     df_tab = (
         toks.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     )
@@ -185,10 +186,29 @@ def nb_quality_scores(
         F.sum("n_bad").alias("t_bad"),
         F.count(F.lit(1)).alias("v"),
     )
+    # single-class pseudo-labels make the prior 0/x or x/0 — an undefined
+    # classifier, and under ANSI a mid-job DIVIDE_BY_ZERO.  A heuristic
+    # label can easily be single-class on a corpus slice; fail with a
+    # diagnosis instead (code-review r4).
+    n_good = F.sum("good")
+    n_bad = F.sum(1 - F.col("good"))
     prior = base.agg(
-        F.log(
-            F.sum("good").cast("double") / F.sum(1 - F.col("good"))
-        ).alias("prior")
+        F.when(
+            (n_good > 0) & (n_bad > 0),
+            F.log(n_good.cast("double") / n_bad),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("nb_quality_scores: pseudo-labels are single-class ("),
+                    n_good.cast("string"),
+                    F.lit(" good / "),
+                    n_bad.cast("string"),
+                    F.lit(" bad) — the NB prior is undefined; fix the labeling rule"),
+                )
+            ).cast("double")
+        )
+        .alias("prior")
     )
     logodds = F.log((F.col("n_good") + 1) / (F.col("t_good") + F.col("v"))) - F.log(
         (F.col("n_bad") + 1) / (F.col("t_bad") + F.col("v"))

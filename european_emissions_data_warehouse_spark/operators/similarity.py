@@ -230,11 +230,30 @@ def ivf_build_centroids(
                 f"{n_train} training vectors (< n_centroids={n_centroids}); "
                 "lower the mod or train on the full corpus (None)"
             )
+        # residue strata of RAW ids can be unoccupied on a hash sample
+        # (expected occupancy at n=20,k=16 is ~12 — the quantizer silently
+        # shrank past the count guard; code-review r4).  Rank the sample
+        # and block-stride it into exactly k strata: stratum i's min id is
+        # an evenly spaced id across the sample, and all k strata are
+        # occupied whenever n_train >= k.  The rank window is a single
+        # pass over the SAMPLE (bounded by the 1/mod rate the caller
+        # chose), never the corpus.
+        block = -(-n_train // n_centroids)  # ceil
+        firsts = (
+            train.select(
+                "id",
+                F.row_number().over(Window.orderBy("id")).alias("_rk"),
+            )
+            .groupBy(
+                ((F.col("_rk") - 1) / F.lit(block)).cast("int").alias("centroid_id")
+            )
+            .agg(F.min("id").alias("id"))
+        )
     else:
         train = vecs
-    firsts = train.groupBy(
-        F.pmod(F.col("id"), F.lit(n_centroids)).cast("int").alias("centroid_id")
-    ).agg(F.min("id").alias("id"))
+        firsts = train.groupBy(
+            F.pmod(F.col("id"), F.lit(n_centroids)).cast("int").alias("centroid_id")
+        ).agg(F.min("id").alias("id"))
     centroids = F.broadcast(firsts).join(train, "id").select(
         "centroid_id", F.col("v").cast("array<double>").alias("centroid")
     )
@@ -567,6 +586,12 @@ def pq_reconstruct(
     centroid), so the only full-corpus work is the single encode pass.
     Default None keeps the exact full-corpus behavior the quantization
     oracles replay (recon = mean of the final full assignment)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_reconstruct: dim={dim} is not divisible by m={m} — the "
+            "subspace split would silently truncate the trailing "
+            f"{dim % m} components of every vector (code-review r4)"
+        )
     sub_d = dim // m
     scale = 1 << 20
     subs = vectors.select(
@@ -640,11 +665,30 @@ def pq_reconstruct(
                 f"only {n_train} training vectors (< k={k}); lower the mod "
                 "or train on the full corpus (None)"
             )
+        # dense block-stride strata over the RANKED sample ids (same
+        # occupancy fix as ivf_build_centroids — raw-id residues can leave
+        # subspace strata empty on a hash sample); the id set is identical
+        # for every sub, so rank once and join.
+        block = -(-n_train // k)  # ceil
+        ranked = (
+            train_subs.select("id")
+            .distinct()
+            .select("id", F.row_number().over(Window.orderBy("id")).alias("_rk"))
+            .select(
+                "id",
+                ((F.col("_rk") - 1) / F.lit(block)).cast("int").alias("centroid_id"),
+            )
+        )
+        init = (
+            train_subs.join(F.broadcast(ranked), "id")
+            .groupBy("sub", "centroid_id")
+            .agg(F.min("id").alias("id"))
+        )
     else:
         train_subs = subs
-    init = train_subs.groupBy(
-        "sub", F.pmod(F.col("id"), F.lit(k)).cast("int").alias("centroid_id")
-    ).agg(F.min("id").alias("id"))
+        init = train_subs.groupBy(
+            "sub", F.pmod(F.col("id"), F.lit(k)).cast("int").alias("centroid_id")
+        ).agg(F.min("id").alias("id"))
     centroids = F.broadcast(init).join(train_subs, ["sub", "id"]).select(
         "sub", "centroid_id", F.col("v").alias("centroid")
     )
@@ -1077,6 +1121,13 @@ def lsh_topk(
     recall collapses — recall 1-(1-p^r)^b governs the choice.
     At 100 TB the bucket join replaces the cross join — shuffle volume drops
     from |Q|x|N| to the bucket occupancy."""
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"lsh_topk: n_planes={n_planes} is not divisible by bands={bands} "
+            f"— the trailing {n_planes % bands} planes would be computed and "
+            "silently discarded, weakening the signature vs the documented "
+            "1-(1-p^r)^b tuning math (code-review r4)"
+        )
     r = n_planes // bands
     # plane matrix evaluated once (driver-side literals, bit-identical to
     # the per-row hash derivation — see _hyperplane_planes)

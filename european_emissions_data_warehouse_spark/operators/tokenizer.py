@@ -28,6 +28,24 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, pair_count) over a (word, wfreq) vocabulary frame — the pair
+    derivation shared by bpe_pair_counts and bpe_apply_merge so the
+    expansion/aggregation/tie-break can never drift between the learned
+    rule and its reported effect (code-review r4)."""
+    pairs = words.filter(F.length("word") >= 2).select(
+        "wfreq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
     """First BPE merge iteration: adjacent character-pair counts weighted
     by word frequency; the arg-max row is the first merge rule.
@@ -41,19 +59,7 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_n: int = 20) ->
     corpus frequency.  The final top-n is TakeOrderedAndProject
     (per-partition heaps), not a global sort.
     """
-    words = word_frequencies(docs, text_col).filter(F.length("word") >= 2)
-    pairs = words.select(
-        "wfreq",
-        F.explode(
-            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
-        ).alias("pair"),
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("wfreq").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-        .limit(top_n)
-    )
+    return _pair_counts(word_frequencies(docs, text_col)).limit(top_n)
 
 
 def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,19 +79,7 @@ def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
     summary is bit-identical in any engine.
     """
     words = word_frequencies(docs, text_col).localCheckpoint(eager=True)
-    pairs = words.filter(F.length("word") >= 2).select(
-        "wfreq",
-        F.explode(
-            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
-        ).alias("pair"),
-    )
-    rule = (
-        pairs.groupBy("pair")
-        .agg(F.sum("wfreq").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-        .limit(1)
-        .select("pair")
-    )
+    rule = _pair_counts(words).limit(1).select("pair")
     applied = words.crossJoin(F.broadcast(rule)).select(
         F.col("pair"),
         "wfreq",
@@ -265,8 +259,12 @@ def bpe_encode_arrow(
 
     def encode_word(word: str) -> int:
         syms = list(word)
+        # "".join(syms) is invariantly == word (merges only concatenate
+        # adjacent symbols), so the substring pre-check tests the original
+        # word — the per-rule re-join made the loop O(rules x len) even
+        # when zero rules fired (code-review r4)
         for left, right in merge_list:
-            if left + right not in "".join(syms):
+            if left + right not in word:
                 continue
             out: list[str] = []
             for s in syms:

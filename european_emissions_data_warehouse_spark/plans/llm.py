@@ -512,11 +512,11 @@ WITH m AS (
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) AS punct_ratio,
-         len(regexp_extract_all(lower(text),
-             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-           / (CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS stop_ratio
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+                / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
   FROM documents
 )
 SELECT doc_id, n_chars_text, ws_tokens, bpe_tokens, punct_ratio, stop_ratio,
@@ -708,6 +708,7 @@ WITH base AS (
 ), uni AS (
   SELECT doc_id, w, COUNT(*) AS c
   FROM (SELECT doc_id, UNNEST(toks) AS w FROM base)
+  WHERE w != ''
   GROUP BY doc_id, w
 ), uni_stats AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
@@ -745,7 +746,9 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_RARITY = r"""
 WITH toks AS (
-  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  SELECT doc_id, w
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  WHERE w != ''
 ), df_tab AS (
   SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w
 )
@@ -1215,11 +1218,11 @@ ORACLE_QUALITY_WEIGHTED_SAMPLE = r"""
 WITH m AS (
   SELECT doc_id, lang,
          CAST(length(text) AS BIGINT) AS n_chars_text,
-         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) AS punct_ratio,
-         len(regexp_extract_all(lower(text),
-             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-           / (CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS stop_ratio
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+                / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
   FROM documents
 ), q AS (
   SELECT doc_id, lang,
@@ -2396,12 +2399,12 @@ ORACLE_NB_QUALITY = r"""
 WITH m AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text)
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END
            AS punct_ratio,
-         len(regexp_extract_all(lower(text),
-             '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-           / (CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '\s+')) END)
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|is|in|that|for|with|was)\b'))
+                / len(string_split_regex(trim(text), '\s+')) END
            AS stop_ratio
   FROM documents
 ), labeled AS (

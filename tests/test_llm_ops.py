@@ -647,3 +647,58 @@ def test_simhash_covers_non_latin_and_empty_docs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              simhash_pairs(docs, max_hamming=6).collect()}
     assert (1, 2) in pairs, pairs
+
+
+def test_empty_documents_never_crash_quality_functions(spark):
+    """One empty or whitespace-only document in a raw corpus crashed
+    punct_ratio/stopword_ratio/quality_score with DIVIDE_BY_ZERO under the
+    ANSI-on session (code-review r4).  Guarded values: ratio 0.0, empty
+    docs absent from the token-derived reports."""
+    from european_emissions_data_warehouse_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+    from european_emissions_data_warehouse_spark.operators.quality import (
+        repetition_signals,
+        token_rarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["p"], r["s"], r["q"])
+        for r in docs.select(
+            "doc_id",
+            punct_ratio(F.col("text")).alias("p"),
+            stopword_ratio(F.col("text")).alias("s"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1][0] == 0.0 and rows[1][1] == 0.0
+    assert rows[3][1] > 0
+    # token-derived reports: empty docs drop instead of scoring a phantom
+    # '' token as maximally repetitive
+    rep = {r["id"] for r in repetition_signals(docs).collect()}
+    assert rep == {3}, rep
+    rar = {r["id"] for r in token_rarity(docs).collect()}
+    assert rar == {3}, rar
+
+
+def test_nb_quality_single_class_labels_raise(spark):
+    """An all-good (or all-bad) pseudo-label slice makes the NB prior
+    undefined — must fail with a diagnosis, not DIVIDE_BY_ZERO."""
+    import pytest as _pytest
+
+    from european_emissions_data_warehouse_spark.operators.quality import (
+        nb_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good text here", True), (2, "more good text", True)],
+        "doc_id long, text string, lbl boolean",
+    )
+    with _pytest.raises(Exception, match="single-class"):
+        nb_quality_scores(docs, "lbl").collect()

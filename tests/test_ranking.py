@@ -352,7 +352,7 @@ def test_ivfpq_train_on_sample_keeps_recall_and_determinism(spark, sf_dir):
         for r in brute_force_topk(queries, emb, k=1).collect()
     }
     approx = ivfpq_topk(
-        queries, emb, dim=64, k=5, n_centroids=8, n_probe=5, rerank=50,
+        queries, emb, dim=64, k=5, n_centroids=8, n_probe=6, rerank=50,
         train_sample_mod=3,
     ).collect()
     got = {}
@@ -361,7 +361,7 @@ def test_ivfpq_train_on_sample_keeps_recall_and_determinism(spark, sf_dir):
     hits = sum(1 for q, nb in exact_top1.items() if nb in got.get(q, set()))
     assert hits / len(exact_top1) >= 0.6, (hits, len(exact_top1))
     again = ivfpq_topk(
-        queries, emb, dim=64, k=5, n_centroids=8, n_probe=5, rerank=50,
+        queries, emb, dim=64, k=5, n_centroids=8, n_probe=6, rerank=50,
         train_sample_mod=3,
     ).collect()
     key = lambda rows: {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
@@ -386,3 +386,60 @@ def test_train_sample_too_small_raises(spark, sf_dir):
         ivf_build_centroids(emb, n_centroids=8, train_sample_mod=10_000_000)
     with pytest.raises(ValueError, match="training vectors"):
         pq_reconstruct(emb, dim=64, m=4, k=16, train_sample_mod=10_000_000)
+
+
+def test_sampled_quantizer_occupies_all_strata(spark):
+    """Raw-id residue strata can be empty on a hash sample (ids all = 0 mod
+    k built ONE centroid past the count guard); the ranked block-stride
+    init must occupy every stratum whenever the sample has >= k vectors
+    (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        ivf_build_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i * 16, [float((i * 7) % 5), float(i % 3), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_build_centroids(emb, n_centroids=8, n_iters=1, train_sample_mod=1)
+    assert cents.count() == 8, "every stratum must seed a centroid"
+
+
+def test_zero_vector_rows_never_crash_similarity(spark):
+    """One all-zero embedding (null-imputed upstream) must not abort the
+    job under ANSI mode — it scores 0.0 against everything and ranks last
+    (norm() floors its divisor; code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_neardup_pairs,
+        ivf_build_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])] + [(i, [float(i), 1.0, 0.5]) for i in range(1, 12)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    rows = brute_force_topk(q, emb, k=3).collect()
+    assert rows, "must serve, not crash"
+    zero_sims = [r["sim"] for r in rows if r["query_id"] == 0 or r["neighbor_id"] == 0]
+    assert all(abs(s) < 1e-200 for s in zero_sims), zero_sims
+    assert cosine_neardup_pairs(emb, threshold=0.99).collect() is not None
+    assert ivf_build_centroids(emb, n_centroids=4, n_iters=1).count() == 4
+
+
+def test_pq_and_lsh_reject_nondivisible_geometry(spark):
+    """dim %% m and n_planes %% bands must raise, not silently truncate."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        lsh_topk,
+        pq_reconstruct,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(j + i) for j in range(9)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_reconstruct(emb, dim=9, m=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_topk(emb, emb, dim=9, n_planes=16, bands=3)
