@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 
 
 def _violations(cond: Column) -> Column:
-    """Count of rows violating ``cond`` (cond expresses the EXPECTATION)."""
-    return F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+    """Count of rows violating ``cond`` (cond expresses the EXPECTATION).
+    Coalesced to 0 on an EMPTY table: SUM over zero rows is NULL, which
+    made a gate's `violations == 0` fail and `violations > 0` pass at the
+    same time — ambiguous exactly when a table unexpectedly lands empty
+    (code-review r4)."""
+    return F.coalesce(
+        F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)), F.lit(0)
+    )
 
 
 def table_expectations(
@@ -102,14 +108,19 @@ def k_anonymity_check(
     Returns one row: (k, n_groups, n_violating_groups, n_exposed_rows,
     is_k_anonymous) — exact integers from one groupBy on the
     quasi-identifier tuple (partial-aggregated; the only shuffle).  At
-    100 TB this is a scan plus a |distinct combinations|-sized exchange."""
+    100 TB this is a scan plus a |distinct combinations|-sized exchange.
+    An EMPTY input is trivially k-anonymous (0 groups, 0 violations) —
+    the SUMs coalesce so the verdict is 1, not NULL (code-review r4)."""
     groups = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("n"))
+    n_viol = F.coalesce(
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)), F.lit(0)
+    )
     return groups.agg(
         F.lit(k).cast("bigint").alias("k"),
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).alias("n_violating_groups"),
-        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
-        (F.sum(F.when(F.col("n") < k, 1).otherwise(0)) == 0)
-        .cast("int")
-        .alias("is_k_anonymous"),
+        n_viol.alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)), F.lit(0)
+        ).alias("n_exposed_rows"),
+        (n_viol == 0).cast("int").alias("is_k_anonymous"),
     )

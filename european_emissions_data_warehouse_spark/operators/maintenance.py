@@ -8,10 +8,16 @@ so one file ≈ one scan split), optionally sorted so downstream predicate
 columns cluster into row groups (min/max pruning — the parquet-native
 analogue of Z-ordering on one dimension).
 
-The rewrite uses the same staging-then-swap protocol as the streaming merge
-(write to `<path>__compact`, atomic rename) so readers never observe a
-half-rewritten directory; the read-before-overwrite footgun (SURVEY.md §7.4)
-is avoided the same way.
+The rewrite uses the same staging-then-swap protocol as the streaming merge:
+write to `<path>__compact`, then publish by renaming the OLD directory to
+`<path>__trash` and the staging dir over the final path — never
+delete-then-rename (a crash in that window left no copy at the published
+path; code-review r4).  Every rename's boolean return is checked, a failed
+promote restores the old directory, and a crash between the two renames
+leaves the previous data intact under `__trash` (recover by renaming it
+back).  A reader racing the swap can still see a missing path for an
+instant — for log-committed publishes use SnapshotTable.optimize, which
+this module's in-place form complements for plain directories.
 """
 
 from __future__ import annotations
@@ -38,6 +44,29 @@ def z_value(c1: Column, c2: Column, bits: int = 16) -> Column:
             F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
         )
     return z
+
+
+def _swap_into(spark: SparkSession, staging: str, final: str) -> None:
+    """Publish ``staging`` over ``final`` via rename-to-trash (module
+    docstring): checked renames, restore-on-failure, previous data never
+    deleted before the new data is in place."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    final_p, staging_p = path_cls(final), path_cls(staging)
+    trash_p = path_cls(f"{final}__trash")
+    if fs.exists(trash_p):
+        fs.delete(trash_p, True)  # leftover from a crashed prior swap
+    had_final = fs.exists(final_p)
+    if had_final and not fs.rename(final_p, trash_p):
+        raise IOError(f"swap: rename {final} -> {final}__trash failed")
+    if not fs.rename(staging_p, final_p):
+        if had_final:
+            fs.rename(trash_p, final_p)  # put the old data back
+        raise IOError(f"swap: rename {staging} -> {final} failed")
+    if had_final:
+        fs.delete(trash_p, True)
 
 
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -79,14 +108,7 @@ def compact_parquet(
 
     staging = f"{path}__compact"
     out.write.mode("overwrite").parquet(staging)
-
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-    final_p = jvm.org.apache.hadoop.fs.Path(path)
-    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(final_p, True)
-    fs.rename(staging_p, final_p)
+    _swap_into(spark, staging, path)
 
     n_after, _ = _dir_stats(spark, path)
     return n_before, n_after
@@ -116,12 +138,7 @@ def cluster_zorder(
 
     staging = f"{path}__zorder"
     out.write.mode("overwrite").parquet(staging)
-
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+    _swap_into(spark, staging, path)
 
     n_after, _ = _dir_stats(spark, path)
     return n_before, n_after

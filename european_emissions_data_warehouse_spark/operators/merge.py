@@ -38,9 +38,20 @@ def upsert_anti_join(old: DataFrame, new: DataFrame, key: Sequence[str]) -> Data
     ``new`` must be key-unique (use :func:`dedupe_last` first if a single
     batch may contain key collisions — the reference gets the same effect
     from sequential per-file imports, lambda_handler_warehouse.py:79).
+
+    The anti join is NULL-SAFE on the key: a plain equality never matches a
+    NULL key, so an old NULL-key row survived alongside every new one and
+    the two upsert forms disagreed (upsert_window's partitionBy groups
+    nulls; code-review r4).  EqualNullSafe is still a hash-join key, so the
+    plan shape is unchanged.
     """
     key = list(key)
-    survivors = old.join(new.select(*key).distinct(), on=key, how="left_anti")
+    nk = new.select(*[F.col(k).alias(f"__nk_{k}") for k in key]).distinct()
+    cond = None
+    for k in key:
+        c = old[k].eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else cond & c
+    survivors = old.join(nk, on=cond, how="left_anti")
     return survivors.unionByName(new).select(*old.columns)
 
 
@@ -91,7 +102,13 @@ def with_surrogate_key(
     spark = df.sparkSession
     n = num_shards or max(spark.sparkContext.defaultParallelism, 1)
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_by])
-    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    # materialized once: the counts collect and the id-assignment window
+    # otherwise each run the full range exchange (double cost), and any
+    # non-deterministic lineage could re-partition differently between the
+    # passes, corrupting the offsets (code-review r4)
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
     base = 0
     offsets = []
@@ -134,10 +151,19 @@ def scd2_from_changelog(
     key = list(key)
     latest = dedupe_last(df, [*key, ts_col], list(tie_break) if tie_break else [ts_col])
     w = Window.partitionBy(*key).orderBy(ts_col)
+    # null-safe change detection (code-review r4): "__prev IS NULL" conflated
+    # "no previous row" with "previous value was NULL", so a change TO null
+    # was dropped (losing the NULL period, leaving the old value current
+    # forever) and consecutive nulls emitted spurious intervals.  Row 1
+    # always opens; later rows open iff the value differs null-safely.
     changes = (
-        latest.withColumn("__prev", F.lag(attr_col).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
-        .drop("__prev")
+        latest.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(attr_col))
+        )
+        .drop("__prev", "__rn")
     )
     return (
         changes.withColumn("valid_from", F.col(ts_col))

@@ -40,7 +40,22 @@ def salted_join(
     Output equals ``skewed.join(other, key, how)`` exactly; only the
     physical key distribution changes.  The salt derives from the skewed
     row's own key hash plus a per-row component, so it needs no random state
-    and stays deterministic within a run."""
+    and stays deterministic within a run.
+
+    ``how`` must preserve the OTHER side's row multiplicity under
+    replication: inner/left/semi/anti qualify, but right/full outer would
+    emit n_salts null-extended copies of every unmatched ``other`` row
+    (code-review r4) — rejected with an error instead of returning wrong
+    counts.  For a right/full outer, salt the other frame as the skewed
+    side or fall back to AQE skew splitting."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of the "
+            f"replicated side {n_salts}x; use inner/left/semi/anti, or salt "
+            "the other frame as the skewed side"
+        )
     key = list(key)
     salt = F.pmod(
         F.xxhash64(*[F.col(k) for k in key], F.spark_partition_id(), F.monotonically_increasing_id()),

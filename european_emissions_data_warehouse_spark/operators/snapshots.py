@@ -9,7 +9,10 @@ data.
 Layout:
 
     <table>/_commits/00000042        text file naming the snapshot's data dir
-    <table>/data_v00000042/          immutable parquet snapshot
+    <table>/data_v00000042_ab12cd34/ immutable parquet snapshot (per-writer
+                                     random suffix — racing writers never
+                                     share a dir; the manifest is the only
+                                     name readers follow)
 
 A commit writes its data dir, then publishes a manifest via
 write-temp + rename-without-overwrite.  On HDFS-compatible filesystems that
@@ -125,12 +128,27 @@ class SnapshotTable:
         key=value pairs are recorded in the commit manifest — streaming
         ingest stamps the micro-batch id there so a crash-replayed batch can
         be recognized and skipped (version-level idempotence, not just
-        content-level)."""
+        content-level).
+
+        The data dir carries a per-writer random suffix: two writers racing
+        to the same version previously both wrote ``data_v<N>`` with
+        mode('overwrite'), so the LOSER's in-flight write clobbered the
+        winner's already-published snapshot bytes (code-review r4 — the
+        exact torn state the CAS log exists to prevent).  With unique dirs
+        the loser's bytes are garbage the loser itself deletes on
+        ConcurrentCommitError; the manifest is the only name readers follow."""
+        import uuid
+
         version = (self.latest_version() if self.history() else -1)
         version = (version if version is not None else -1) + 1
-        data_dir = f"data_v{version:08d}"
+        data_dir = f"data_v{version:08d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(f"{self.path}/{data_dir}")
-        self._publish(version, data_dir, meta)
+        try:
+            self._publish(version, data_dir, meta)
+        except ConcurrentCommitError:
+            _, fs = _fs(self.spark, self.path)
+            fs.delete(self._jpath(f"{self.path}/{data_dir}"), True)
+            raise
         return version
 
     def applied_batch_ids(self, gen: str | None = None) -> set[int]:
@@ -165,6 +183,37 @@ class SnapshotTable:
             for v in self.history()
             if (g := self.commit_meta(v).get("ckpt_gen")) is not None
         }
+
+    def last_applied_batch(self, gen: str | None = None) -> int | None:
+        """The NEWEST batch_id committed for ``gen`` (None if none) — the
+        O(recent-commits) replay probe for streaming ingest.  Micro-batch
+        ids are monotonic within a checkpoint generation, so ``batch_id <=
+        last_applied_batch(gen)`` is equivalent to membership in
+        ``applied_batch_ids(gen)`` while reading manifests newest-first and
+        stopping at the first match, instead of O(full history) per batch
+        — at 10k micro-batches the full scan made every trigger do 10k
+        driver round-trips before any data work (code-review r4)."""
+        for v in reversed(self.history()):
+            meta = self.commit_meta(v)
+            b = meta.get("batch_id")
+            if b is None:
+                continue
+            if gen is not None and meta.get("ckpt_gen", gen) != gen:
+                continue
+            return int(b)
+        return None
+
+    def newest_generation(self) -> str | None:
+        """The ``ckpt_gen`` stamp of the newest stamped commit (None when
+        no commit carries one).  For tables whose stream REFUSES foreign
+        generations (the CMS sketch), the newest stamp is the only one that
+        can exist, so this replaces a full-history commit_generations scan
+        in the per-batch guard."""
+        for v in reversed(self.history()):
+            g = self.commit_meta(v).get("ckpt_gen")
+            if g is not None:
+                return g
+        return None
 
     def delete_where(self, condition) -> int:
         """Copy-on-write delete: commit the current snapshot minus rows

@@ -135,11 +135,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos long (runtime-settable legacy conf), then convert to the
             # engine's microsecond TimestampType.  DuckDB truncates the same
             # way when collecting to Python datetimes, so oracles align.
+            # scoped: the conf is captured at relation resolution (probed on
+            # 4.1.2 — execution after restore still decodes correctly), so
+            # restoring it keeps the session's OTHER parquet reads strict:
+            # left set, every later schema-inferred NANOS column silently
+            # surfaced as a raw long (code-review r4)
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             ns_schema = StructType(
                 [StructField("ts", LongType()) if f.name == "ts" else f for f in schema]
             )
-            df = read_parquet(spark, path, ns_schema)
+            try:
+                df = read_parquet(spark, path, ns_schema)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             # integer `div`, not `/`: epoch-ns exceeds double's 2^53
             # exact-integer range, so float division here corrupts the low
             # microsecond digit

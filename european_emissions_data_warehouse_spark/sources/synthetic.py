@@ -117,11 +117,14 @@ class SyntheticDocsReader(DataSourceReader):
         ] or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
+        # membership, not truthiness: a consumed EqualTo('lang', '') is a
+        # real predicate Spark will NOT re-apply — `.get(...)` being falsy
+        # for '' silently returned every row (code-review r4)
         for doc_id in range(partition.start, partition.end):
             row = _gen_doc(self.seed, doc_id)
-            if self.eq.get("lang") and row[2] != self.eq["lang"]:
+            if "lang" in self.eq and row[2] != self.eq["lang"]:
                 continue
-            if self.eq.get("source") and row[3] != self.eq["source"]:
+            if "source" in self.eq and row[3] != self.eq["source"]:
                 continue
             yield row
 

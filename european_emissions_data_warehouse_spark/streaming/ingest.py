@@ -228,8 +228,11 @@ def run_snapshot_ingest(
         # generation-scoped skip: a FRESH checkpoint restarts batch ids at
         # 0, so another generation's ledger must not suppress its batches
         # (re-merging across generations is safe here — LWW upsert is
-        # content-idempotent; only version history grows)
-        if batch_id in table.applied_batch_ids(gen):
+        # content-idempotent; only version history grows).  Batch ids are
+        # monotonic per generation, so the newest matching commit is the
+        # whole ledger — O(1) manifest reads per trigger, not O(history).
+        applied = table.last_applied_batch(gen)
+        if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-committed batch
         cleaned = dedupe_last(batch, key, order_by)
         if table.history():
@@ -452,18 +455,22 @@ def run_sketch_stream(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, sketch_path)
         gen = _checkpoint_generation(spark, checkpoint_path)
-        if batch_id in table.applied_batch_ids(gen):
+        applied = table.last_applied_batch(gen)
+        if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-merged batch
         # CMS counters are SUMS: merging a new checkpoint generation into
         # state built by an old one double-counts everything the new
         # generation re-reads.  Checkpoint and sketch table live and die
-        # together — refuse loudly instead of silently inflating.
-        foreign = table.commit_generations() - ({gen} if gen else set())
-        if foreign:
+        # together — refuse loudly instead of silently inflating.  This
+        # guard has held since the table's first commit, so only ONE
+        # generation can ever be stamped: the newest commit's stamp is the
+        # whole check (O(1) per trigger).
+        newest = table.newest_generation()
+        if newest is not None and gen is not None and newest != gen:
             raise RuntimeError(
                 f"run_sketch_stream: sketch table {sketch_path} was built by "
-                f"checkpoint generation(s) {sorted(foreign)} but this query "
-                f"runs generation {gen!r}; a fresh checkpoint re-reads all "
+                f"checkpoint generation {newest!r} but this query runs "
+                f"generation {gen!r}; a fresh checkpoint re-reads all "
                 "input and would double-count every counter. Restore the "
                 "original checkpoint or start a fresh sketch table."
             )
@@ -533,7 +540,8 @@ def run_hll_stream(
         # register-wise max (idempotent on re-union), so a cross-generation
         # re-merge cannot inflate estimates — no foreign-generation guard
         # needed, only the correct non-skip of a fresh generation's batches.
-        if batch_id in table.applied_batch_ids(gen):
+        applied = table.last_applied_batch(gen)
+        if applied is not None and batch_id <= applied:
             return
         delta = batch.groupBy(*keys).agg(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")

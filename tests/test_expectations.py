@@ -7,6 +7,7 @@ from __future__ import annotations
 from european_emissions_data_warehouse_spark.operators.expectations import (
     expectations_report,
     foreign_key_check,
+    k_anonymity_check,
     table_expectations,
 )
 
@@ -64,3 +65,20 @@ def test_report_union_is_ordered(spark):
     rep = expectations_report(parts)
     checks = [r["check"] for r in rep.collect()]
     assert checks == sorted(checks)
+
+
+def test_expectations_empty_table_reports_zero_not_null(spark):
+    """SUM over zero rows is NULL: an empty table made every rule's
+    violation count NULL — `== 0` failed AND `> 0` passed (code-review
+    r4).  Empty tables now report 0 violations alongside row_count=0, and
+    an empty input is explicitly k-anonymous."""
+    empty = spark.createDataFrame([], "c string, n long")
+    rows = {r["check"]: r["violations"] for r in table_expectations(
+        empty, "t", not_null=["c"], accepted={"c": ["x"]}, ranges={"n": (0, 9)}
+    ).collect()}
+    assert rows["t.row_count"] == 0
+    assert rows["t.c.not_null"] == 0
+    assert rows["t.c.accepted_values"] == 0
+    assert rows["t.n.in_range"] == 0
+    ka = k_anonymity_check(empty, ["c"], k=2).first()
+    assert ka["is_k_anonymous"] == 1 and ka["n_violating_groups"] == 0

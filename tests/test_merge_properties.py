@@ -17,6 +17,7 @@ from hypothesis import strategies as st
 from european_emissions_data_warehouse_spark.operators.merge import (
     check_unique,
     dedupe_last,
+    scd2_from_changelog,
     upsert_anti_join,
     upsert_window,
 )
@@ -151,3 +152,43 @@ def test_time_weighted_value_matches_reference(spark, events, tmp_path_factory):
             n_seg = len(evs) - 1
             want[uid] = (n_seg, round(num / den / 1_000_000, 6))
     assert got == want
+
+
+def test_upsert_forms_agree_on_null_keys(spark):
+    """A NULL-key row updated by a NULL-key row: the anti-join form used a
+    null-unsafe equality, so the old row survived alongside the new one
+    while the window form kept exactly one — the documented equivalence
+    was broken (code-review r4)."""
+    old = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "k string, v double"
+    )
+    new = spark.createDataFrame([(None, 9.0)], "k string, v double")
+    aj = upsert_anti_join(old, new, ["k"])
+    wn = upsert_window(old, new, ["k"])
+    key = lambda df: sorted(((r["k"] or ""), r["v"]) for r in df.collect())
+    assert key(aj) == key(wn) == [("", 9.0), ("a", 2.0)]
+    assert check_unique(aj, ["k"]) == 0
+
+
+def test_scd2_null_value_transitions(spark):
+    """A change TO null must open an interval (previously silently dropped,
+    leaving the old value current forever), and consecutive nulls must NOT
+    emit spurious change rows (code-review r4)."""
+    import datetime as dt
+
+    log = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1), "A"),
+            ("k", dt.datetime(2024, 1, 2), None),
+            ("k", dt.datetime(2024, 1, 3), None),
+            ("k", dt.datetime(2024, 1, 4), "B"),
+        ],
+        "k string, ts timestamp, attr string",
+    )
+    hist = scd2_from_changelog(log, ["k"], "ts", "attr").orderBy("valid_from").collect()
+    attrs = [r["attr"] for r in hist]
+    assert attrs == ["A", None, "B"], attrs  # null period kept, no dup
+    assert [r["is_current"] for r in hist] == [False, False, True]
+    # intervals contiguous
+    for a, b in zip(hist, hist[1:]):
+        assert a["valid_to"] == b["valid_from"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from european_emissions_data_warehouse_spark.operators.skew import (
@@ -37,3 +39,15 @@ def test_salted_count_distinct_exact(spark, sf_dir):
     )
     got = sorted(map(tuple, salted_count_distinct(ev, ["event_type"], "user_id").collect()))
     assert got == want
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """right/full outer would emit n_salts null-extended copies of every
+    unmatched replicated-side row — rejected loudly (code-review r4)."""
+    df = spark.createDataFrame([(1, "x")], "k long, a string")
+    other = spark.createDataFrame([(2, "y")], "k long, b string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="duplicate"):
+            salted_join(df, other, ["k"], how=how)
+    # allowed forms still serve
+    assert salted_join(df, other, ["k"], how="left").count() == 1

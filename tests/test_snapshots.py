@@ -56,7 +56,7 @@ def test_vacuum_drops_only_unreferenced(spark, nation, tmp_path):
     t.commit(nation.limit(7))
     t.commit(nation)
     removed = t.vacuum(keep_last=2)
-    assert removed == ["data_v00000000"]
+    assert len(removed) == 1 and removed[0].startswith("data_v00000000")
     assert t.read(1).count() == 7
     assert t.read().count() == nation.count()
     with pytest.raises(Exception):
@@ -70,7 +70,7 @@ def test_rollback_target_survives_vacuum(spark, nation, tmp_path):
     t.rollback(0)  # v2 references v0's data dir
     removed = t.vacuum(keep_last=1)
     # v0's dir is referenced by retained v2 — only v1's dir may go
-    assert removed == ["data_v00000001"]
+    assert len(removed) == 1 and removed[0].startswith("data_v00000001")
     assert t.read().count() == 2
 
 
@@ -87,7 +87,7 @@ def test_delete_where_is_copy_on_write_and_vacuumable(spark, nation, tmp_path):
     assert t.read(0).count() == nation.count()
     # physical erasure: vacuum drops the superseded bytes
     removed = t.vacuum(keep_last=1)
-    assert removed == ["data_v00000000"]
+    assert len(removed) == 1 and removed[0].startswith("data_v00000000")
     with pytest.raises(Exception):
         t.read(0).count()
 
@@ -203,3 +203,55 @@ def test_optimize_compacts_into_new_version(spark, tmp_path):
     # the small-file version is reclaimable without touching the optimized one
     removed = t.vacuum(keep_last=1)
     assert t._manifest(0) in removed and t.read(v2).count() == 2000
+
+
+def test_losing_concurrent_writer_cannot_clobber_winner(spark, nation, tmp_path):
+    """Two writers race to the same version: the loser must get a clean
+    ConcurrentCommitError AND leave the winner's published bytes intact —
+    previously both wrote the same version-named dir with overwrite, so
+    the loser clobbered the committed snapshot (code-review r4).  The
+    loser's orphan data dir is deleted on the way out."""
+    path = str(tmp_path / "tbl")
+    t1, t2 = SnapshotTable(spark, path), SnapshotTable(spark, path)
+    winner = nation.limit(3)
+    loser = nation.limit(9)
+    # both instances see an empty table; t1 commits version 0 first
+    assert t1.commit(winner) == 0
+    # t2 still computes version 0 (cached nothing, but force the race by
+    # publishing at the taken version): commit() recomputes latest, so
+    # simulate the race window via the internal protocol
+    import pytest as _pytest
+
+    data_dir = "data_v00000000_racer"
+    loser.write.mode("overwrite").parquet(f"{path}/{data_dir}")
+    with _pytest.raises(ConcurrentCommitError):
+        t2._publish(0, data_dir)
+    assert t1.read(0).count() == 3, "winner's snapshot must be untouched"
+    # and a real commit() retry lands cleanly as version 1
+    assert t2.commit(loser) == 1
+    assert t2.read(1).count() == 9
+
+
+def test_commit_data_dirs_are_writer_unique(spark, nation, tmp_path):
+    """Each commit's data dir carries a unique suffix so racing writers can
+    never share a directory."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(2))
+    t.commit(nation.limit(4))
+    dirs = {t._manifest(v) for v in t.history()}
+    assert len(dirs) == 2
+    assert all("_" in d.replace("data_v", "") for d in dirs)
+
+
+def test_last_applied_batch_matches_full_ledger(spark, nation, tmp_path):
+    """The O(1) newest-first probe must agree with the full-history set for
+    the monotonic-batch-id streams that use it."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(1), meta={"batch_id": "0", "ckpt_gen": "g1"})
+    t.commit(nation.limit(2), meta={"batch_id": "1", "ckpt_gen": "g1"})
+    t.commit(nation.limit(3), meta={"batch_id": "0", "ckpt_gen": "g2"})
+    assert t.last_applied_batch("g1") == 1
+    assert t.last_applied_batch("g2") == 0
+    assert t.last_applied_batch("g3") is None
+    assert t.newest_generation() == "g2"
+    assert t.applied_batch_ids("g1") == {0, 1}

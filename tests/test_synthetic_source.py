@@ -107,3 +107,13 @@ def test_contradictory_equality_filters_return_empty(docs_reader):
     consumes one equality and hands the second back to Spark."""
     df = docs_reader(n_docs=120)
     assert df.filter((F.col("lang") == "en") & (F.col("lang") == "de")).count() == 0
+
+
+def test_empty_string_equality_filter_matches_nothing(docs_reader):
+    """lang = '' is a real pushed predicate: the reader's old truthiness
+    check (`self.eq.get('lang')`) skipped it entirely and — because the
+    filter was CONSUMED — Spark never re-applied it, returning every row
+    for a predicate that matches none (code-review r4)."""
+    df = docs_reader(n_docs=80)
+    assert df.filter(F.col("lang") == "").count() == 0
+    assert df.filter(F.col("source") == "").count() == 0
