@@ -14,13 +14,14 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
-    """Quantity-weighted average price.  Sequential accumulation keeps the
-    per-group result identical to the oracle's SUM(p*q)/SUM(q): cent-precision
-    prices times integer quantities are exactly representable doubles, so each
-    product is exact and the running sums are order-independent."""
-    s = 0.0
-    w = 0.0
-    for p, q in zip(price, qty):
-        s += p * q
-        w += q
-    return s / w if w else 0.0
+    """Quantity-weighted average price, matching the oracle's
+    SUM(p*q)/SUM(q) null semantics: pandas ``.sum()`` skips NaN exactly
+    like SQL SUM skips NULL, so one null price no longer poisons the whole
+    group to NaN (the old per-element Python loop did — and walked every
+    row of the group in the interpreter; code-review r4).  Cent-precision
+    prices times integer quantities are exactly representable doubles and
+    the group sums stay far below 2^53, so every partial sum is exact and
+    the vectorized reduction is bit-identical to sequential accumulation."""
+    s = (price * qty).sum()  # skipna: rows with a null price or qty drop
+    w = qty.sum()
+    return float(s / w) if w else 0.0

@@ -52,8 +52,8 @@ def _swap_into(spark: SparkSession, staging: str, final: str) -> None:
     deleted before the new data is in place."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(final).getFileSystem(conf)  # the path's FS, not the default
     final_p, staging_p = path_cls(final), path_cls(staging)
     trash_p = path_cls(f"{final}__trash")
     if fs.exists(trash_p):
@@ -73,8 +73,8 @@ def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) of a parquet directory."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
     n, total = 0, 0
     for status in fs.listStatus(p):
         name = status.getPath().getName()

@@ -43,9 +43,11 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def _fs(spark: SparkSession, path: str):
+    # the PATH's filesystem, not the default one — a table on s3a:// with
+    # an hdfs:// default otherwise throws "Wrong FS" (code-review r4)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    return jvm, jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
 
 
 class SnapshotTable:
@@ -161,15 +163,19 @@ class SnapshotTable:
         batch 0 with a possibly different file chop, so skipping its
         batches against another generation's ledger silently drops data
         (code-review r4).  When given, only commits stamped with the same
-        ``ckpt_gen`` count as applied; legacy commits without the stamp
-        are treated as matching (pre-r4 tables keep their replay skips)."""
+        ``ckpt_gen`` count as applied; commits WITHOUT a stamp never match
+        a concrete generation — treating them as wildcards made a fresh
+        checkpoint over an unstamped table silently skip its first batches
+        (data loss); not matching merely re-merges, which the ledgered
+        streams are content-idempotent against (the CMS stream, which is
+        not, refuses unstamped tables at the guard instead)."""
         out = set()
         for v in self.history():
             meta = self.commit_meta(v)
             b = meta.get("batch_id")
             if b is None:
                 continue
-            if gen is not None and meta.get("ckpt_gen", gen) != gen:
+            if gen is not None and meta.get("ckpt_gen") != gen:
                 continue
             out.add(int(b))
         return out
@@ -192,13 +198,15 @@ class SnapshotTable:
         ``applied_batch_ids(gen)`` while reading manifests newest-first and
         stopping at the first match, instead of O(full history) per batch
         — at 10k micro-batches the full scan made every trigger do 10k
-        driver round-trips before any data work (code-review r4)."""
+        driver round-trips before any data work (code-review r4).  Same
+        stamp rule as applied_batch_ids: unstamped commits never match a
+        concrete generation."""
         for v in reversed(self.history()):
             meta = self.commit_meta(v)
             b = meta.get("batch_id")
             if b is None:
                 continue
-            if gen is not None and meta.get("ckpt_gen", gen) != gen:
+            if gen is not None and meta.get("ckpt_gen") != gen:
                 continue
             return int(b)
         return None

@@ -116,10 +116,14 @@ def run_incremental_upsert(
     spark = stream.sparkSession
     key = list(key)
 
-    def _fs():
+    def _fs(for_path: str):
+        # resolve the PATH's filesystem, not the default one — a warehouse
+        # on s3a:// with an hdfs:// default otherwise dies with "Wrong FS"
+        # on the first swap (code-review r4)
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        p = jvm.org.apache.hadoop.fs.Path(for_path)
+        return jvm, p.getFileSystem(conf)
 
     def _rename_or_raise(fs, src, dst) -> None:
         if not fs.rename(src, dst):
@@ -133,7 +137,7 @@ def run_incremental_upsert(
         """If a prior swap crashed between its two renames the table lives
         under ``{final}__trash_N`` and ``final`` is missing — restore the
         newest trash dir so the replayed merge reads the full warehouse."""
-        jvm, fs = _fs()
+        jvm, fs = _fs(final)
         final_p = jvm.org.apache.hadoop.fs.Path(final)
         if fs.exists(final_p):
             return
@@ -152,7 +156,7 @@ def run_incremental_upsert(
         _rename_or_raise(fs, newest, final_p)
 
     def swap_dirs(staging: str, final: str, batch_id: int) -> None:
-        jvm, fs = _fs()
+        jvm, fs = _fs(final)
         final_p = jvm.org.apache.hadoop.fs.Path(final)
         staging_p = jvm.org.apache.hadoop.fs.Path(staging)
         trash_p = jvm.org.apache.hadoop.fs.Path(f"{final}__trash_{batch_id}")
@@ -173,12 +177,14 @@ def run_incremental_upsert(
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         cleaned = dedupe_last(batch, key, order_by)
         recover_interrupted_swap(warehouse_path)
-        try:
-            old = spark.read.parquet(warehouse_path)
-            exists = True
-        except Exception:
-            exists = False
+        # existence is probed with the FS API, never inferred from a read
+        # failure: a transient read error (throttle, permission blip) used
+        # to flip this into the bootstrap branch and OVERWRITE the whole
+        # warehouse with one micro-batch (code-review r4)
+        jvm, fs = _fs(warehouse_path)
+        exists = fs.exists(jvm.org.apache.hadoop.fs.Path(warehouse_path))
         if exists:
+            old = spark.read.parquet(warehouse_path)
             staging = f"{warehouse_path}__staging_{batch_id}"
             upsert_anti_join(old, cleaned, key).write.mode("overwrite").parquet(staging)
             swap_dirs(staging, warehouse_path, batch_id)
@@ -466,13 +472,18 @@ def run_sketch_stream(
         # generation can ever be stamped: the newest commit's stamp is the
         # whole check (O(1) per trigger).
         newest = table.newest_generation()
-        if newest is not None and gen is not None and newest != gen:
+        if gen is not None and table.history() and newest != gen:
+            origin = (
+                f"checkpoint generation {newest!r}"
+                if newest is not None
+                else "commits without a generation stamp (provenance unprovable)"
+            )
             raise RuntimeError(
                 f"run_sketch_stream: sketch table {sketch_path} was built by "
-                f"checkpoint generation {newest!r} but this query runs "
-                f"generation {gen!r}; a fresh checkpoint re-reads all "
-                "input and would double-count every counter. Restore the "
-                "original checkpoint or start a fresh sketch table."
+                f"{origin} but this query runs generation {gen!r}; a fresh "
+                "checkpoint re-reads all input and would double-count every "
+                "counter. Restore the original checkpoint or start a fresh "
+                "sketch table."
             )
         delta = count_min_build(
             batch, token_col=token_col, depth=depth, width=width, seed=seed
@@ -613,6 +624,16 @@ def run_neardup_dedup_stream(
     the standard partition-discovery layout (the ``batch_id`` column is
     free ingest lineage).
 
+    The store carries a ``_generation`` marker (hidden from partition
+    discovery) stamped at bootstrap: batch-id-keyed partition OVERWRITE is
+    only replay-safe within ONE checkpoint generation — a fresh checkpoint
+    restarts numbering at 0 and would overwrite the original batch-0
+    corpus slice and its LSH state with different documents (code-review
+    r4), so a generation mismatch refuses loudly, like run_sketch_stream.
+    The marker is also the store's commit point: it is written AFTER the
+    bootstrap store write, so a crash mid-bootstrap replays the bootstrap
+    instead of treating a partial store as the standing corpus.
+
     The MinHash parameters (``k``/``unit``/``num_hashes``/``bands``) are
     threaded from THIS signature through every call site — the bootstrap
     band tables, the ``eq / num_hashes`` estimate, the store init, the
@@ -628,21 +649,47 @@ def run_neardup_dedup_stream(
 
     spark = stream.sparkSession
 
+    def _marker(jvm, conf):
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_generation")
+        return p, p.getFileSystem(conf)
+
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)  # multiple consumers below
         store_part = f"{store_path}/batch_id={batch_id}"
         out_part = f"{out_path}/batch_id={batch_id}"
-        try:
-            spark.read.parquet(store_path).limit(1).collect()
-            store_exists = True
-        except Exception:
-            store_exists = False
+        gen = _checkpoint_generation(spark, checkpoint_path)
+        jvm = spark._jvm
+        marker_p, fs = _marker(jvm, spark._jsc.hadoopConfiguration())
+        # the marker IS the store-exists probe: an FS stat, never a Spark
+        # read whose transient failure would silently flip the batch into
+        # the bootstrap branch and skip dedup against the standing corpus
+        # (code-review r4)
+        store_exists = fs.exists(marker_p)
+        if store_exists:
+            stream_in = fs.open(marker_p)
+            try:
+                stored_gen = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream_in, "UTF-8"
+                ).strip()
+            finally:
+                stream_in.close()
+            if gen is not None and stored_gen != gen:
+                raise RuntimeError(
+                    f"run_neardup_dedup_stream: store {store_path} belongs to "
+                    f"checkpoint generation {stored_gen!r} but this query runs "
+                    f"{gen!r}; batch-id partitions would overwrite another "
+                    "generation's corpus slices. Restore the original "
+                    "checkpoint or start a fresh store/output."
+                )
         if not store_exists:
             # bootstrap: intra-batch dedup via the standing pair logic on
-            # an empty-store equivalent — first-id-wins within the batch
+            # an empty-store equivalent — first-id-wins within the batch.
+            # Checkpointed: the bucket self-join references the band table
+            # on both sides (same reason minhash_lsh_pairs checkpoints its
+            # signature frame).
             band = _minhash_band_table(
                 batch, id_col, text_col, k, unit, num_hashes, bands
-            )
+            ).localCheckpoint(eager=True)
             pairs = (
                 band.alias("n")
                 .join(band.alias("o"), ["band", "bucket"])
@@ -667,6 +714,13 @@ def run_neardup_dedup_stream(
                 survivors, store_part, id_col=id_col, text_col=text_col,
                 k=k, unit=unit, num_hashes=num_hashes, bands=bands,
             )
+            # commit point: written AFTER the store bytes, so a crash
+            # mid-bootstrap replays the bootstrap branch
+            out_stream = fs.create(marker_p, True)
+            try:
+                out_stream.write(bytearray(gen or "", "utf-8"))
+            finally:
+                out_stream.close()
         else:
             dups = minhash_dedup_incremental(
                 batch, store_path, id_col=id_col, text_col=text_col,

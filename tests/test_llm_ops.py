@@ -372,7 +372,21 @@ def test_arrow_token_stats_matches_jvm_path(spark, sf_dir):
         ws_token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # adversarial whitespace: trailing newline (Java split keeps the empty
+    # tail), NBSP (Spark trim strips 0x20 only), vertical tab (Java \s has
+    # it, RE2 \s does not), tab-only text (2 kept empties) — code-review r4
+    tricky = spark.createDataFrame(
+        [
+            (90001, "a\n"),
+            (90002, " "),
+            (90003, "a\x0bb"),
+            (90004, "\t"),
+            (90005, "  x  "),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(tricky)
     arrow = {r["doc_id"]: (r["ws_tokens"], r["n_chars_text"])
              for r in arrow_token_stats(docs).collect()}
     jvm = {r["doc_id"]: (r["t"], r["c"])

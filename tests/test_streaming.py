@@ -657,25 +657,26 @@ def test_neardup_dedup_stream_suppresses_across_batches(spark, sf_dir, tmp_path)
     kept2 = spark.read.parquet(out)
     assert kept2.count() == kept1.count(), "re-streamed content must all be suppressed"
 
-    # crash-replay idempotence (ADVICE r3): losing the checkpoint replays
-    # every batch against a store that already contains the survivors.
-    # Self-id exclusion + per-batch partition overwrite must converge to
-    # the same corpus — the old append layout either lost every survivor
-    # (self-match at est_jaccard 1.0) or duplicated output rows.
+    # within-checkpoint crash replay stays idempotent (same generation:
+    # self-id exclusion + per-batch partition OVERWRITE); checkpoint LOSS
+    # is a NEW generation whose batch numbering restarts at 0 over a
+    # possibly different chop — partitions from the old generation would
+    # be overwritten with different doc sets and stale ones would linger
+    # as duplicates, so the stream refuses via the store's _generation
+    # marker instead of converging-by-luck (code-review r4).
     kept_ids_before = {r["doc_id"] for r in kept2.collect()}
     store_rows_before = spark.read.parquet(store).count()
     shutil.rmtree(ck, ignore_errors=True)
-    run_neardup_dedup_stream(
-        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
-        store, out, ck,
-    )
-    # partition overwrite changed part-file names; drop the session's
-    # cached file listings before re-reading
+    with pytest.raises(Exception, match="checkpoint generation"):
+        run_neardup_dedup_stream(
+            stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+            store, out, ck,
+        )
     spark.catalog.refreshByPath(out)
     spark.catalog.refreshByPath(store)
     kept3_rows = spark.read.parquet(out).collect()
     assert {r["doc_id"] for r in kept3_rows} == kept_ids_before
-    assert len(kept3_rows) == len(kept_ids_before), "replay must not duplicate output rows"
+    assert len(kept3_rows) == len(kept_ids_before)
     assert spark.read.parquet(store).count() == store_rows_before
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
