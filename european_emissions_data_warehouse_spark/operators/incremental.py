@@ -57,8 +57,13 @@ def invertible_state(batch: DataFrame, keys: Sequence[str], value_col: str) -> D
     maintained from a change feed that contains deletions; MIN/MAX are only
     monoids (a deleted minimum cannot be un-taken) and need the
     append-only ``agg_state``/``merge_state`` path or a recompute."""
+    # null values count as 0, NOT skipped: SUM's null-skip breaks the
+    # maintenance law — deleting the only non-null row of a group leaves
+    # the maintained sum at 0.0 while a recompute says NULL (code-review
+    # r4).  Coalescing on BOTH the state and the delta side keeps
+    # state + diff == recompute exactly, nulls or not.
     return batch.groupBy(*keys).agg(
-        F.sum(value_col).alias("sum_v"),
+        F.sum(F.coalesce(F.col(value_col), F.lit(0.0))).alias("sum_v"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -93,7 +98,10 @@ def apply_cdf(
         changes.withColumn("_sign", sign)
         .groupBy(*keys)
         .agg(
-            F.sum(F.col(value_col) * F.col("_sign")).alias("sum_v"),
+            # coalesce matches invertible_state's null-as-0 (see there)
+            F.sum(
+                F.coalesce(F.col(value_col), F.lit(0.0)) * F.col("_sign")
+            ).alias("sum_v"),
             F.sum("_sign").cast("long").alias("n_rows"),
         )
     )

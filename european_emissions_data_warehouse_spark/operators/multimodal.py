@@ -72,6 +72,14 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            bad = pdf["asset_id"][pdf["payload"].isna()]
+            if len(bad):
+                raise ValueError(
+                    "null payload for asset_id(s) "
+                    f"{sorted(bad.head(5).tolist())} — filter or impute "
+                    "before media processing (code-review r4: None used to "
+                    "surface as an opaque TypeError inside a worker task)"
+                )
             dims = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
             yield pd.DataFrame(
                 {
@@ -120,6 +128,14 @@ def sample_frames(
         import math
 
         for pdf in batches:
+            bad = pdf["asset_id"][pdf["payload"].isna()]
+            if len(bad):
+                raise ValueError(
+                    "null payload for asset_id(s) "
+                    f"{sorted(bad.head(5).tolist())} — filter or impute "
+                    "before media processing (code-review r4: None used to "
+                    "surface as an opaque TypeError inside a worker task)"
+                )
             ids, nos, sizes, digests = [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(p)
@@ -163,6 +179,13 @@ def resize_media(
         import math
 
         for pdf in batches:
+            bad = pdf["asset_id"][pdf["payload"].isna()]
+            if len(bad):
+                raise ValueError(
+                    "null payload for asset_id(s) "
+                    f"{sorted(bad.head(5).tolist())} — filter or impute "
+                    "before media processing"
+                )
             ids, n_ins, n_outs, digests = [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(p)
@@ -187,5 +210,8 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
         F.col("source").alias("meta_source"),
-        F.col("n_chars").alias("meta_bytes"),
+        # actual UTF-8 byte length, NOT n_chars: they diverge on any
+        # non-ASCII text, and meta_bytes must agree with the payload's
+        # real length (code-review r4)
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("meta_bytes"),
     )

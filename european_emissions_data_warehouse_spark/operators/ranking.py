@@ -99,17 +99,31 @@ def bm25_topk(
 
     Columns: doc_id, score (rounded 4), rank.  avgdl is computed as
     SUM(dl)/COUNT(*) explicitly (not AVG) so both engines perform the same
-    IEEE division."""
+    IEEE division.
+
+    N and avgdl's denominator are the COLLECTION size (docs.count), not
+    the count of tokenizable docs — token-less documents have no dl row,
+    and deriving N from dl deflated it versus the standard BM25 definition
+    (and versus tfidf_top_terms' N; code-review r4).  A repeated query
+    term contributes once per occurrence, as the bag-of-terms contract
+    says: each distinct term's score is weighted by its query frequency."""
+    from collections import Counter
+
+    qtf = Counter(query_terms)
+    qterms = list(qtf)
     tf = term_index(docs).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = doc_frequencies(tf)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    n_collection = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = dl.agg(F.sum("dl").alias("_sum_dl")).crossJoin(
+        F.broadcast(n_collection)
+    ).select("n_docs", (F.col("_sum_dl") / F.col("n_docs")).alias("avgdl"))
+    qweight = F.create_map(
+        *[x for t, c in qtf.items() for x in (F.lit(t), F.lit(float(c)))]
     )
-    matched = tf.filter(F.col("term").isin(query_terms))
+    matched = tf.filter(F.col("term").isin(qterms))
     scored = (
-        matched.join(F.broadcast(df.filter(F.col("term").isin(query_terms))), "term")
+        matched.join(F.broadcast(df.filter(F.col("term").isin(qterms))), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -121,7 +135,8 @@ def bm25_topk(
         )
         .withColumn(
             "contrib",
-            F.col("idf")
+            F.element_at(qweight, F.col("term"))
+            * F.col("idf")
             * (F.col("tf") * (k1 + 1))
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )

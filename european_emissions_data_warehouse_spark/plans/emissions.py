@@ -63,8 +63,17 @@ def clean_emissions(raw: DataFrame, decode: str = "join") -> DataFrame:
 
     ``decode`` selects the O9 strategy: 'join' (broadcast dim join) or 'map'
     (literal map lookup).  Outputs are identical; the join form is the one
-    that scales when the dim outgrows a literal.
+    that scales when the dim outgrows a literal.  Typing uses plain casts
+    under ANSI deliberately: a malformed Year/ReportedValue ABORTS the job,
+    the same behavior as the reference's Postgres COPY
+    (lambda_handler_warehouse.py:85-92) — use analytics' try_cast pattern
+    when lenient import is wanted.
     """
+    if decode not in ("join", "map"):
+        raise ValueError(
+            f"clean_emissions: decode={decode!r} is not a strategy; use "
+            "'join' (broadcast dim) or 'map' (literal lookup)"
+        )
     df = (
         raw.select(*RAW_COLUMNS)  # O2 projection
         .na.drop(how="any", subset=RAW_COLUMNS)  # O3 null-drop (etl_process.py:83)
@@ -136,10 +145,12 @@ def write_warehouse_jdbc(
     the JDBC driver jar on the Spark classpath; no driver ships with this
     container, so the test suite exercises the call path with a dry-run
     guard only."""
-    writer = df.write.mode(mode).option("batchsize", batchsize)
-    for k, v in (properties or {}).items():
-        writer = writer.option(k, v)
-    writer.jdbc(url, table, mode=mode, properties=properties or {})
+    # properties ride ONLY the .jdbc(properties=...) channel —
+    # DataFrameWriter.jdbc merges them into the writer options itself, so
+    # the old duplicate option() loop was dead plumbing (code-review r4)
+    df.write.option("batchsize", batchsize).jdbc(
+        url, table, mode=mode, properties=properties or {}
+    )
 
 
 def clean_emissions_observed(raw: DataFrame, decode: str = "join"):

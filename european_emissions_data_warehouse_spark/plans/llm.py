@@ -1799,7 +1799,10 @@ WITH toks AS (
 ), dl AS (
   SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
 ), stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl
+  -- N and avgdl's denominator = collection size, matching the operator
+  -- (token-less docs have no dl row; code-review r4)
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         SUM(dl) / (SELECT COUNT(*) FROM documents) AS avgdl FROM dl
 ), scored AS (
   SELECT tf.doc_id,
          ROUND(SUM(

@@ -51,9 +51,14 @@ def q_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT isnan: Spark's na.drop treats NaN doubles as missing (a legal
+# parquet value IS NOT NULL would keep) — the extra term pins the oracle
+# to the engine's actual semantics (code-review r4; dormant on current
+# NaN-free testdata)
 ORACLE_NULL_DROP = """
 SELECT event_id, user_id, event_type, value FROM events
 WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  AND NOT isnan(value)
 """
 
 
@@ -278,6 +283,7 @@ LEFT JOIN nation ON s_nationkey = n_nationkey
 WHERE l_returnflag = 'A' AND l_linestatus IN ('F', 'O')
   AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL AND l_suppkey IS NOT NULL
   AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND NOT isnan(l_extendedprice)
 """
 
 

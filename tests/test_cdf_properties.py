@@ -79,3 +79,33 @@ class TestCdfLaws:
         t.commit(_df(spark, v))
         t.commit(_df(spark, v))
         assert t.diff(0, 1, key=["id"]).count() == 0
+
+
+def test_cdf_law_holds_with_null_values(spark):
+    """Deleting the only non-null row of a group: the maintained sum must
+    equal the recomputed state (null-as-0 on both sides) — SQL SUM's
+    null-skip previously left 0.0 vs NULL divergence (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.incremental import (
+        apply_cdf,
+        invertible_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, None), ("b", 3, 7.0)],
+        "k string, id long, v double",
+    )
+    after = spark.createDataFrame(
+        [("a", 2, None), ("b", 3, 7.0)], "k string, id long, v double"
+    )
+    changes = spark.createDataFrame(
+        [("a", 1, 5.0, "delete")], "k string, id long, v double, _change_type string"
+    )
+    maintained = {
+        r["k"]: (r["sum_v"], r["n_rows"])
+        for r in apply_cdf(invertible_state(base, ["k"], "v"), changes, ["k"], "v").collect()
+    }
+    recomputed = {
+        r["k"]: (r["sum_v"], r["n_rows"])
+        for r in invertible_state(after, ["k"], "v").collect()
+    }
+    assert maintained == recomputed, (maintained, recomputed)

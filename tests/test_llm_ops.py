@@ -716,3 +716,18 @@ def test_nb_quality_single_class_labels_raise(spark):
     )
     with _pytest.raises(Exception, match="single-class"):
         nb_quality_scores(docs, "lbl").collect()
+
+
+def test_multimodal_null_payload_rejected_cleanly(spark):
+    """A null payload must fail with a clear validation error naming the
+    asset, not an opaque worker TypeError (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "text/plain", bytearray(b"ok")), (2, "text/plain", None)],
+        "asset_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception, match="null payload.*asset_id"):
+        extract_media_features(media, fake=True).collect()

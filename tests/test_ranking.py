@@ -443,3 +443,27 @@ def test_pq_and_lsh_reject_nondivisible_geometry(spark):
         pq_reconstruct(emb, dim=9, m=2)
     with pytest.raises(ValueError, match="not divisible"):
         lsh_topk(emb, emb, dim=9, n_planes=16, bands=3)
+
+
+def test_bm25_honors_query_term_multiplicity_and_collection_n(spark):
+    """A repeated query term must double its contribution (Okapi over a
+    BAG of terms), and N/avgdl must use the collection size even when the
+    corpus contains token-less docs (code-review r4)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "spark engine"),
+            (2, "engine room"),
+            (3, "   "),  # token-less: counts toward N, has no dl row
+        ],
+    )
+    single = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["spark"], k=5).collect()}
+    double = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["spark", "spark"], k=5).collect()}
+    assert abs(double[1] - single[1] * 2) <= 1e-4, (single, double)
+    # N = 3 (collection), df('spark') = 1 -> idf = ln(1 + 2.5/1.5)
+    import math
+
+    dl1, avgdl = 2, 4 / 3  # total tokens 4 over N=3 collection docs
+    idf = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    expected = round(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * dl1 / avgdl)), 4)
+    assert abs(single[1] - expected) < 1e-9, (single[1], expected)
