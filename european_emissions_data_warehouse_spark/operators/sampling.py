@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 # multiplicative hash cycle badly for sequential keys): a [0, 2^26) range,
 # so the % n_buckets bias is <= ~2^-16 — the previous div 65536 kept only
 # 16 bits, a measurable 7:6 bucket skew at modulus 10000.
+#
+# The salt enters MULTIPLICATIVELY (an odd salt-derived multiplier), not
+# just additively: the hash is affine in an additive salt, so two salts
+# differ by a near-constant bucket offset and "independent" decisions stay
+# lock-stepped (simulated: at fraction 0.001 every stratified-sample
+# survivor was a 'train' split row despite distinct salts; code-review r4,
+# second pass).  K + 2·salt stays odd, so the multiply remains a bijection
+# mod 2^32, and the multiplicative relation between two salts' hashes
+# varies per key — measured split of a 0.001 sample: 1590/193/192 vs the
+# additive form's 2021/0/0.
 _KNUTH = 2654435761
 _FOLD = 1 << 30
 _MOD32 = 1 << 32
@@ -43,8 +53,9 @@ def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column
     """Deterministic bucket in [0, n_buckets) from an integer key — integer
     +,*,%,div only, so the exact expression is portable to any SQL engine
     (the oracles inline it verbatim; keep them in lockstep)."""
+    mult = (_KNUTH + 2 * salt) % _MOD32
     folded = f"((({key_col} + {salt}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
-    h = f"(({folded}) * {_KNUTH}) % {_MOD32}"
+    h = f"(({folded}) * {mult}) % {_MOD32}"
     return F.expr(f"(({h}) div 64) % {n_buckets}")
 
 
@@ -95,8 +106,11 @@ def stratified_sample_hash(
     SHARED salt and nested moduli (100 | 10000) the sample bucket mod 100
     EQUALS the split bucket, so every document kept at fraction <= 0.008
     was a 'train' row and valid/test samples came out empty (code-review
-    r4).  Pass distinct salts whenever two hash decisions must be
-    independent."""
+    r4).  Distinct salts alone were NOT enough — the hash was affine in an
+    additive salt, leaving the two decisions offset by a near-constant —
+    so ``hash_bucket`` also derives its multiplier from the salt (second
+    code-review pass).  Pass distinct salts whenever two hash decisions
+    must be independent."""
     frac: Column | None = None
     for stratum, f in fractions.items():
         cond = F.col(strata_col) == stratum

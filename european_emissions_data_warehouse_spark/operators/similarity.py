@@ -233,19 +233,22 @@ def ivf_build_centroids(
         # residue strata of RAW ids can be unoccupied on a hash sample
         # (expected occupancy at n=20,k=16 is ~12 — the quantizer silently
         # shrank past the count guard; code-review r4).  Rank the sample
-        # and block-stride it into exactly k strata: stratum i's min id is
-        # an evenly spaced id across the sample, and all k strata are
-        # occupied whenever n_train >= k.  The rank window is a single
-        # pass over the SAMPLE (bounded by the 1/mod rate the caller
-        # chose), never the corpus.
-        block = -(-n_train // n_centroids)  # ceil
+        # and stratify proportionally: stratum(rk) = floor((rk-1)*k/n),
+        # whose preimage interval has length n/k >= 1 for every stratum
+        # whenever n_train >= k, so all k strata are provably occupied
+        # (ceil-block striding occupied only ceil(n/ceil(n/k)) of them —
+        # 10 of 16 at n=20; second code-review r4).  The rank window is a
+        # single pass over the SAMPLE (bounded by the 1/mod rate the
+        # caller chose), never the corpus.
         firsts = (
             train.select(
                 "id",
                 F.row_number().over(Window.orderBy("id")).alias("_rk"),
             )
             .groupBy(
-                ((F.col("_rk") - 1) / F.lit(block)).cast("int").alias("centroid_id")
+                ((F.col("_rk") - 1) * F.lit(n_centroids) / F.lit(n_train))
+                .cast("int")
+                .alias("centroid_id")
             )
             .agg(F.min("id").alias("id"))
         )
@@ -665,18 +668,20 @@ def pq_reconstruct(
                 f"only {n_train} training vectors (< k={k}); lower the mod "
                 "or train on the full corpus (None)"
             )
-        # dense block-stride strata over the RANKED sample ids (same
-        # occupancy fix as ivf_build_centroids — raw-id residues can leave
-        # subspace strata empty on a hash sample); the id set is identical
-        # for every sub, so rank once and join.
-        block = -(-n_train // k)  # ceil
+        # proportional strata over the RANKED sample ids (same occupancy
+        # fix as ivf_build_centroids — raw-id residues, and equally
+        # ceil-block strides, can leave subspace strata empty on a hash
+        # sample; floor((rk-1)*k/n) occupies all k whenever n >= k); the
+        # id set is identical for every sub, so rank once and join.
         ranked = (
             train_subs.select("id")
             .distinct()
             .select("id", F.row_number().over(Window.orderBy("id")).alias("_rk"))
             .select(
                 "id",
-                ((F.col("_rk") - 1) / F.lit(block)).cast("int").alias("centroid_id"),
+                ((F.col("_rk") - 1) * F.lit(k) / F.lit(n_train))
+                .cast("int")
+                .alias("centroid_id"),
             )
         )
         init = (

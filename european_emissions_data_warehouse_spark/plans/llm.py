@@ -1179,7 +1179,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAIN_TEST_SPLIT = """
 WITH b AS (
   SELECT doc_id, lang,
-         ((((((doc_id + 40503) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 100 AS bucket
+         ((((((doc_id + 40503) % 1073741824) + 1073741824) % 1073741824) * 2654516767) % 4294967296 // 64) % 100 AS bucket
   FROM documents
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -1230,7 +1230,7 @@ WITH m AS (
           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
                   ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
           + LEAST(1.0, stop_ratio * 4)) / 3 AS quality,
-         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 10000 AS bucket
+         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
   FROM m
 )
 SELECT doc_id, lang, quality FROM q
@@ -1259,7 +1259,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STRATIFIED_SAMPLE = """
 WITH b AS (
   SELECT doc_id, lang,
-         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654435761) % 4294967296 // 64) % 10000 AS bucket
+         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
   FROM documents
 )
 SELECT doc_id, lang FROM b

@@ -405,6 +405,40 @@ def test_sampled_quantizer_occupies_all_strata(spark):
     assert cents.count() == 8, "every stratum must seed a centroid"
 
 
+def test_sampled_quantizer_occupancy_when_k_not_dividing_n(spark):
+    """Ceil-block striding occupies only ceil(n/ceil(n/k)) strata — 10 of
+    16 at n_train=20 — so the quantizer silently shrank below k whenever k
+    did not divide the sample size; proportional strata floor((rk-1)*k/n)
+    occupy all k for any n >= k (code-review r4, second pass).  Covers the
+    IVF coarse quantizer and every PQ subspace codebook."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        ivf_build_centroids,
+        pq_reconstruct,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float(i % 3), 1.0, float(i % 4)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_build_centroids(emb, n_centroids=16, n_iters=1, train_sample_mod=1)
+    assert cents.count() == 16, "n_train=20, k=16 must still seed 16 centroids"
+    # per-subspace-distinct data + n_iters=0 => codes reflect the seeded
+    # codebook exactly: every (sub, code) pair must appear (seeds assign to
+    # themselves), so 2 x 16 = 32 distinct pairs iff no stratum collapsed
+    # assignment is cosine: make every sub-vector direction unique
+    # ([1, i] slopes are pairwise distinct) so each seed point matches
+    # only its own codeword at sim=1.0 and every codeword is used
+    emb2 = spark.createDataFrame(
+        [(i, [1.0, float(i), 1.0, float(37 - 3 * i)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    recon = pq_reconstruct(emb2, dim=4, m=2, k=16, n_iters=0, train_sample_mod=1)
+    pairs = (
+        recon.select(F.posexplode("codes").alias("sub", "code")).distinct().count()
+    )
+    assert pairs == 32, f"PQ codebooks shrank: {pairs} distinct (sub, code) pairs"
+
+
 def test_zero_vector_rows_never_crash_similarity(spark):
     """One all-zero embedding (null-imputed upstream) must not abort the
     job under ANSI mode — it scores 0.0 against everything and ranks last

@@ -196,3 +196,27 @@ def test_sample_decorrelated_from_split(spark, sf_dir):
     by_split = {r["split"]: r["n"] for r in
                 sampled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(by_split) == {"train", "valid", "test"}, by_split
+
+
+def test_small_fraction_sample_still_spans_splits(spark):
+    """Distinct salts alone did NOT decorrelate sample from split: the hash
+    was affine in the salt, so the two bucket streams sat a near-constant
+    offset apart and a fraction-0.01 sample was 100%% 'train' (code-review
+    r4, second pass — fixed by a salt-derived multiplier).  Over sequential
+    keys at fraction 0.01, each split must keep roughly its own share."""
+    from european_emissions_data_warehouse_spark.operators.sampling import (
+        split_by_hash,
+        stratified_sample_hash,
+    )
+
+    df = spark.range(200_000).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    sampled = stratified_sample_hash(
+        split_by_hash(df, "doc_id"), "lang", {"en": 0.01}, key_col="doc_id"
+    )
+    by_split = {r["split"]: r["n"] for r in
+                sampled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(by_split.values())
+    assert 1500 < n < 2500, by_split  # ~2000 expected at 0.01
+    assert set(by_split) == {"train", "valid", "test"}, by_split
+    assert 0.7 < by_split["train"] / n < 0.9, by_split
+    assert by_split["valid"] / n > 0.05 and by_split["test"] / n > 0.05, by_split
