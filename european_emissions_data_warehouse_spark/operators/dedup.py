@@ -726,7 +726,20 @@ def _band_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, sig) -> (id, sig, band, bucket): the banding step, shared by
     minhash_lsh_pairs and the persisted-store table so the bucket hash can
     never drift between the full and incremental paths (code-review r4 —
-    the two copies previously had to stay bit-identical by hand)."""
+    the two copies previously had to stay bit-identical by hand).
+
+    ``bands`` must divide ``num_hashes`` exactly: slicing b bands of
+    r = num_hashes//bands rows silently DISCARDED the trailing
+    num_hashes %% bands signature slots — candidate recall quietly fell
+    below the 1-(1-j^r)^b tuning math, and a store built under one
+    remainder convention would not protect against a probe built under
+    another (code-review r4, second pass; same guard as lsh_topk)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: the "
+            f"trailing {num_hashes % bands} signature slots would be "
+            "silently dropped from every band bucket"
+        )
     r = num_hashes // bands
     return sigs.select(
         "id",

@@ -334,6 +334,12 @@ class SnapshotTable:
             .otherwise(F.lit("update"))
             .alias("_kind"),
         ).filter(F.col("_kind").isNotNull())
+        # the preimage and postimage branches BOTH consume `joined`; without
+        # a checkpoint each branch re-ran the full-outer join and both
+        # snapshot scans, doubling the promised one-join cost envelope
+        # (code-review r4, second pass).  The checkpoint holds only the
+        # CHANGE rows — unchanged keys are already filtered out.
+        joined = joined.localCheckpoint(eager=False)
         unchanged_key_cols = [F.col(f"_k.{k}").alias(k) for k in key]
 
         def side(frame_col: str, kinds: dict[str, str]) -> DataFrame:
@@ -412,14 +418,37 @@ class SnapshotTable:
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data dirs referenced only by commits older than the last
         ``keep_last``; returns the deleted dir names.  Time travel reaches
-        only retained versions afterwards."""
+        only retained versions afterwards.
+
+        Also collects ORPHANED data dirs — written by a writer that crashed
+        before publishing (or before its ConcurrentCommitError cleanup ran)
+        and therefore named by NO manifest.  Scanning only manifests left
+        each such crash stranding a table-sized directory forever
+        (code-review r4, second pass); the physical listing catches them.
+        An orphan is collectable only once its CAS slot is burned: a dir at
+        version N <= the latest committed version can never be published
+        (``_publish`` would raise ConcurrentCommitError), while an orphan
+        at version > latest may be an IN-FLIGHT writer's dir and is left
+        alone — no mtime heuristics, the log itself decides."""
         history = self.history()
         keep_versions = history[-keep_last:] if keep_last > 0 else []
         keep_dirs = {self._manifest(v) for v in keep_versions}
-        all_dirs = {self._manifest(v) for v in history}
+        referenced = {self._manifest(v) for v in history}
+        latest = history[-1] if history else -1
         jvm, fs = _fs(self.spark, self.path)
+        root = self._jpath(self.path)
+        candidates = set()
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("data_v"):
+                    candidates.add(name)
         removed = []
-        for d in sorted(all_dirs - keep_dirs):
+        for d in sorted((candidates | referenced) - keep_dirs):
+            if d not in referenced:
+                ver = d[len("data_v"):].split("_", 1)[0]
+                if not ver.isdigit() or int(ver) > latest:
+                    continue  # in-flight writer (or foreign dir): keep
             fs.delete(self._jpath(f"{self.path}/{d}"), True)
             removed.append(d)
         return removed

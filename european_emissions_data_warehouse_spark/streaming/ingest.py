@@ -183,13 +183,19 @@ def run_incremental_upsert(
         # warehouse with one micro-batch (code-review r4)
         jvm, fs = _fs(warehouse_path)
         exists = fs.exists(jvm.org.apache.hadoop.fs.Path(warehouse_path))
+        staging = f"{warehouse_path}__staging_{batch_id}"
         if exists:
             old = spark.read.parquet(warehouse_path)
-            staging = f"{warehouse_path}__staging_{batch_id}"
             upsert_anti_join(old, cleaned, key).write.mode("overwrite").parquet(staging)
-            swap_dirs(staging, warehouse_path, batch_id)
         else:
-            cleaned.write.mode("overwrite").parquet(warehouse_path)
+            # bootstrap goes through the SAME staging+swap path: writing
+            # straight to warehouse_path left a partial directory on a
+            # mid-write crash, and the replay's exists-probe then took the
+            # merge branch against an unreadable table — permanently wedged
+            # (code-review r4, second pass).  The swap's rename is atomic,
+            # so the warehouse either doesn't exist yet or is complete.
+            cleaned.write.mode("overwrite").parquet(staging)
+        swap_dirs(staging, warehouse_path, batch_id)
 
     (
         stream.writeStream.foreachBatch(merge_batch)

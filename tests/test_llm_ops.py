@@ -89,6 +89,19 @@ def test_minhash_catches_ngram_pairs(spark, sf_dir):
     assert recall >= 0.7, f"minhash recall too low: {recall:.2f}"
 
 
+def test_minhash_banding_rejects_remainder(spark, sf_dir):
+    """bands must divide num_hashes: the band slicer silently dropped the
+    trailing num_hashes %% bands signature slots from every bucket —
+    recall quietly below the 1-(1-j^r)^b tuning math, and store/probe
+    could disagree on the remainder convention (code-review r4, second
+    pass; lsh_topk already had this guard, the MinHash paths did not)."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(10)
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=5).collect()
+
+
 def test_multimodal_real_codec_raises(spark, sf_dir):
     """Without fake=True the decode stub must fail loudly, not fabricate."""
     media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)

@@ -63,6 +63,33 @@ def test_vacuum_drops_only_unreferenced(spark, nation, tmp_path):
         t.read(0).count()
 
 
+def test_vacuum_collects_crashed_writer_orphans(spark, nation, tmp_path):
+    """A writer that crashes between its data-dir write and _publish names
+    its dir in NO manifest; a manifest-only vacuum stranded that
+    table-sized directory forever (code-review r4, second pass).  Vacuum
+    must collect orphans whose CAS slot is burned (version <= latest) and
+    must NOT touch a dir at latest+1 — that may be an in-flight writer."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.commit(nation.limit(3))
+    t.commit(nation)
+    # crashed loser at version 1 (slot burned) and in-flight writer at 2
+    orphan = os.path.join(root, "data_v00000001_deadbeef")
+    inflight = os.path.join(root, "data_v00000002_cafebabe")
+    for d in (orphan, inflight):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("garbage")
+    removed = t.vacuum(keep_last=2)
+    assert "data_v00000001_deadbeef" in removed, removed
+    assert not os.path.exists(orphan)
+    assert os.path.exists(inflight), "in-flight writer dir must survive"
+    # both committed snapshots retained and readable
+    assert t.read(0).count() == 3 and t.read(1).count() == nation.count()
+
+
 def test_rollback_target_survives_vacuum(spark, nation, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tbl"))
     t.commit(nation.limit(2))

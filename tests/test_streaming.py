@@ -122,6 +122,41 @@ def test_interrupted_swap_recovers_stranded_table(spark, events_batch, tmp_path)
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_bootstrap_goes_through_staging_swap(spark, events_batch, tmp_path):
+    """A crash mid-bootstrap-write must leave warehouse_path ABSENT, not a
+    partial directory: the old direct write wedged every replay (exists
+    probe -> merge branch -> unreadable read) with no self-heal.  Bootstrap
+    now stages and promotes by atomic rename, so a replay over the crashed
+    attempt's staging garbage must still bootstrap cleanly (code-review
+    r4, second pass)."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events_batch.filter(F.col("event_id") < 100)
+    first.coalesce(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    # leftover staging dir from a crashed first-bootstrap attempt
+    os.makedirs(warehouse + "__staging_0")
+    with open(warehouse + "__staging_0/garbage", "w") as fh:
+        fh.write("partial")
+
+    run_incremental_upsert(
+        stream_from_directory(spark, landing, schema),
+        warehouse,
+        ckpt,
+        key=["event_id"],
+        order_by=["ts", "value"],
+    )
+    wh = spark.read.parquet(warehouse)
+    assert wh.count() == first.count()
+    assert not os.path.exists(warehouse + "__staging_0"), "staging must be promoted"
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
 def test_checkpoint_no_reprocess(spark, events_batch, tmp_path):
     """Draining twice without new files must not change the warehouse
     (file-source checkpoint = the exactly-once input ledger)."""
