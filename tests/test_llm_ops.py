@@ -102,6 +102,69 @@ def test_minhash_banding_rejects_remainder(spark, sf_dir):
         minhash_lsh_pairs(docs, num_hashes=32, bands=5).collect()
 
 
+def test_lsh_dim_mismatch_fails_loudly(spark, sf_dir):
+    """A declared dim that disagrees with the embedding width must raise:
+    zip_with pads the short side with nulls, the signature fold goes null,
+    and every vector lands in ONE bucket per band — the 'bucket join'
+    silently becomes the full cross product (code-review r4)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    queries = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(Exception, match="embedding width"):
+        lsh_topk(queries, emb, dim=32, k=5, n_planes=16, bands=8).collect()
+
+
+def test_pq_width_mismatch_fails_loudly(spark, sf_dir):
+    """pq_reconstruct on vectors narrower than the declared dim must raise:
+    F.slice would yield short/empty trailing subspaces and meaningless
+    codes with no error (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        pq_reconstruct,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    with pytest.raises(Exception, match="embedding width"):
+        pq_reconstruct(emb, dim=128, m=4, k=4).collect()
+
+
+def test_two_level_sub_init_occupies_strata_on_strided_ids(spark, sf_dir):
+    """Sub-cluster init must stratify by rank within each coarse list, not
+    raw-id residue: with all-even ids (stride-2 assignment, as per-source
+    id schemes produce) pmod(id, k2) left every odd stratum empty and each
+    list silently trained ONE sub-cluster instead of k2 (code-review r4).
+    k=4 -> k1=2, k2=2: the residue init capped distinct centroid_ids at 2;
+    the rank init must split at least one list."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        kmeans_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") * 2).alias("vec_id"), "embedding"
+    )
+    out = kmeans_two_level(emb, k=4, n_iters=1)
+    n_assigned = out.select("centroid_id").distinct().count()
+    assert n_assigned > 2, (
+        f"only {n_assigned} distinct centroid_ids on strided ids — "
+        "sub-init strata collapsed (residue-init regression)"
+    )
+
+
+def test_semdedup_scaled_rejects_mismatched_assignment(spark, sf_dir):
+    """A precomputed assignment built with a different k than the caller
+    declares must fail loudly, not pair under one clustering while
+    coverage bounds against another (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        kmeans_two_level,
+        semdedup_pairs_scaled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    assigned = kmeans_two_level(emb, k=16, n_iters=1)
+    with pytest.raises(Exception, match="outside the declared k"):
+        semdedup_pairs_scaled(
+            emb, k=4, threshold=0.0, assigned=assigned
+        ).collect()
+
+
 def test_multimodal_real_codec_raises(spark, sf_dir):
     """Without fake=True the decode stub must fail loudly, not fabricate."""
     media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
