@@ -110,9 +110,15 @@ def _rolling_grams(docs: DataFrame, id_col: str, text_col: str, k: int, unit: st
     n_pos = F.greatest(F.size(th) - F.lit(k - 1), F.lit(1))
 
     def gram_at(i):
-        acc = F.element_at(th, i)
+        # try_element_at, NOT element_at: under Spark 4's default ANSI mode
+        # element_at past the array end ABORTS the job, so any doc shorter
+        # than k tokens killed the whole MinHash family (tests passed only
+        # because no fixture doc is that short; code-review r4).  Null pads
+        # fold to 0 — the same convention shingle_index's window form uses
+        # for leads past the end, so both gram forms agree on short docs.
+        acc = F.coalesce(F.try_element_at(th, i), F.lit(0))
         for j in range(1, k):
-            nxt = F.coalesce(F.element_at(th, i + F.lit(j)), F.lit(0))
+            nxt = F.coalesce(F.try_element_at(th, i + F.lit(j)), F.lit(0))
             acc = (acc * F.lit(_C1) + nxt).bitwiseAND(F.lit(_MASK))
         return acc
 
@@ -375,13 +381,18 @@ def connected_components_star(
 
     # lazy: each frame materializes inside its first consuming job (the
     # checksum action) instead of a separate blocking pass
-    edges = canon(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")), "u", "v"
-    ).localCheckpoint(eager=False)
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = canon(raw, "u", "v").localCheckpoint(eager=False)
     edges_sum = checksum(edges)
+    # node universe from the RAW pairs, before canon's lo != hi filter: a
+    # node appearing only in self-loop pairs (an id that pairs with itself
+    # after normalization) must still receive a label — deriving the
+    # universe from the filtered edge set silently dropped it, diverging
+    # from connected_components despite the identical-contract claim
+    # (code-review r4).
     n_nodes_seen = (
-        edges.select(F.col("lo").alias("id"))
-        .unionByName(edges.select(F.col("hi").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -505,9 +516,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    ) / F.lit(num_hashes)
+    est = _sig_estimate(num_hashes)
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
@@ -758,6 +767,72 @@ def _band_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("id", "sig", "bb.band", "bb.bucket")
 
 
+def _sig_estimate(num_hashes: int):
+    """Signature Jaccard estimate over paired sig_a/sig_b columns: fraction
+    of equal minhash slots.  THE single implementation — the full-batch
+    pair verifier and the incremental probe both call it, so the
+    'signatures estimate identically' contract between them cannot drift
+    by hand-sync (code-review r4, same factoring as _band_from_sigs)."""
+    return F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(num_hashes)
+
+
+_MINHASH_PARAMS_FILE = "_minhash_params"
+
+
+def _write_minhash_params(
+    spark, store_path: str, k: int, unit: str, num_hashes: int, bands: int
+) -> None:
+    """Record the store's MinHash convention next to its band rows (an
+    underscore-prefixed file, invisible to parquet readers).  A store
+    probed under a different k/unit/num_hashes/bands convention computes
+    different gram identities or bucket hashes and silently detects NO
+    duplicates — the exact failure class _band_from_sigs' divisibility
+    guard exists to prevent (code-review r4)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{store_path.rstrip('/')}/{_MINHASH_PARAMS_FILE}"
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    body = f"k={k}\nunit={unit}\nnum_hashes={num_hashes}\nbands={bands}"
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(body, "utf-8"))
+    finally:
+        out.close()
+
+
+def _read_minhash_params(spark, store_path: str) -> dict[str, str] | None:
+    """The store's recorded convention, or None for a legacy store.  Looks
+    at the store root and one level down (the streaming layout keeps each
+    batch's slice in a batch_id= partition, each written by
+    minhash_store_init with its own params file)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/"))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    cands = [jvm.org.apache.hadoop.fs.Path(f"{store_path.rstrip('/')}/{_MINHASH_PARAMS_FILE}")]
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            if st.isDirectory():
+                cands.append(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{st.getPath().toString()}/{_MINHASH_PARAMS_FILE}"
+                    )
+                )
+    for p in cands:
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            return dict(
+                ln.split("=", 1) for ln in text.strip().splitlines() if "=" in ln
+            )
+    return None
+
+
 def _minhash_band_table(
     docs: DataFrame,
     id_col: str,
@@ -787,10 +862,14 @@ def minhash_store_init(
     bands: int = 8,
 ) -> None:
     """Materialize the corpus's banded MinHash table to parquet — the
-    standing state incremental dedup joins new batches against."""
+    standing state incremental dedup joins new batches against.  The
+    build convention is recorded alongside (see _write_minhash_params) so
+    a mismatched probe fails loudly instead of silently missing every
+    duplicate."""
     _minhash_band_table(docs, id_col, text_col, k, unit, num_hashes, bands).write.mode(
         "overwrite"
     ).parquet(store_path)
+    _write_minhash_params(docs.sparkSession, store_path, k, unit, num_hashes, bands)
 
 
 def minhash_dedup_incremental(
@@ -830,14 +909,50 @@ def minhash_dedup_incremental(
     does exactly that with per-batch partition OVERWRITE, which is the
     replay-safe layout (code-review r4)."""
     spark = new_docs.sparkSession
+    # convention check BEFORE any join: a store built under different
+    # k/unit/num_hashes/bands computes different gram identities or bucket
+    # hashes, so a mismatched probe silently admits every cross-batch
+    # duplicate (and null-padded zip_with corrupts est_jaccard on a
+    # num_hashes mismatch).  Recorded params fail loudly; a legacy store
+    # without them falls back to a row-level signature-width guard
+    # (code-review r4).
+    stored = _read_minhash_params(spark, store_path)
+    if stored is not None:
+        declared = {"k": k, "unit": unit, "num_hashes": num_hashes, "bands": bands}
+        mismatched = {
+            key: (stored.get(key), val)
+            for key, val in declared.items()
+            if stored.get(key) is not None and str(val) != stored[key]
+        }
+        if mismatched:
+            raise ValueError(
+                f"minhash_dedup_incremental: store {store_path} was built "
+                f"with {stored}, probed with mismatched "
+                f"{ {key: v[1] for key, v in mismatched.items()} } — the "
+                "bucket join would silently detect no duplicates"
+            )
     new_b = _minhash_band_table(
         new_docs, id_col, text_col, k, unit, num_hashes, bands
     ).localCheckpoint(eager=True)
     old_b = spark.read.parquet(store_path)
+    if stored is None:
+        old_b = old_b.withColumn(
+            "sig",
+            F.when(F.size("sig") == num_hashes, F.col("sig")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("minhash_dedup_incremental: stored signature width "),
+                        F.size("sig").cast("string"),
+                        F.lit(
+                            f" != probe num_hashes={num_hashes} — the store was "
+                            "built under a different convention (code-review r4)"
+                        ),
+                    )
+                )
+            ),
+        )
 
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    ) / F.lit(num_hashes)
+    est = _sig_estimate(num_hashes)
 
     n = new_b.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"

@@ -765,10 +765,14 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SESSION_WINDOW = """
+-- gap measured in epoch MICROSECONDS, not date_diff('second'): Spark's
+-- session_window splits on exact event time, while date_diff counts
+-- whole-second boundaries — a 1800.25s gap split in Spark but merged in
+-- the truncating oracle (code-review r4; events.ts is sub-second).
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -649,6 +649,8 @@ def run_neardup_dedup_stream(
     whatever an existing store at ``store_path`` was built with."""
     from european_emissions_data_warehouse_spark.operators.dedup import (
         _minhash_band_table,
+        _sig_estimate,
+        _write_minhash_params,
         minhash_dedup_incremental,
         minhash_store_init,
     )
@@ -696,20 +698,20 @@ def run_neardup_dedup_stream(
             band = _minhash_band_table(
                 batch, id_col, text_col, k, unit, num_hashes, bands
             ).localCheckpoint(eager=True)
+            # _sig_estimate, not an inline copy: bootstrap survivors must be
+            # selected under the SAME estimate the incremental probe applies
+            # from batch 1 on, or a change to the estimate silently breaks
+            # bootstrap/incremental parity (code-review r4)
             pairs = (
                 band.alias("n")
                 .join(band.alias("o"), ["band", "bucket"])
                 .filter(F.col("o.id") < F.col("n.id"))
                 .select(
                     F.col("n.id").alias("new_id"),
-                    F.size(
-                        F.filter(
-                            F.zip_with("n.sig", "o.sig", lambda x, y: x == y),
-                            lambda eq: eq,
-                        )
-                    ).alias("eq"),
+                    F.col("n.sig").alias("sig_a"),
+                    F.col("o.sig").alias("sig_b"),
                 )
-                .filter(F.col("eq") / num_hashes >= threshold)
+                .filter(_sig_estimate(num_hashes) >= threshold)
                 .select("new_id")
                 .distinct()
             )
@@ -740,10 +742,18 @@ def run_neardup_dedup_stream(
             ).localCheckpoint(eager=True)
             # survivors' band rows land in THIS batch's store partition —
             # replay overwrites it with identical content (idempotent),
-            # and duplicates never enter the store
+            # and duplicates never enter the store.  The params file is
+            # re-stamped after the overwrite: a bootstrap replay routed
+            # through THIS branch rewrites batch_id=0, which is where
+            # minhash_store_init put the convention record — without the
+            # re-stamp the overwrite silently downgraded the store's
+            # params-mismatch guard forever (code-review r4)
             _minhash_band_table(
                 survivors, id_col, text_col, k, unit, num_hashes, bands
             ).write.mode("overwrite").parquet(store_part)
+            _write_minhash_params(
+                spark, store_part, k, unit, num_hashes, bands
+            )
         survivors.write.mode("overwrite").parquet(out_part)
 
     (

@@ -68,7 +68,10 @@ def test_star_matches_min_label_on_random_graphs(spark):
         rng = random.Random(seed)
         n = 120
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
-        edges = [(a, b) for a, b in edges if a != b]
+        # self-loops stay IN: both implementations must label a node that
+        # appears only in (x, x) pairs (code-review r4 — star derived its
+        # node universe from the self-loop-filtered edge set and dropped
+        # such nodes, and this test previously filtered them out too)
         # plus a path long enough to stress diameter handling (min-label
         # needs diameter rounds — keep under its cap; star needs O(log n))
         edges += [(200 + i, 201 + i) for i in range(18)]
@@ -106,3 +109,17 @@ def test_star_toy_graph(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_star_labels_self_loop_only_nodes(spark):
+    """A node appearing only as (x, x) — an id pairing with itself after
+    normalization — must still receive a label, matching
+    connected_components (code-review r4: star silently dropped it)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    ml = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    st = {(r.id, r.component) for r in connected_components_star(pairs).collect()}
+    assert st == ml == {(1, 1), (2, 1), (5, 5)}

@@ -682,6 +682,50 @@ def test_incremental_minhash_dedup_matches_full_batch(spark, sf_dir, tmp_path):
     assert after - before == (n_new - n_dup_new) * 8  # bands=8 rows per survivor
 
 
+def test_minhash_survives_docs_shorter_than_k(spark):
+    """Docs with fewer than k tokens must produce a signature, not abort:
+    under Spark 4's default ANSI mode element_at past the array end throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — the fixtures' min doc length was
+    the only reason the MinHash family survived (code-review r4).  Missing
+    positions fold as 0, the same convention as shingle_index's window
+    leads, and near-identical short docs still collide."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, "tiny doc here"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", k=5).collect()
+    assert len(sigs) == 4 and all(len(r["sig"]) == 32 for r in sigs)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs, "identical short docs must still collide"
+
+
+def test_incremental_minhash_rejects_mismatched_params(spark, sf_dir, tmp_path):
+    """Probing a store with a different num_hashes/bands convention must
+    fail loudly: mismatched bucket hashes silently match NOTHING, admitting
+    every cross-batch duplicate (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_store_init,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    minhash_store_init(docs.filter(F.col("doc_id") % 2 == 0), store)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    with pytest.raises(ValueError, match="mismatched"):
+        minhash_dedup_incremental(new, store, num_hashes=64, bands=8)
+    with pytest.raises(ValueError, match="mismatched"):
+        minhash_dedup_incremental(new, store, k=7)
+
+
 def test_chunk_dedup_conservation_properties(spark, sf_dir):
     """Structural invariants over the real corpus: kept chunks never exceed
     total chunks, reassembled text length never exceeds the original, and
