@@ -106,9 +106,19 @@ class SnapshotTable:
         return dict(ln.split("=", 1) for ln in lines if "=" in ln)
 
     def _publish(self, version: int, data_dir: str, meta: dict[str, str] | None = None) -> None:
+        """Atomically publish a manifest via rename-without-overwrite (CAS
+        on HDFS-compatible FS).  The tmp file carries a PER-WRITER random
+        suffix: a shared deterministic tmp name let a racing writer
+        fs.create(..., overwrite=True) over the first writer's staged body,
+        so the CAS winner could publish a manifest naming the LOSER's data
+        dir — which the loser then deletes on ConcurrentCommitError,
+        leaving the committed version permanently unreadable (code-review
+        r4; same uniqueness fix as commit()'s data dirs)."""
+        import uuid
+
         jvm, fs = _fs(self.spark, self.path)
         fs.mkdirs(self._jpath(self.commits_dir))
-        tmp = f"{self.commits_dir}/.tmp_{version:08d}"
+        tmp = f"{self.commits_dir}/.tmp_{version:08d}_{uuid.uuid4().hex[:8]}"
         body = data_dir + "".join(f"\n{k}={v}" for k, v in (meta or {}).items())
         out = fs.create(self._jpath(tmp), True)
         try:
@@ -141,8 +151,11 @@ class SnapshotTable:
         ConcurrentCommitError; the manifest is the only name readers follow."""
         import uuid
 
-        version = (self.latest_version() if self.history() else -1)
-        version = (version if version is not None else -1) + 1
+        # one listing, not two: latest_version() re-lists the commits dir
+        # history() just walked (code-review r4 — at 10k commits every
+        # redundant listStatus is 10k driver RPC entries per trigger)
+        h = self.history()
+        version = (h[-1] if h else -1) + 1
         data_dir = f"data_v{version:08d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(f"{self.path}/{data_dir}")
         try:
@@ -190,7 +203,9 @@ class SnapshotTable:
             if (g := self.commit_meta(v).get("ckpt_gen")) is not None
         }
 
-    def last_applied_batch(self, gen: str | None = None) -> int | None:
+    def last_applied_batch(
+        self, gen: str | None = None, history: list[int] | None = None
+    ) -> int | None:
         """The NEWEST batch_id committed for ``gen`` (None if none) — the
         O(recent-commits) replay probe for streaming ingest.  Micro-batch
         ids are monotonic within a checkpoint generation, so ``batch_id <=
@@ -200,8 +215,10 @@ class SnapshotTable:
         — at 10k micro-batches the full scan made every trigger do 10k
         driver round-trips before any data work (code-review r4).  Same
         stamp rule as applied_batch_ids: unstamped commits never match a
-        concrete generation."""
-        for v in reversed(self.history()):
+        concrete generation.  ``history``: pass a pre-listed history to
+        avoid re-listing the commits dir (per-trigger callers list once
+        and thread it through; code-review r4)."""
+        for v in reversed(self.history() if history is None else history):
             meta = self.commit_meta(v)
             b = meta.get("batch_id")
             if b is None:
@@ -211,13 +228,14 @@ class SnapshotTable:
             return int(b)
         return None
 
-    def newest_generation(self) -> str | None:
+    def newest_generation(self, history: list[int] | None = None) -> str | None:
         """The ``ckpt_gen`` stamp of the newest stamped commit (None when
         no commit carries one).  For tables whose stream REFUSES foreign
         generations (the CMS sketch), the newest stamp is the only one that
         can exist, so this replaces a full-history commit_generations scan
-        in the per-batch guard."""
-        for v in reversed(self.history()):
+        in the per-batch guard.  ``history``: optional pre-listed history,
+        as in last_applied_batch."""
+        for v in reversed(self.history() if history is None else history):
             g = self.commit_meta(v).get("ckpt_gen")
             if g is not None:
                 return g
@@ -241,8 +259,20 @@ class SnapshotTable:
 
     def rollback(self, version: int) -> int:
         """Re-publish an old snapshot as the new latest (history preserved);
-        returns the new version number."""
+        returns the new version number.
+
+        Raises if the target's data dir has been vacuumed: its manifest
+        still lists in history(), but re-publishing the deleted dir would
+        make the dangling path the table's LATEST and break every
+        subsequent read (code-review r4)."""
         data_dir = self._manifest(version)
+        _, fs = _fs(self.spark, self.path)
+        if not fs.exists(self._jpath(f"{self.path}/{data_dir}")):
+            raise ValueError(
+                f"cannot rollback {self.path} to version {version}: its data "
+                f"dir {data_dir!r} was vacuumed — only versions within the "
+                "vacuum retention window are restorable"
+            )
         new_version = (self.latest_version() or 0) + 1
         self._publish(new_version, data_dir)
         return new_version
@@ -449,6 +479,22 @@ class SnapshotTable:
                 ver = d[len("data_v"):].split("_", 1)[0]
                 if not ver.isdigit() or int(ver) > latest:
                     continue  # in-flight writer (or foreign dir): keep
-            fs.delete(self._jpath(f"{self.path}/{d}"), True)
-            removed.append(d)
+            # report only dirs that existed and were deleted NOW: referenced
+            # dirs of already-vacuumed versions are not on disk, and blindly
+            # appending them re-reported the same phantom deletions on every
+            # vacuum run (code-review r4)
+            if fs.delete(self._jpath(f"{self.path}/{d}"), True):
+                removed.append(d)
+        # stale manifest-staging files: a writer that crashed between
+        # fs.create and the CAS rename leaks its .tmp_ forever; any tmp for
+        # a version <= latest lost (or already won) its race, and in-flight
+        # tmps at version > latest are left alone (same rule as data dirs)
+        cd = self._jpath(self.commits_dir)
+        if fs.exists(cd):
+            for st in fs.listStatus(cd):
+                name = st.getPath().getName()
+                if name.startswith(".tmp_"):
+                    ver = name[len(".tmp_"):].split("_", 1)[0]
+                    if ver.isdigit() and int(ver) <= latest:
+                        fs.delete(st.getPath(), False)
         return removed

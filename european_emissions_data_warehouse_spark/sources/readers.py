@@ -84,29 +84,56 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     decoder instead."""
     import pyarrow.parquet as pq
 
-    def one(file_path: str) -> tuple[str, bool]:
+    # the probe reads footers with pyarrow over the LOCAL filesystem; a
+    # remote lake URI would silently probe a nonexistent local path, so the
+    # boundary fails loudly (the snappable fix — streaming footer bytes
+    # through the Hadoop FS — needs an FS bridge this container cannot
+    # exercise; remote callers should rewrite the drop to one unit or read
+    # with an explicit schema) (code-review r4)
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"_parquet_ts_unit probes footers via the local filesystem; "
+            f"cannot sniff {path!r} — rewrite the remote drop to a single "
+            "timestamp unit or read it with an explicit schema"
+        )
+    path = path.removeprefix("file://").removeprefix("file:")
+
+    def one(file_path: str) -> tuple[str, bool] | None:
         t = pq.read_schema(file_path).field(column).type
         meta = pq.ParquetFile(file_path).metadata
-        if meta.num_row_groups:
-            rg = meta.row_group(0)
-            for i in range(rg.num_columns):
-                col = rg.column(i)
-                if col.path_in_schema == column and col.physical_type == "INT96":
-                    return "int96", True
+        if meta.num_rows == 0 or meta.num_row_groups == 0:
+            # a zero-row part carries no decodable data (and possibly no
+            # trustworthy physical-type evidence: pyarrow surfaces INT96 as
+            # ns in the arrow schema), so it must not constrain the unit —
+            # an empty part beside data parts otherwise turned a
+            # homogeneous directory into a 'mixed layouts' error
+            # (code-review r4)
+            return None
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            if col.path_in_schema == column and col.physical_type == "INT96":
+                return "int96", True
+        return t.unit, t.tz is not None
+
+    def schema_only(file_path: str) -> tuple[str, bool]:
+        t = pq.read_schema(file_path).field(column).type
         return t.unit, t.tz is not None
 
     if os.path.isdir(path):
         parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
         if not parts:
             raise FileNotFoundError(f"no .parquet part files under {path}")
-        units = {one(os.path.join(path, p)) for p in parts}
+        units = {u for p in parts if (u := one(os.path.join(path, p))) is not None}
         if len(units) > 1:
             raise ValueError(
                 f"mixed timestamp layouts {sorted(units)} across part files in "
                 f"{path}; rewrite the drop to one unit before scanning"
             )
+        if not units:  # every part is empty — nothing to decode either way
+            return schema_only(os.path.join(path, parts[0]))
         return next(iter(units))
-    return one(path)
+    return one(path) or schema_only(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -154,7 +181,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
             # integer `div`, not `/`: epoch-ns exceeds double's 2^53
             # exact-integer range, so float division here corrupts the low
-            # microsecond digit
+            # microsecond digit.  `div` truncates TOWARD ZERO for pre-1970
+            # values — deliberately: DuckDB's ns→µs cast and Arrow's
+            # timestamp cast both truncate toward zero (verified -1500ns →
+            # -1µs in both), so flooring here would break cross-engine
+            # parity on negative timestamps, not improve it (code-review
+            # r4 adjudication)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # µs/ms layouts Spark reads natively; naive files surface as
         # TIMESTAMP_NTZ, which the UTC-pinned session casts to the engine's

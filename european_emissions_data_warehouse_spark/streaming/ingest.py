@@ -229,28 +229,60 @@ def run_snapshot_ingest(
     batch replayed after a crash between snapshot commit and checkpoint
     commit is recognized and skipped — the version history is identical
     across failure replays, not merely content-identical (ADVICE r2)."""
+    key = list(key)
+    _run_ledgered_stream(
+        stream,
+        table_path,
+        checkpoint_path,
+        delta_fn=lambda batch: dedupe_last(batch, key, order_by),
+        merge_fn=lambda current, delta: upsert_anti_join(current, delta, key),
+    )
+
+
+def _run_ledgered_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    delta_fn,
+    merge_fn,
+    guard=None,
+) -> None:
+    """THE ledgered-commit protocol for streaming snapshot maintenance —
+    run_snapshot_ingest, run_sketch_stream, and run_hll_stream all run
+    through it (three hand-synced copies of the gen probe / replay skip /
+    merge / stamp sequence previously had to stay identical by hand, and
+    the CMS stream's guard ordering diverged once; code-review r4).
+
+    Per micro-batch: probe the checkpoint generation, skip batches at or
+    below the generation's newest committed batch id (crash replays — a
+    FRESH checkpoint restarts ids at 0, so another generation's ledger
+    never suppresses its batches; ids are monotonic per generation, so the
+    newest matching commit is the whole ledger), run ``guard(table, gen,
+    history)`` if given (the hook where additive-state streams refuse
+    foreign generations), build the batch delta, merge it into the current
+    snapshot, and commit with batch_id/ckpt_gen stamped in the manifest.
+    The commits-dir history is listed ONCE per trigger and threaded
+    through every probe (code-review r4: each redundant listStatus is
+    O(commits) driver RPC per micro-batch).
+
+    ``delta_fn(batch) -> DataFrame``; ``merge_fn(current, delta) ->
+    DataFrame`` (only called when the table has history); ``guard(table,
+    gen, history) -> None`` raises to refuse the batch."""
     from european_emissions_data_warehouse_spark.operators.snapshots import SnapshotTable
 
     spark = stream.sparkSession
-    key = list(key)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         table = SnapshotTable(spark, table_path)
         gen = _checkpoint_generation(spark, checkpoint_path)
-        # generation-scoped skip: a FRESH checkpoint restarts batch ids at
-        # 0, so another generation's ledger must not suppress its batches
-        # (re-merging across generations is safe here — LWW upsert is
-        # content-idempotent; only version history grows).  Batch ids are
-        # monotonic per generation, so the newest matching commit is the
-        # whole ledger — O(1) manifest reads per trigger, not O(history).
-        applied = table.last_applied_batch(gen)
+        hist = table.history()
+        applied = table.last_applied_batch(gen, history=hist)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-committed batch
-        cleaned = dedupe_last(batch, key, order_by)
-        if table.history():
-            merged = upsert_anti_join(table.read(), cleaned, key)
-        else:
-            merged = cleaned
+        if guard is not None:
+            guard(table, gen, hist)
+        delta = delta_fn(batch)
+        merged = merge_fn(table.read(hist[-1]), delta) if hist else delta
         meta = {"batch_id": str(batch_id)}
         if gen is not None:
             meta["ckpt_gen"] = gen
@@ -458,18 +490,8 @@ def run_sketch_stream(
     from european_emissions_data_warehouse_spark.operators.sketches import (
         count_min_build,
     )
-    from european_emissions_data_warehouse_spark.operators.snapshots import (
-        SnapshotTable,
-    )
 
-    spark = stream.sparkSession
-
-    def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        table = SnapshotTable(spark, sketch_path)
-        gen = _checkpoint_generation(spark, checkpoint_path)
-        applied = table.last_applied_batch(gen)
-        if applied is not None and batch_id <= applied:
-            return  # crash-replay of an already-merged batch
+    def refuse_foreign_generation(table, gen, hist):
         # CMS counters are SUMS: merging a new checkpoint generation into
         # state built by an old one double-counts everything the new
         # generation re-reads.  Checkpoint and sketch table live and die
@@ -477,8 +499,8 @@ def run_sketch_stream(
         # guard has held since the table's first commit, so only ONE
         # generation can ever be stamped: the newest commit's stamp is the
         # whole check (O(1) per trigger).
-        newest = table.newest_generation()
-        if gen is not None and table.history() and newest != gen:
+        newest = table.newest_generation(history=hist)
+        if gen is not None and hist and newest != gen:
             origin = (
                 f"checkpoint generation {newest!r}"
                 if newest is not None
@@ -491,30 +513,20 @@ def run_sketch_stream(
                 "counter. Restore the original checkpoint or start a fresh "
                 "sketch table."
             )
-        delta = count_min_build(
-            batch, token_col=token_col, depth=depth, width=width, seed=seed
-        )
-        if table.history():
-            merged = (
-                table.read()
-                .unionByName(delta)
-                .groupBy("row_j", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        else:
-            merged = delta
-        meta = {"batch_id": str(batch_id)}
-        if gen is not None:
-            meta["ckpt_gen"] = gen
-        table.commit(merged, meta=meta)
 
-    (
-        stream.writeStream.foreachBatch(merge_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_ledgered_stream(
+        stream,
+        sketch_path,
+        checkpoint_path,
+        delta_fn=lambda batch: count_min_build(
+            batch, token_col=token_col, depth=depth, width=width, seed=seed
+        ),
+        merge_fn=lambda current, delta: (
+            current.unionByName(delta)
+            .groupBy("row_j", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ),
+        guard=refuse_foreign_generation,
     )
 
 
@@ -543,47 +555,23 @@ def run_hll_stream(
     SnapshotTable, each commit records its micro-batch id, replayed
     batches are skipped (a re-merge would be harmless for HLL's max — but
     version history stays replay-stable), and publish is rename-CAS."""
-    from european_emissions_data_warehouse_spark.operators.snapshots import (
-        SnapshotTable,
-    )
-
-    spark = stream.sparkSession
     keys = list(key_cols)
-
-    def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        table = SnapshotTable(spark, table_path)
-        gen = _checkpoint_generation(spark, checkpoint_path)
-        # generation-scoped skip, as in run_sketch_stream.  HLL union is a
-        # register-wise max (idempotent on re-union), so a cross-generation
-        # re-merge cannot inflate estimates — no foreign-generation guard
-        # needed, only the correct non-skip of a fresh generation's batches.
-        applied = table.last_applied_batch(gen)
-        if applied is not None and batch_id <= applied:
-            return
-        delta = batch.groupBy(*keys).agg(
+    # HLL union is a register-wise max (idempotent on re-union), so a
+    # cross-generation re-merge cannot inflate estimates — no
+    # foreign-generation guard needed, only the generation-scoped replay
+    # skip the shared protocol provides.
+    _run_ledgered_stream(
+        stream,
+        table_path,
+        checkpoint_path,
+        delta_fn=lambda batch: batch.groupBy(*keys).agg(
             F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")
-        )
-        if table.history():
-            merged = (
-                table.read()
-                .unionByName(delta)
-                .groupBy(*keys)
-                .agg(F.hll_union_agg("hll").alias("hll"))
-            )
-        else:
-            merged = delta
-        meta = {"batch_id": str(batch_id)}
-        if gen is not None:
-            meta["ckpt_gen"] = gen
-        table.commit(merged, meta=meta)
-
-    (
-        stream.writeStream.foreachBatch(merge_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+        ),
+        merge_fn=lambda current, delta: (
+            current.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg("hll").alias("hll"))
+        ),
     )
 
 

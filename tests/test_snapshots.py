@@ -90,6 +90,56 @@ def test_vacuum_collects_crashed_writer_orphans(spark, nation, tmp_path):
     assert t.read(0).count() == 3 and t.read(1).count() == nation.count()
 
 
+def test_vacuum_is_idempotent_in_its_report(spark, nation, tmp_path):
+    """A second vacuum must not re-report dirs it already deleted: the
+    referenced-but-gone dirs of vacuumed versions were unioned back into
+    the candidate set and appended as phantom 'deletions' on every run
+    (code-review r4)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(3))
+    t.commit(nation.limit(7))
+    t.commit(nation)
+    first = t.vacuum(keep_last=2)
+    assert len(first) == 1
+    again = t.vacuum(keep_last=2)
+    assert again == [], f"phantom re-deletions reported: {again}"
+
+
+def test_rollback_to_vacuumed_version_raises(spark, nation, tmp_path):
+    """Rolling back to a version whose data dir was vacuumed must raise:
+    re-publishing the dangling dir as the new LATEST breaks every
+    subsequent read of the table (code-review r4)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(3))
+    t.commit(nation.limit(7))
+    t.commit(nation)
+    t.vacuum(keep_last=2)  # v0's data dir is gone; its manifest remains
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.rollback(0)
+    # the table's latest is untouched and readable
+    assert t.read().count() == nation.count()
+
+
+def test_vacuum_sweeps_stale_manifest_tmp_files(spark, nation, tmp_path):
+    """A writer crashing between staging its manifest and the CAS rename
+    leaks a .tmp_ file in _commits forever; vacuum must sweep tmps whose
+    version slot is burned and keep in-flight ones (code-review r4)."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.commit(nation.limit(3))
+    t.commit(nation)
+    stale = os.path.join(root, "_commits", ".tmp_00000001_deadbeef")
+    inflight = os.path.join(root, "_commits", ".tmp_00000002_cafebabe")
+    for p in (stale, inflight):
+        with open(p, "w") as fh:
+            fh.write("data_v_whatever")
+    t.vacuum(keep_last=2)
+    assert not os.path.exists(stale), "burned-slot tmp must be swept"
+    assert os.path.exists(inflight), "in-flight tmp must survive"
+
+
 def test_rollback_target_survives_vacuum(spark, nation, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tbl"))
     t.commit(nation.limit(2))

@@ -122,3 +122,42 @@ def test_parquet_ts_unit_directory_contract(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(FileNotFoundError, match="no .parquet part files"):
         _parquet_ts_unit(str(tmp_path / "empty"))
+
+
+def test_parquet_ts_unit_zero_row_parts_and_remote_schemes(tmp_path):
+    """Zero-row-group parts carry no physical-type evidence (pyarrow shows
+    INT96 as ns in the arrow schema), so they must not constrain the unit
+    — an empty part next to data parts previously turned a homogeneous
+    directory into a 'mixed layouts' error.  Remote URIs must fail loudly
+    instead of probing a nonexistent local path (code-review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        _parquet_ts_unit,
+    )
+
+    d = tmp_path / "with_empty"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([0, 1_000_000], type=pa.timestamp("us"))}),
+        str(d / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array([], type=pa.timestamp("ns"))}),
+        str(d / "part-1.parquet"),
+    )
+    # the empty ns-schema part contributes no rows: unit follows the data
+    assert _parquet_ts_unit(str(d)) == ("us", False)
+
+    all_empty = tmp_path / "all_empty"
+    all_empty.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([], type=pa.timestamp("us"))}),
+        str(all_empty / "part-0.parquet"),
+    )
+    assert _parquet_ts_unit(str(all_empty)) == ("us", False)
+
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        _parquet_ts_unit("s3a://lake/events.parquet")
