@@ -29,12 +29,14 @@ from pyspark.sql import DataFrame
 def arrow_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document (doc_id, ws_tokens, n_chars) via pyarrow C++ kernels —
     whitespace-token count computed as count(separator runs) + 1 on
-    trimmed non-empty text, byte-identical to the JVM ``split``-based
-    count INCLUDING its quirks (code-review r4): Spark's ``trim`` strips
-    only ASCII 0x20 (so ``utf8_trim_whitespace``'s Unicode/newline strip
-    diverged on 'a\\n'), Java ``\\s`` is the ASCII class [ \\t\\n\\x0B\\f\\r]
-    (RE2's ``\\s`` excludes \\x0B), and Java ``split`` with limit -1 keeps
-    leading/trailing empty elements (so 'a\\n' counts 2 tokens, not 1).
+    edge-stripped non-empty text, byte-identical to the JVM NON-EMPTY
+    token count (functions/text.ws_token_count).  The quirks that must
+    match exactly (code-review r4): Java ``\\s`` is the ASCII class
+    [ \\t\\n\\x0B\\f\\r] (RE2's ``\\s`` excludes \\x0B, and neither side
+    treats NBSP as whitespace), and since the JVM side filters '' tokens,
+    leading/trailing Java-\\s runs contribute NOTHING — so the kernel
+    strips the full Java-\\s class at both ends (not just 0x20) before
+    counting runs.
 
     Batches stream through unchanged except for the computed columns: no
     pandas objects, no Python-level row loop; per-batch cost is a handful
@@ -46,12 +48,16 @@ def arrow_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
         for batch in it:
             t = batch.column(batch.schema.get_field_index(text_col))
-            trimmed = pc.utf8_trim(t, characters=" ")  # Spark trim: 0x20 only
-            empty = pc.equal(trimmed, pa.scalar(""))
-            # collapse each Java-\s separator RUN to one space; tokens =
-            # runs + 1 (leading/trailing runs add the kept empty elements)
+            stripped = pc.replace_substring_regex(
+                t,
+                pattern="^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$",
+                replacement="",
+            )
+            empty = pc.equal(stripped, pa.scalar(""))
+            # collapse each interior Java-\s separator RUN to one space;
+            # non-empty tokens = interior runs + 1
             one_space = pc.replace_substring_regex(
-                trimmed, pattern="[ \t\n\x0b\f\r]+", replacement=" "
+                stripped, pattern="[ \t\n\x0b\f\r]+", replacement=" "
             )
             seps = pc.count_substring(one_space, " ")
             tokens = pc.if_else(empty, pa.scalar(0), pc.add(seps, 1))

@@ -28,12 +28,21 @@ LANG_MARKERS: dict[str, str] = {
 }
 
 
+def ws_tokens(text: Column) -> Column:
+    """Non-empty whitespace tokens (array<string>).  trim() strips only
+    0x20, so a split over text with leading/trailing \\t or \\n keeps
+    phantom '' entries — every token budget built on the raw size was
+    systematically inflated on scraped/line-based text (ws_token_count of
+    'a b\\n' was 3), while every explode-based path filtered '' and
+    disagreed with the counter for the same document (code-review r4).
+    THE tokenization for counts and shingles; mirrored in the oracles as
+    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count (long)."""
-    empty = F.length(F.trim(text)) == 0
-    return F.when(empty, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    ).cast("long")
+    """Whitespace token count (long) — non-empty tokens only."""
+    return F.size(ws_tokens(text)).cast("long")
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -50,8 +59,15 @@ def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation/symbols (double); 0.0
     for empty text — under the repo's ANSI-on session the unguarded
     division turned ONE empty document into a DIVIDE_BY_ZERO job abort
-    (code-review r4; guards mirrored in the DuckDB oracles)."""
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    (code-review r4; guards mirrored in the DuckDB oracles).
+
+    The class is Unicode (``[^\\s\\p{L}\\p{N}]``), not ASCII: the ASCII
+    form counted every accented/CJK LETTER as punctuation, so
+    quality_score systematically zeroed exactly the non-English documents
+    the lang-id markers support (a Chinese doc scored punct_ratio ~1.0;
+    code-review r4).  \\p{L}/\\p{N} have identical semantics in Java regex
+    and DuckDB's RE2, so the oracles mirror it verbatim."""
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\s\p{L}\p{N}]"), F.lit(0)))
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
@@ -155,8 +171,11 @@ def char_shingles(text: Column, k: int = 8) -> Column:
 def word_shingles(text: Column, n: int = 5) -> Column:
     """Distinct n-token (word) shingles (array<string>).  More selective
     than character shingles on small-vocabulary corpora — the preferred
-    unit for Jaccard/MinHash dedup of natural-language text."""
-    toks = F.split(F.trim(text), r"\s+")
+    unit for Jaccard/MinHash dedup of natural-language text.  Built from
+    the NON-EMPTY token stream (ws_tokens): phantom ''-tokens from edge
+    whitespace changed the shingle set, so two docs identical but for a
+    trailing newline failed to match as duplicates (code-review r4)."""
+    toks = ws_tokens(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(

@@ -93,6 +93,14 @@ def embedding_stats_udf():
     def stats(vecs):
         out = {"l2_norm": [], "mean": [], "absmax": []}
         for v in vecs:
+            if v is None:
+                # null embedding -> null stats, matching the HOF path
+                # (norm(NULL) is NULL); iterating None aborted the whole
+                # job on one null row (code-review r4)
+                out["l2_norm"].append(None)
+                out["mean"].append(None)
+                out["absmax"].append(None)
+                continue
             sq = 0.0
             s = 0.0
             m = 0.0

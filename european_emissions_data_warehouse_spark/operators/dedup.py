@@ -87,8 +87,13 @@ _fold31b = lambda c: F.shiftright(c, 16).bitwiseXOR(c).bitwiseAND(F.lit(_MASK)) 
 
 
 def _split_tokens(text_col, unit: str):
+    # non-empty tokens only (word unit): trim() strips only 0x20, so edge
+    # \t/\n injected phantom ''-token grams and changed the shingle set —
+    # two docs differing only by a trailing newline failed to pair as
+    # duplicates; matches functions/text.ws_tokens and every oracle's
+    # list_filter convention (code-review r4)
     if unit == "word":
-        return F.split(F.trim(text_col), r"\s+")
+        return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
     return F.split(text_col, "")
 
 
@@ -672,7 +677,12 @@ def chunk_dedup(
     # (no CSE in interpreted HOF eval — see _rolling_grams above).
     tokenized = docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        # non-empty tokens, matching _split_tokens/ws_tokens: phantom ''
+        # entries from edge whitespace would enter chunks and the
+        # reassembled text (code-review r4)
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
     )
     chunked = tokenized.select(
         "_id",

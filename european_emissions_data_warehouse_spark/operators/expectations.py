@@ -57,11 +57,22 @@ def table_expectations(
         aggs.append(
             (F.count(c) - F.countDistinct(c)).alias(f"{table}.{c}.unique")
         )
+    # accepted_values / in_range PASS NULLs, like the SQL CHECK constraints
+    # they compile from: counting NULL as a violation double-reported every
+    # legitimately-nullable column against its separate not_null rule and
+    # permanently failed violations==0 gates on valid data (code-review
+    # r4).  Nullability is the not_null rule's job — state it explicitly.
     for c, vals in (accepted or {}).items():
-        aggs.append(_violations(F.col(c).isin(list(vals))).alias(f"{table}.{c}.accepted_values"))
+        aggs.append(
+            _violations(F.col(c).isNull() | F.col(c).isin(list(vals))).alias(
+                f"{table}.{c}.accepted_values"
+            )
+        )
     for c, (lo, hi) in (ranges or {}).items():
         aggs.append(
-            _violations(F.col(c).between(F.lit(lo), F.lit(hi))).alias(f"{table}.{c}.in_range")
+            _violations(
+                F.col(c).isNull() | F.col(c).between(F.lit(lo), F.lit(hi))
+            ).alias(f"{table}.{c}.in_range")
         )
     wide = df.agg(*aggs)
     # check names are dotted (table.column.rule): backtick them so unpivot
@@ -78,12 +89,18 @@ def foreign_key_check(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str,
     broadcast_parent: bool = True,
 ) -> DataFrame:
-    """Orphan count: child rows whose key has no parent.  ``broadcast_parent``
-    for dimension parents; flip off to shuffle-join two fact-scale tables."""
+    """Orphan count: NON-NULL child keys with no parent.  SQL FK
+    constraints pass NULL child rows (MATCH SIMPLE), so counting them as
+    orphans diverged from the semantics this module claims parity with
+    and double-reported nullable FKs against their not_null rule
+    (code-review r4).  ``broadcast_parent`` for dimension parents; flip
+    off to shuffle-join two fact-scale tables."""
     keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
-    orphans = child.join(keys, child_key, "left_anti")
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
+        keys, child_key, "left_anti"
+    )
     return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
         F.lit(name).alias("check"), "violations"
     )

@@ -36,12 +36,34 @@ def z_value(c1: Column, c2: Column, bits: int = 16) -> Column:
     extension of compact_parquet's single-key range clustering.  Pure
     shift/and/or expressions: whole-stage codegen, no UDF; 2*bits ≤ 62 keeps
     the key in a signed long under ANSI mode."""
+    # domain guard: bits above `bits` are silently DISCARDED by the
+    # interleave, so ids beyond 2^bits collide on their low bits and rows
+    # far apart in the column co-locate — min/max pruning quietly stops
+    # working with no error; negative inputs likewise produce garbage
+    # keys.  Fail loudly instead (code-review r4).
+    bound = 1 << bits
+    def checked(c: Column) -> Column:
+        v = c.cast("long")
+        return F.when((v >= 0) & (v < bound), v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("z_value: column value "),
+                    v.cast("string"),
+                    F.lit(
+                        f" outside [0, 2^{bits}) — raise `bits` (2*bits <= 62)"
+                        " or pre-scale the column (code-review r4)"
+                    ),
+                )
+            )
+        )
+
+    v1, v2 = checked(c1), checked(c2)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            F.shiftleft(F.shiftright(v1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         ).bitwiseOR(
-            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            F.shiftleft(F.shiftright(v2, i).bitwiseAND(F.lit(1)), 2 * i)
         )
     return z
 
@@ -69,15 +91,52 @@ def _swap_into(spark: SparkSession, staging: str, final: str) -> None:
         fs.delete(trash_p, True)
 
 
+def _recover_interrupted_swap(spark: SparkSession, final: str) -> None:
+    """Heal a crash between _swap_into's two renames: the data then lives
+    only under ``{final}__trash`` and ``final`` is missing — restore it so
+    the next maintenance run (or reader) sees the full table instead of
+    crashing on a nonexistent path (code-review r4; the streaming merge's
+    recover_interrupted_swap does the same for its __trash_N convention)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    final_p = path_cls(final)
+    fs = final_p.getFileSystem(conf)
+    if fs.exists(final_p):
+        return
+    trash_p = path_cls(f"{final}__trash")
+    if fs.exists(trash_p) and not fs.rename(trash_p, final_p):
+        raise IOError(f"recover: rename {final}__trash -> {final} failed")
+
+
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) of a parquet directory."""
+    """(n_data_files, total_bytes) of a FLAT parquet directory.
+
+    Hive-partitioned layouts (``col=value`` subdirectories) are refused:
+    the whole-directory rewrite reads every partition but writes ONE flat
+    directory — silently destroying partition pruning for every reader —
+    and the old top-level-only listing measured them as 0 bytes, funneling
+    the entire table through a single task (code-review r4).  Compact each
+    partition directory individually, or use SnapshotTable.optimize."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"compact: {path} does not exist (a crashed prior swap is "
+            "auto-healed from __trash at entry; anything else is a caller bug)"
+        )
     n, total = 0, 0
     for status in fs.listStatus(p):
         name = status.getPath().getName()
+        if status.isDirectory() and "=" in name:
+            raise ValueError(
+                f"compact: {path} is hive-partitioned ({name}/ ...); a flat "
+                "rewrite would flatten the partition layout and destroy "
+                "partition pruning — compact each partition directory, or "
+                "use SnapshotTable.optimize (code-review r4)"
+            )
         if name.endswith(".parquet"):
             n += 1
             total += status.getLen()
@@ -95,6 +154,7 @@ def compact_parquet(
     Returns (files_before, files_after).  With `sort_by`, rows are
     range-sorted across and within files so min/max row-group stats prune
     scans on those columns."""
+    _recover_interrupted_swap(spark, path)
     n_before, total_bytes = _dir_stats(spark, path)
     n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
@@ -127,6 +187,7 @@ def cluster_zorder(
     atomically swap — data-skipping then works for filters on either column
     (compact_parquet's staging/swap protocol, same crash safety).  Returns
     (files_before, files_after)."""
+    _recover_interrupted_swap(spark, path)
     n_before, total_bytes = _dir_stats(spark, path)
     n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 

@@ -98,7 +98,18 @@ def with_surrogate_key(
     gives no cross-rebuild stability either (SURVEY.md §2.1,
     scripts/lambda_handler_warehouse.py:54), so tie ordering beyond
     ``order_by`` is explicitly unspecified.
+
+    Raises if ``name`` already exists on ``df``: withColumn would silently
+    REPLACE the caller's column and the final projection would emit it
+    twice, losing the original values and making every later reference to
+    the name ambiguous (code-review r4).
     """
+    if name in df.columns:
+        raise ValueError(
+            f"with_surrogate_key: column {name!r} already exists on the "
+            "input — pass a different `name` (the existing values would be "
+            "silently destroyed)"
+        )
     spark = df.sparkSession
     n = num_shards or max(spark.sparkContext.defaultParallelism, 1)
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_by])

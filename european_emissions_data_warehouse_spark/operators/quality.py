@@ -38,6 +38,12 @@ def repetition_signals(
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
     ).filter(F.col("w") != "")  # split('') yields [''] — a phantom token that
     # scored every empty doc as maximally repetitive (code-review r4)
+    # materialized: the unigram groupBy and the bigram window consume toks
+    # under different shuffle keys ((id,w) vs id), so without the
+    # checkpoint the corpus is re-scanned and re-tokenized per branch —
+    # the same multi-consumer fix ranking.term_index carries
+    # (code-review r4)
+    toks = toks.localCheckpoint(eager=False)
     uni = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
     uni_stats = uni.groupBy("id").agg(
         F.sum("c").alias("n_words"),
@@ -92,6 +98,9 @@ def token_rarity(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")  # same phantom-''-token guard as repetition_signals
+    # materialized: df_tab aggregates toks AND the scoring join probes it —
+    # two corpus scans without the checkpoint (code-review r4)
+    toks = toks.localCheckpoint(eager=False)
     df_tab = (
         toks.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     )

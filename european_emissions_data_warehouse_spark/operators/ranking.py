@@ -106,10 +106,14 @@ def bm25_topk(
     and deriving N from dl deflated it versus the standard BM25 definition
     (and versus tfidf_top_terms' N; code-review r4).  A repeated query
     term contributes once per occurrence, as the bag-of-terms contract
-    says: each distinct term's score is weighted by its query frequency."""
+    says: each distinct term's score is weighted by its query frequency.
+
+    Query terms are lowercased to match tokenize()'s corpus convention —
+    un-normalized they silently matched nothing ('Spark' returned an
+    empty result over a corpus containing 'Spark'; code-review r4)."""
     from collections import Counter
 
-    qtf = Counter(query_terms)
+    qtf = Counter(t.lower() for t in query_terms)
     qterms = list(qtf)
     tf = term_index(docs).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -52,11 +52,27 @@ _MOD32 = 1 << 32
 def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer key — integer
     +,*,%,div only, so the exact expression is portable to any SQL engine
-    (the oracles inline it verbatim; keep them in lockstep)."""
+    (the oracles inline the same VALUES; the key is reduced mod 2^30
+    BEFORE the salt is added — ``key + salt`` overflowed bigint for keys
+    within salt of Long.MAX under ANSI, and since (key % F + salt) mod F
+    == (key + salt) mod F the pre-reduction changes no bucket, so the
+    existing oracles stay value-identical; code-review r4).
+
+    NULL keys raise instead of hashing: a null made every downstream
+    comparison NULL, silently routing the row to split_by_hash's LAST
+    split (the holdout!) while stratified_sample_hash silently DROPPED it
+    — two different silent policies for data with no stable identity."""
     mult = (_KNUTH + 2 * salt) % _MOD32
-    folded = f"((({key_col} + {salt}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
+    keyed = f"((({key_col}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
+    folded = f"(({keyed}) + {salt}) % {_FOLD}"
     h = f"(({folded}) * {mult}) % {_MOD32}"
-    return F.expr(f"(({h}) div 64) % {n_buckets}")
+    return F.expr(
+        f"CASE WHEN ({key_col}) IS NULL THEN "
+        f"CAST(raise_error('hash_bucket: null key in {key_col} — rows "
+        f"without a stable identity cannot be deterministically bucketed; "
+        f"filter or impute keys first (code-review r4)') AS BIGINT) "
+        f"ELSE (({h}) div 64) % {n_buckets} END"
+    )
 
 
 def split_by_hash(

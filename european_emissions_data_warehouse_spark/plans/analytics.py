@@ -1585,7 +1585,13 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The generator and the min_by/max_by fold both combine map-side, so the
     exploded rows never shuffle — only one small row per document does."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("lst"))
+    # non-empty tokens, the corpus-wide convention (functions/text.ws_tokens)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+        ).alias("lst"),
+    )
     pos = toks.select("doc_id", F.posexplode("lst").alias("pos", "token"))
     return (
         pos.groupBy("doc_id")
@@ -1600,7 +1606,9 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_POSITIONS = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS lst FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS lst
+  FROM documents
 ), pos AS (
   SELECT doc_id, unnest(range(len(lst))) AS i, lst FROM toks
 )
@@ -2688,11 +2696,11 @@ SELECT * FROM (
          COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
   UNION ALL
   SELECT 'orders.o_orderstatus.accepted_values',
-         COUNT(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P'))
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))
   FROM orders
   UNION ALL
   SELECT 'orders.o_totalprice.in_range',
-         COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000)
+         COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 1000000))
   FROM orders
   UNION ALL
   SELECT 'lineitem.row_count', COUNT(*) FROM lineitem
@@ -2700,11 +2708,11 @@ SELECT * FROM (
   SELECT 'lineitem.l_orderkey.not_null', COUNT(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem
   UNION ALL
   SELECT 'lineitem.l_quantity.in_range',
-         COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+         COUNT(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50))
   FROM lineitem
   UNION ALL
   SELECT 'lineitem.l_discount.in_range',
-         COUNT(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+         COUNT(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1))
   FROM lineitem
   UNION ALL
   SELECT 'customer.row_count', COUNT(*) FROM customer
@@ -2713,11 +2721,11 @@ SELECT * FROM (
          COUNT(c_custkey) - COUNT(DISTINCT c_custkey) FROM customer
   UNION ALL
   SELECT 'orders.o_custkey.fk_customer',
-         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
   UNION ALL
   SELECT 'lineitem.l_orderkey.fk_orders',
-         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
 ) ORDER BY "check"
 """
@@ -3046,7 +3054,7 @@ def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORPHAN_AUDIT = """
 SELECT * FROM (
   SELECT 'lineitem->orders' AS relation,
-         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
   UNION ALL
   SELECT 'lineitem->part',
@@ -3058,7 +3066,7 @@ SELECT * FROM (
             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
   UNION ALL
   SELECT 'orders->customer',
-         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
 ) ORDER BY relation
 """

@@ -83,7 +83,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
@@ -115,7 +115,7 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD_CAPPED = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
@@ -154,7 +154,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_COMPONENTS = r"""
 WITH RECURSIVE base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
@@ -236,7 +236,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TRUE_PAIRS_09 = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
@@ -511,13 +511,13 @@ WITH m AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars_text,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
+              ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) END AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
          CASE WHEN length(trim(text)) = 0 THEN 0.0
               ELSE len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-                / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
+                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio
   FROM documents
 )
 SELECT doc_id, n_chars_text, ws_tokens, bpe_tokens, punct_ratio, stop_ratio,
@@ -626,11 +626,11 @@ WITH cleaned AS (
 ), m AS (
   SELECT doc_id, ctext,
          length(ctext) AS n_chars,
-         len(regexp_extract_all(ctext, '[^\sA-Za-z0-9]')) / length(ctext) AS punct_ratio,
+         len(regexp_extract_all(ctext, '[^\s\p{L}\p{N}]')) / length(ctext) AS punct_ratio,
          len(regexp_extract_all(lower(ctext),
              '\b(the|and|of|to|is|in|that|for|with|was)\b'))
            / (CASE WHEN length(trim(ctext)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(ctext), '\s+')) END) AS stop_ratio
+                   ELSE len(list_filter(string_split_regex(trim(ctext), '\s+'), t -> t <> '')) END) AS stop_ratio
   FROM cleaned
 ), q AS (
   SELECT doc_id, ctext,
@@ -672,7 +672,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECONTAMINATE = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), sh0 AS (
   SELECT doc_id,
          list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
@@ -705,7 +705,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REPETITION_SIGNALS = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), uni AS (
   SELECT doc_id, w, COUNT(*) AS c
   FROM (SELECT doc_id, UNNEST(toks) AS w FROM base)
@@ -777,7 +777,7 @@ ORACLE_SOURCE_MIXTURE = r"""
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+                       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
@@ -1029,7 +1029,7 @@ ORACLE_SEQUENCE_PACK = r"""
 WITH toks AS (
   SELECT doc_id, doc_id % 8 AS shard,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+              ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT shard, doc_id, n_tokens,
@@ -1159,7 +1159,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS sent_no,
-       CAST(len(string_split_regex(s, '\s+')) AS BIGINT) AS n_words
+       CAST(len(list_filter(string_split_regex(s, '\s+'), t -> t <> '')) AS BIGINT) AS n_words
 FROM ne
 """
 
@@ -1225,11 +1225,11 @@ ORACLE_QUALITY_WEIGHTED_SAMPLE = r"""
 WITH m AS (
   SELECT doc_id, lang,
          CAST(length(text) AS BIGINT) AS n_chars_text,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
          CASE WHEN length(trim(text)) = 0 THEN 0.0
               ELSE len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-                / len(string_split_regex(trim(text), '\s+')) END AS stop_ratio
+                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio
   FROM documents
 ), q AS (
   SELECT doc_id, lang,
@@ -1650,7 +1650,7 @@ ORACLE_MIXTURE_TEMPERATURE = r"""
 WITH per AS (
   SELECT lang,
          CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+                       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ), tot AS (
   SELECT SUM(n_tokens) AS n_total FROM per
@@ -2192,7 +2192,7 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer arithmetic end-to-end (exact cross-engine); one map-side
     pass plus a 4-group aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n = ws_token_count(F.col("text"))
     capped = F.least(n, F.lit(128))
     bucket = (F.floor((capped + 31) / 32) * 32).cast("long")
     return (
@@ -2213,7 +2213,7 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PADDING_EFFICIENCY = r"""
 WITH d AS (
-  SELECT LEAST(len(string_split_regex(trim(text), '\s+')), 128) AS c
+  SELECT LEAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 128) AS c
   FROM documents
 ), b AS (
   SELECT c, ((c + 31) // 32) * 32 AS bucket_len FROM d
@@ -2237,7 +2237,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHUNK_DEDUP = r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
 ), chunks AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          array_to_string(toks[(CAST(i AS INT) * 16 + 1):(CAST(i AS INT) * 16 + 16)], ' ') AS chunk
@@ -2422,12 +2422,12 @@ ORACLE_NB_QUALITY = r"""
 WITH m AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) / length(text) ELSE 0.0 END
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END
            AS punct_ratio,
          CASE WHEN length(trim(text)) = 0 THEN 0.0
               ELSE len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-                / len(string_split_regex(trim(text), '\s+')) END
+                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
            AS stop_ratio
   FROM documents
 ), labeled AS (
@@ -2502,7 +2502,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_READABILITY = r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT)
          AS n_words,
        CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
          AS n_sentences,
@@ -2510,13 +2510,13 @@ SELECT doc_id,
             + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               w -> NOT regexp_matches(w, '[aeiouy]')))
          AS BIGINT) AS n_syllables,
-       ROUND(0.39 * (len(string_split_regex(lower(trim(text)), '\s+'))
+       ROUND(0.39 * (len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
                      / CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
                             AS DOUBLE))
              + 11.8 * ((len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
                         + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                           w -> NOT regexp_matches(w, '[aeiouy]'))))
-                       / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       / CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
                               AS DOUBLE))
              - 15.59, 4) AS fk_grade
 FROM documents

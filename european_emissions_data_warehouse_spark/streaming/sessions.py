@@ -48,6 +48,15 @@ def sessionize_stateful(
     def fold(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        # The processing-time timeout is the QUIESCENCE flush: it closes
+        # the open session when the stream has gone quiet, which is what
+        # drains state in the availableNow/run-to-completion mode (and
+        # matches the batch twin, which closes every session at
+        # end-of-data).  On a continuous stream it is a heuristic — a
+        # source stalling longer than timeout_ms splits a session the
+        # batch twin would keep whole — so continuous callers must size
+        # timeout_ms comfortably above their worst-case batch cadence
+        # (code-review r4).
         (user_id,) = key
         if state.hasTimedOut:
             start, last, n, total = state.get
@@ -82,11 +91,23 @@ def sessionize_stateful(
                 t = int(ts.value // 1000)  # inline (module refs don't pickle to workers)
                 if start is None:
                     start, last, n, total = t, t, 1, float(value)
-                elif t - last > gap_seconds * 1_000_000:
+                # gap measured on WHOLE-SECOND truncations, exactly like the
+                # batch twin's ts.cast('long') difference — µs-precision
+                # comparison split sub-second boundary gaps (1800.5s) that
+                # q_sessionize merges (code-review r4)
+                elif (t // 1_000_000) - (last // 1_000_000) > gap_seconds:
                     closed.append((start, last, n, total))
                     start, last, n, total = t, t, 1, float(value)
                 else:
-                    last = t
+                    # an out-of-order event from a LATER micro-batch can
+                    # precede state's bounds (within-batch rows are sorted,
+                    # cross-batch ones are not): the session window must
+                    # only widen, never regress — `last = t` moved
+                    # session_end backward and manufactured spurious
+                    # gap-splits against the stale lower bound
+                    # (code-review r4)
+                    start = min(start, t)
+                    last = max(last, t)
                     n += 1
                     total += float(value)
 
@@ -141,6 +162,7 @@ def run_sessionize_drain(
         .start()
     )
     t0 = time.time()
+    drained = False
     try:
         while q.isActive and time.time() - t0 < max_wait_s:
             lp = q.lastProgress
@@ -155,6 +177,19 @@ def run_sessionize_drain(
             time.sleep(poll_interval_s)
         if q.exception() is not None:
             raise q.exception()
+        if not drained:
+            # returning normally here silently dropped every unflushed
+            # session from the output — the caller reads an incomplete
+            # parquet indistinguishable from a clean drain (code-review r4)
+            lp = q.lastProgress or {}
+            state_ops = lp.get("stateOperators") or [{}]
+            raise TimeoutError(
+                f"run_sessionize_drain: state not drained within "
+                f"{max_wait_s}s — {state_ops[0].get('numRowsTotal', '?')} "
+                f"session(s) still open in the state store; the parquet at "
+                f"{out_path} is INCOMPLETE. Raise max_wait_s or lower the "
+                "sessionizer's timeout_ms."
+            )
         # Give any in-flight micro-batch one poll interval to commit before
         # stopping — stop() mid state-store write is harmless (the
         # checkpoint recovers) but spams ERROR FileFormatWriter into test

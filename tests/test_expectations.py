@@ -41,8 +41,11 @@ def test_single_table_rules_count_violations(spark):
         "t.id.not_null": 1,
         # COUNT(id)=4 non-null minus 3 distinct
         "t.id.unique": 1,
-        "t.status.accepted_values": 2,
-        "t.amount.in_range": 3,
+        # NULL PASSES accepted_values/in_range (SQL CHECK semantics,
+        # code-review r4): only 'X' violates the domain, only -5 and 200
+        # violate the range; nullability is the not_null rule's job
+        "t.status.accepted_values": 1,
+        "t.amount.in_range": 2,
     }
 
 
@@ -52,8 +55,9 @@ def test_foreign_key_orphans(spark):
     rep = _report_dict(
         foreign_key_check(child, parent, "fk", "pk", "child.fk.fk_parent")
     )
-    # two orphan rows with fk=9 plus the null fk (no parent matches null)
-    assert rep == {"child.fk.fk_parent": 3}
+    # two orphan rows with fk=9; the NULL fk PASSES (SQL MATCH SIMPLE —
+    # a nullable FK is valid data, not an orphan; code-review r4)
+    assert rep == {"child.fk.fk_parent": 2}
 
 
 def test_report_union_is_ordered(spark):

@@ -38,6 +38,56 @@ def test_z_value_bit_interleaving(spark):
     assert got == [0b1010, 0b0101, 0b0011, 0b1101]
 
 
+def test_compaction_refuses_hive_partitioned_layout(spark, sf_dir, tmp_path):
+    """A flat rewrite of a partitionBy() directory would read every
+    partition but publish ONE unpartitioned dir — partition pruning
+    silently destroyed for every reader, and the old top-level-only byte
+    count measured it as 0 bytes -> repartition(1) (code-review r4)."""
+    import pytest
+
+    out = str(tmp_path / "parts")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.withColumn("day", F.dayofmonth("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(out)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, out)
+
+
+def test_compaction_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between _swap_into's renames leaves the table only under
+    __trash; the next run must restore it instead of crashing on a
+    missing path (code-review r4)."""
+    import os
+
+    out = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    want = spark.read.parquet(out).count()
+    os.rename(out, out + "__trash")  # simulate the crash window
+    before, after = compact_parquet(spark, out)
+    assert before == 4 and spark.read.parquet(out).count() == want
+
+
+def test_z_value_rejects_out_of_domain(spark):
+    """Values past 2^bits silently collided on low bits (65536 and 0 got
+    identical keys) and negatives produced garbage — both must raise
+    (code-review r4)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.operators.maintenance import z_value
+
+    big = spark.createDataFrame([(1 << 20, 1)], "a long, b long")
+    with pytest.raises(Exception, match="outside"):
+        big.select(z_value(F.col("a"), F.col("b"), bits=16)).collect()
+    neg = spark.createDataFrame([(-1, 1)], "a long, b long")
+    with pytest.raises(Exception, match="outside"):
+        neg.select(z_value(F.col("a"), F.col("b"), bits=16)).collect()
+    # and in-domain values still interleave
+    ok = spark.createDataFrame([(1 << 19, 1)], "a long, b long")
+    assert ok.select(z_value(F.col("a"), F.col("b"), bits=20)).collect()
+
+
 def test_zorder_cluster_preserves_data_with_disjoint_file_ranges(spark, sf_dir, tmp_path):
     from european_emissions_data_warehouse_spark.operators.maintenance import (
         cluster_zorder,

@@ -47,6 +47,36 @@ def test_bm25_rewards_matches_and_rarity(spark):
     assert all(s > 0 for s in scores.values())
 
 
+def test_bm25_normalizes_query_case(spark):
+    """tokenize() lowercases the corpus; an un-normalized query term with
+    any uppercase silently matched NOTHING (code-review r4)."""
+    docs = _docs(spark, [(1, "spark query engine"), (2, "other words")])
+    upper = bm25_topk(docs, ["Spark"], k=10).collect()
+    lower = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in upper] == [r["doc_id"] for r in lower] == [1]
+    assert upper[0]["score"] == lower[0]["score"]
+
+
+def test_embedding_stats_udf_null_row(spark):
+    """One null embedding must yield null stats, not abort the job
+    (code-review r4; matches the HOF path where norm(NULL) is NULL)."""
+    from european_emissions_data_warehouse_spark.functions.vectors import (
+        embedding_stats_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, embedding array<double>"
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", embedding_stats_udf()(F.col("embedding")).alias("s")
+        ).collect()
+    }
+    assert rows[1]["l2_norm"] is not None
+    assert rows[2]["l2_norm"] is None and rows[2]["mean"] is None
+
+
 def test_tfidf_ignores_ubiquitous_terms(spark):
     docs = _docs(spark, [(1, "the cat"), (2, "the dog"), (3, "the the")])
     out = tfidf_top_terms(docs, k=1).collect()

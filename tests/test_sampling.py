@@ -164,6 +164,42 @@ def test_hash_bucket_negative_keys_stay_in_range(spark):
     assert shares.get("valid", 0) > 0 and shares.get("test", 0) > 0, shares
 
 
+def test_hash_bucket_extreme_and_null_keys(spark):
+    """Long.MAX must bucket (key + salt overflowed bigint and aborted the
+    job under ANSI) and a NULL key must raise — silently, the null routed
+    to split_by_hash's LAST split (the holdout) while the stratified
+    sampler dropped it: two policies for unidentifiable rows
+    (code-review r4)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    extremes = spark.createDataFrame(
+        [(9223372036854775807,), (-9223372036854775808,), (0,)], "key long"
+    )
+    got = [r["b"] for r in extremes.select(hash_bucket("key", 100).alias("b")).collect()]
+    assert all(0 <= b < 100 for b in got), got
+    nulls = spark.createDataFrame([(1,), (None,)], "key long")
+    with pytest.raises(Exception, match="null key"):
+        nulls.select(hash_bucket("key", 100).alias("b")).collect()
+
+
+def test_surrogate_key_rejects_existing_column(spark):
+    """withColumn would silently replace the caller's column and project
+    it twice (code-review r4)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.operators.merge import (
+        with_surrogate_key,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="already exists"):
+        with_surrogate_key(df, ["v"], name="id")
+
+
 def test_hash_bucket_distribution_unbiased(spark):
     """At modulus 10000 the old 16-bit bucket had a 7:6 skew — realized
     fractions off by up to ~7%%.  With 26 bits the realized fraction of a

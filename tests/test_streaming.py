@@ -470,6 +470,51 @@ def test_stateful_sessions_match_batch(spark, events_batch, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_stateful_sessions_fold_out_of_order_across_batches(spark, tmp_path):
+    """A late event landing in a LATER micro-batch must widen the open
+    session, never regress it: `last = t` moved session_end backward and a
+    following in-gap event then measured its gap from the stale lower
+    bound and split the session the batch twin keeps whole (code-review
+    r4).  Three events for one user — 12:00, then (next batch) 11:50 and
+    12:25 — are ONE session: every pairwise gap from the true last event
+    is under 30 minutes."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [(1, 1, "2024-06-01 12:00:00", 1.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [
+            (1, 2, "2024-06-01 11:50:00", 1.0),   # late, within gap
+            (1, 3, "2024-06-01 12:25:00", 1.0),   # 25 min after TRUE last
+        ],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import os
+
+    os.makedirs(landing)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sessions = sessionize_stateful(stream, timeout_ms=3_000)
+    run_sessionize_drain(sessions, out, ckpt, max_wait_s=120)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1, [tuple(r) for r in got]
+    (r,) = got
+    assert r["n_events"] == 3
+    assert str(r["session_start"]).startswith("2024-06-01 11:50")
+    assert str(r["session_end"]).startswith("2024-06-01 12:25")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
 def test_corpus_prep_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming corpus prep == batch q_corpus_prep at the content level.
     The batch op keeps the smallest doc_id per duplicate text while the
