@@ -36,8 +36,14 @@ def ws_tokens(text: Column) -> Column:
     'a b\\n' was 3), while every explode-based path filtered '' and
     disagreed with the counter for the same document (code-review r4).
     THE tokenization for counts and shingles; mirrored in the oracles as
-    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '').
+
+    Implementation: ``array_remove(split(...), '')`` — a codegen array
+    expression, not a lambda HOF (interpreted) and not an extra
+    edge-strip regexp pass over the text (the when/otherwise around a
+    stripped column evaluated the regex twice); bench-measured fastest of
+    the element-identical forms."""
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def ws_token_count(text: Column) -> Column:
@@ -66,8 +72,13 @@ def punct_ratio(text: Column) -> Column:
     quality_score systematically zeroed exactly the non-English documents
     the lang-id markers support (a Chinese doc scored punct_ratio ~1.0;
     code-review r4).  \\p{L}/\\p{N} have identical semantics in Java regex
-    and DuckDB's RE2, so the oracles mirror it verbatim."""
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\s\p{L}\p{N}]"), F.lit(0)))
+    and DuckDB's RE2, so the oracles mirror it verbatim.
+
+    Counted as the LENGTH after deleting the keep-class — one regexp pass
+    producing one string, where regexp_extract_all allocated a per-match
+    array per row in the corpus-prep hot path; single-char matches make
+    the two counts identical by construction."""
+    n_punct = F.length(F.regexp_replace(text, r"[\s\p{L}\p{N}]", ""))
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 

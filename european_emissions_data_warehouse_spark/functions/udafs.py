@@ -21,7 +21,15 @@ def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
     row of the group in the interpreter; code-review r4).  Cent-precision
     prices times integer quantities are exactly representable doubles and
     the group sums stay far below 2^53, so every partial sum is exact and
-    the vectorized reduction is bit-identical to sequential accumulation."""
-    s = (price * qty).sum()  # skipna: rows with a null price or qty drop
-    w = qty.sum()
-    return float(s / w) if w else 0.0
+    the vectorized reduction is bit-identical to sequential accumulation.
+
+    Degenerate groups follow SQL, not 0.0 (second code-review r4 pass):
+    SUM over only-null products is NULL (``min_count=1`` — bare ``.sum()``
+    returns 0.0 there), and NULL/x, x/NULL, and x/0 are all NULL, so a
+    group with no weighable rows aggregates to NULL instead of a
+    fabricated zero average."""
+    s = (price * qty).sum(min_count=1)  # NaN when no non-null product
+    w = qty.sum(min_count=1)
+    if pd.isna(s) or pd.isna(w) or w == 0:
+        return None
+    return float(s / w)

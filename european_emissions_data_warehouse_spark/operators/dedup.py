@@ -91,9 +91,11 @@ def _split_tokens(text_col, unit: str):
     # \t/\n injected phantom ''-token grams and changed the shingle set —
     # two docs differing only by a trailing newline failed to pair as
     # duplicates; matches functions/text.ws_tokens and every oracle's
-    # list_filter convention (code-review r4)
+    # list_filter convention (code-review r4).  array_remove, not a lambda
+    # HOF (interpreted) and not an edge-strip regexp (double-evaluated):
+    # bench-measured fastest of the element-identical forms.
     if unit == "word":
-        return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+        return F.array_remove(F.split(F.trim(text_col), r"\s+"), "")
     return F.split(text_col, "")
 
 
@@ -385,19 +387,27 @@ def connected_components_star(
         return (row["n"], row["x"], row["s"])
 
     # lazy: each frame materializes inside its first consuming job (the
-    # checksum action) instead of a separate blocking pass
-    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = canon(raw, "u", "v").localCheckpoint(eager=False)
+    # checksum action) instead of a separate blocking pass.  ONE canonical
+    # distinct pass over the (possibly expensive) pairs lineage, KEEPING
+    # self-loops: both the edge set and the node universe derive from the
+    # same checkpoint — the node universe must see nodes appearing only in
+    # (x, x) pairs (deriving it from the loop-filtered edges silently
+    # dropped them), and deriving it from the raw pairs instead
+    # re-executed the whole upstream pair pipeline a second time
+    # (code-review r4, both passes).
+    canon0 = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = canon0.filter(F.col("lo") != F.col("hi")).localCheckpoint(eager=False)
     edges_sum = checksum(edges)
-    # node universe from the RAW pairs, before canon's lo != hi filter: a
-    # node appearing only in self-loop pairs (an id that pairs with itself
-    # after normalization) must still receive a label — deriving the
-    # universe from the filtered edge set silently dropped it, diverging
-    # from connected_components despite the identical-contract claim
-    # (code-review r4).
     n_nodes_seen = (
-        raw.select(F.col("u").alias("id"))
-        .unionByName(raw.select(F.col("v").alias("id")))
+        canon0.select(F.col("lo").alias("id"))
+        .unionByName(canon0.select(F.col("hi").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -680,9 +690,7 @@ def chunk_dedup(
         # non-empty tokens, matching _split_tokens/ws_tokens: phantom ''
         # entries from edge whitespace would enter chunks and the
         # reassembled text (code-review r4)
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        ).alias("_toks"),
+        _split_tokens(F.col(text_col), "word").alias("_toks"),
     )
     chunked = tokenized.select(
         "_id",

@@ -91,9 +91,28 @@ def apply_cdf(
     negative residual forever (a later insert would then recreate the
     group looking consistent); it now fails loudly so the corruption is
     caught at apply time (code-review r4)."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
+    # unknown/NULL _change_type RAISES: the old otherwise(-1) treated any
+    # unrecognized type (Debezium 'c'/'u'/'d', a casing drift, a NULL) as
+    # a DELETE, silently subtracting rows — and for groups with enough
+    # mass the negative-count guard never fires, so sum_v/n_rows were
+    # simply wrong forever (code-review r4).
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_cdf: unknown _change_type "),
+                    F.coalesce(F.col("_change_type"), F.lit("NULL")),
+                    F.lit(
+                        " — expected insert/delete/update_preimage/"
+                        "update_postimage (the SnapshotTable.diff contract); "
+                        "map foreign feeds before applying (code-review r4)"
+                    ),
+                )
+            ).cast("int")
+        )
+    )
     delta = (
         changes.withColumn("_sign", sign)
         .groupBy(*keys)

@@ -221,36 +221,54 @@ def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFra
     Tier 3 — rank-proportional strata over the DISTINCT ids
     (floor((rk-1)*k/n): provably min(k, n) occupied) — a global window,
     only reached when n is within a coupon-collector factor of k, i.e. a
-    tiny or adversarial id set, never a large corpus."""
-    init = vecs.groupBy(
-        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("centroid_id")
-    ).agg(F.min(id_col).alias(id_col))
-    if init.count() >= k:
-        return init
-    for salt in range(3):
-        init = vecs.groupBy(
-            F.pmod(
-                F.xxhash64(
-                    F.concat_ws("_", F.lit(f"kminit{salt}"), F.col(id_col).cast("string"))
-                ),
-                F.lit(k),
-            )
-            .cast("int")
-            .alias("centroid_id")
-        ).agg(F.min(id_col).alias(id_col))
-        if init.count() >= k:
-            return init
-    ids = vecs.select(id_col).distinct()
-    n = ids.count()
-    return (
-        ids.select(id_col, F.row_number().over(Window.orderBy(id_col)).alias("_rk"))
-        .groupBy(
-            ((F.col("_rk") - 1) * F.lit(k) / F.lit(max(n, 1)))
-            .cast("int")
-            .alias("centroid_id")
+    tiny or adversarial id set, never a large corpus.
+
+    Each tier COLLECTS its <=k aggregate rows and returns them as a
+    literal frame: the occupancy check needs the rows on the driver
+    anyway, and a count()-then-reuse form paid a SECOND full corpus
+    aggregate when the downstream join re-evaluated the uncheckpointed
+    init (bench-measured +24% on semdedup; the collect makes the whole
+    init exactly one corpus pass, the same as the pre-check code)."""
+    spark = vecs.sparkSession
+
+    def residue(expr) -> DataFrame:
+        return vecs.groupBy(expr.cast("int").alias("centroid_id")).agg(
+            F.min(id_col).alias(id_col)
         )
-        .agg(F.min(id_col).alias(id_col))
-    )
+
+    cand = residue(F.pmod(F.col(id_col), F.lit(k)))
+    rows = cand.collect()
+    if len(rows) < k:
+        for salt in range(3):
+            cand = residue(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_", F.lit(f"kminit{salt}"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    F.lit(k),
+                )
+            )
+            rows = cand.collect()
+            if len(rows) >= k:
+                break
+        else:
+            ids = vecs.select(id_col).distinct()
+            n = ids.count()
+            cand = (
+                ids.select(
+                    id_col, F.row_number().over(Window.orderBy(id_col)).alias("_rk")
+                )
+                .groupBy(
+                    ((F.col("_rk") - 1) * F.lit(k) / F.lit(max(n, 1)))
+                    .cast("int")
+                    .alias("centroid_id")
+                )
+                .agg(F.min(id_col).alias(id_col))
+            )
+            rows = cand.collect()
+    return spark.createDataFrame(rows, cand.schema)
 
 
 def ivf_build_centroids(

@@ -57,6 +57,17 @@ def salted_join(
             "the other frame as the skewed side"
         )
     key = list(key)
+    # the helper column must not shadow caller data: withColumn would
+    # silently REPLACE an existing __salt and the final drop would delete
+    # it from the result, breaking the exact-equality contract
+    # (code-review r4)
+    for frame, side in ((skewed, "skewed"), (other, "other")):
+        if "__salt" in frame.columns:
+            raise ValueError(
+                f"salted_join: the {side} frame already has a '__salt' "
+                "column — rename it first (the helper column would "
+                "silently destroy it)"
+            )
     salt = F.pmod(
         F.xxhash64(*[F.col(k) for k in key], F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(n_salts),
@@ -80,6 +91,13 @@ def salted_count_distinct(
     Equivalent to ``df.groupBy(*group_key).agg(count_distinct(distinct_col))``
     but no single task ever holds a whole group's distinct set."""
     group_key = list(group_key)
+    clash = {"__salt", "__partial"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_count_distinct: input already has {sorted(clash)} — "
+            "rename first (helper columns would silently destroy them; "
+            "code-review r4)"
+        )
     bucketed = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts))
     )

@@ -85,3 +85,31 @@ def test_apply_cdf_raises_on_replayed_deletes(spark):
     )
     with pytest.raises(Exception, match="negative"):
         apply_cdf(state, deletes, ["k"], "v").collect()
+
+
+def test_apply_cdf_rejects_unknown_change_type(spark):
+    """An unrecognized or NULL _change_type must raise, not default to
+    DELETE: the silent subtract corrupted sum_v/n_rows without ever
+    tripping the negative-count guard (code-review r4)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.operators.incremental import (
+        apply_cdf,
+    )
+
+    state = spark.createDataFrame([(1, 10.0, 5)], "k long, sum_v double, n_rows long")
+    bad = spark.createDataFrame(
+        [(1, 2.0, "Insert")], "k long, v double, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        apply_cdf(state, bad, ["k"], "v").collect()
+    nulls = spark.createDataFrame(
+        [(1, 2.0, None)], "k long, v double, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        apply_cdf(state, nulls, ["k"], "v").collect()
+    ok = spark.createDataFrame(
+        [(1, 2.0, "insert")], "k long, v double, _change_type string"
+    )
+    [r] = apply_cdf(state, ok, ["k"], "v").collect()
+    assert (r["sum_v"], r["n_rows"]) == (12.0, 6)

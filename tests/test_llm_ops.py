@@ -851,3 +851,59 @@ def test_multimodal_null_payload_rejected_cleanly(spark):
     )
     with pytest.raises(Exception, match="null payload.*asset_id"):
         extract_media_features(media, fake=True).collect()
+
+
+def test_weighted_avg_udaf_degenerate_groups_are_null(spark):
+    """SUM(p*q)/SUM(q) semantics: a group with only-null products or a
+    zero/NULL weight sum aggregates to NULL, not a fabricated 0.0
+    (code-review r4)."""
+    from european_emissions_data_warehouse_spark.functions.udafs import weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10.0, 2.0), ("a", 20.0, 2.0),   # normal: (20+40)/4 = 15
+            ("b", None, 5.0), ("b", None, 5.0),   # all-null prices -> NULL
+            ("c", 10.0, 0.0),                     # zero weight -> NULL
+        ],
+        "g string, p double, q double",
+    )
+    got = {
+        r["g"]: r["w"]
+        for r in df.groupBy("g").agg(weighted_avg("p", "q").alias("w")).collect()
+    }
+    assert got["a"] == 15.0
+    assert got["b"] is None and got["c"] is None
+
+
+def test_bpe_apply_merge_empty_corpus_emits_summary_row(spark):
+    """No length>=2 word -> no rule, but the contract still promises ONE
+    zero-effect summary row (code-review r4: groupBy emitted zero rows and
+    .first() crashed)."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import (
+        bpe_apply_merge,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    [r] = bpe_apply_merge(docs).collect()
+    assert r["merge_pair"] is None
+    assert r["merges_applied"] == 0 and r["words_touched"] == 0
+
+
+def test_bpe_train_storage_stays_bounded(spark, sf_dir):
+    """Each merge iteration must free the superseded vocabulary
+    checkpoint: unswept blocks grew executor storage O(n_merges x vocab)
+    (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.tokenizer import (
+        _persistent_rdd_ids,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    before = len(_persistent_rdd_ids(spark))
+    rules = bpe_train(docs, n_merges=5)
+    assert rules, "fixture must learn at least one merge"
+    after = len(_persistent_rdd_ids(spark))
+    assert after - before <= 1, (
+        f"superseded checkpoints leaked: {after - before} new persistent RDDs "
+        "after a 5-merge train"
+    )

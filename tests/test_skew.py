@@ -51,3 +51,20 @@ def test_salted_join_rejects_outer_how(spark):
             salted_join(df, other, ["k"], how=how)
     # allowed forms still serve
     assert salted_join(df, other, ["k"], how="left").count() == 1
+
+
+def test_salted_helpers_reject_column_collisions(spark):
+    """A caller column named __salt/__partial would be silently replaced
+    and dropped, breaking the exact-equality contract (code-review r4)."""
+    df = spark.createDataFrame([(1, 0)], "k long, __salt int")
+    other = spark.createDataFrame([(1, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(df, other, ["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(other, df, ["k"])
+    from european_emissions_data_warehouse_spark.operators.skew import (
+        salted_count_distinct,
+    )
+
+    with pytest.raises(ValueError, match="__salt"):
+        salted_count_distinct(df, ["k"], "__salt")
