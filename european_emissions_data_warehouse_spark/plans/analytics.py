@@ -26,6 +26,19 @@ def _r2(col):  # noqa: ANN001 - column-in/column-out
     return F.round(col, 2)
 
 
+def _q6(col):  # noqa: ANN001
+    """Cross-engine-stable 6-decimal rounding for double QUOTIENTS:
+    floor(x*1e6 + 0.5)/1e6 — pure IEEE ops evaluated identically by Spark
+    and DuckDB *by construction*.  Empirically the two engines' ROUND
+    currently agrees on doubles (both round the shortest decimal repr
+    half-away, probed over boundary cases incl. 1/128 and 0.1234565 —
+    code-review r4), but that agreement is an implementation coincidence
+    with no spec behind it, and quotients (unlike cent-precision sums,
+    see _avg2) do land on ...5-at-the-7th-decimal boundaries.  Oracles
+    must use the lockstep SQL form FLOOR(x*1000000 + 0.5)/1000000."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def _avg2(col):  # noqa: ANN001
     """Cross-engine-stable 2-decimal average: ROUND(SUM,2)/COUNT.
 
@@ -207,11 +220,10 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(
+            _q6(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
-                / F.sum(disc),
-                6,
+                / F.sum(disc)
             ).alias("promo_pct"),
             _r2(F.sum(disc)).alias("total_revenue"),
         )
@@ -221,9 +233,10 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROMO_REVENUE = """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+       FLOOR(100.0 * SUM(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+             / SUM(l_extendedprice * (1 - l_discount)) * 1000000 + 0.5)
+         / 1000000 AS promo_pct,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
@@ -526,7 +539,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
-        F.from_json("props", "k INT").getField("k").alias("k"),
+        # k BIGINT, matching the oracle's CAST(... AS BIGINT): the INT schema
+        # silently nulled values past 2^31 that DuckDB kept (code-review r4)
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
     return (
         parsed.groupBy("event_type")
@@ -556,8 +571,9 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counted here) instead of failing the scan."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select("event_type", F.parse_json("props").alias("v"))
-    k = F.try_variant_get("v", "$.k", "int").cast("long")
-    missing = F.try_variant_get("v", "$.absent", "int").cast("long")
+    # bigint extraction, same overflow rationale as q_json_extract
+    k = F.try_variant_get("v", "$.k", "bigint").cast("long")
+    missing = F.try_variant_get("v", "$.absent", "bigint").cast("long")
     return (
         v.select("event_type", k.alias("k"), missing.alias("m"))
         .groupBy("event_type")
@@ -770,15 +786,19 @@ ORACLE_SESSION_WINDOW = """
 -- whole-second boundaries — a 1800.25s gap split in Spark but merged in
 -- the truncating oracle (code-review r4; events.ts is sub-second).
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
+  -- event_id tie-break, same as the flagged CTE: ordering by ts alone let
+  -- the cumulative sum place same-instant rows on either side of the flag,
+  -- nondeterministically splitting a session Spark always groups
+  -- (code-review r4)
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
@@ -847,8 +867,8 @@ def q_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        _q6(F.percent_rank().over(w)).alias("pct_rank"),
+        _q6(F.cume_dist().over(w)).alias("cume"),
         F.rank().over(w).cast("long").alias("rnk"),
     )
 
@@ -856,8 +876,10 @@ def q_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RANKING_FUNCS = """
 SELECT c_mktsegment, c_custkey,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       -- lockstep FLOOR rounding, see _q6: rank quotients hit power-of-two
+       -- denominators where Spark and DuckDB ROUND diverge (code-review r4)
+       FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume,
        CAST(RANK() OVER w AS BIGINT) AS rnk
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
@@ -1105,10 +1127,16 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch quantiles: approx median event value per type (Greenwald-Khanna
     at accuracy 10000), graded as a RANK-tolerance verdict — the sketch's
     actual guarantee.  A value-distance check would be wrong (rank error
-    bounds say nothing about value gaps), so the query computes the exact
-    rank of the sketch's answer and asserts |rank/N - 0.5| <= 1/accuracy
-    + slack.  Exact per-type counts are the cross-engine-checkable payload;
-    GK is deterministic for a fixed dataset (no RNG)."""
+    bounds say nothing about value gaps).  The approx value OCCUPIES the
+    rank interval (count < p50, count <= p50]; the verdict asserts that
+    interval intersects [n/2 - tol, n/2 + tol] with tol = 0.01*n + 1.
+    The old single-sided form |count<=p50 / n - 0.5| <= 0.01 was wrong on
+    exactly the data the fixtures lack (code-review r4): a heavy tie at
+    the median inflates count<=p50 far past n/2 even when p50 IS the
+    median, and the +1 row slack covers small odd groups where the true
+    median's rank deviates from n/2 by 1/(2n) inherently.  Exact per-type
+    counts are the cross-engine-checkable payload; GK is deterministic
+    for a fixed dataset (no RNG)."""
     ev = load_table(spark, sf_dir, "events")
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
@@ -1119,16 +1147,21 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("n_rows").alias("n_rows"),
+            F.sum(F.when(F.col("value") < F.col("p50_approx"), 1).otherwise(0)).alias(
+                "cnt_lt"
+            ),
             F.sum(F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0)).alias(
-                "rank_of_approx"
+                "cnt_le"
             ),
         )
     )
+    n = F.col("n_rows")
+    tol = n * 0.01 + 1
     return ranked.select(
         "event_type",
         "n_rows",
         (
-            F.abs(F.col("rank_of_approx") / F.col("n_rows") - 0.5) <= 0.01
+            (F.col("cnt_le") >= n / 2 - tol) & (F.col("cnt_lt") <= n / 2 + tol)
         )
         .cast("bigint")
         .alias("within_tol"),
@@ -2076,7 +2109,9 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.from_json("props", "k INT").getField("k").alias("k"),
+        # k BIGINT, matching the oracle's CAST(... AS BIGINT): the INT schema
+        # silently nulled values past 2^31 that DuckDB kept (code-review r4)
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
     return parsed.select(
         "event_id",
@@ -2093,12 +2128,15 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NULL_HANDLING = """
+-- TRY_CAST AS BIGINT, not strict CAST AS INT: a k past 2^31 (or a
+-- non-integer) raised a conversion error / diverged from the engine's
+-- from_json 'k BIGINT' null-on-mismatch semantics (code-review r4)
 SELECT event_id,
-       CAST(CAST(json_extract(props, '$.k') AS INT) IS NOT DISTINCT FROM 1 AS INT) AS k_is_1,
+       CAST(TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT DISTINCT FROM 1 AS INT) AS k_is_1,
        NULLIF(event_type, 'view') AS type_not_view,
-       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 'has_k' ELSE 'no_k' END AS k_state,
-       value / NULLIF(CAST(json_extract(props, '$.k') AS INT), 0) AS value_per_k,
-       GREATEST(value, CAST(CAST(json_extract(props, '$.k') AS INT) AS DOUBLE)) AS hi,
+       CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL THEN 'has_k' ELSE 'no_k' END AS k_state,
+       value / NULLIF(TRY_CAST(json_extract(props, '$.k') AS BIGINT), 0) AS value_per_k,
+       GREATEST(value, CAST(TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE)) AS hi,
        md5(event_type) AS type_md5,
        sha256(event_type) AS type_sha256
 FROM events
@@ -2229,13 +2267,20 @@ WITH dedup AS (
                             ORDER BY o_orderkey DESC) AS rn
   FROM orders
 ), changes AS (
+  -- rnk = 1 OR IS DISTINCT FROM: mirrors the engine's null-safe change
+  -- detection exactly.  The old "prev IS NULL OR prev != value" conflated
+  -- "no previous row" with "previous value was NULL": a change TO null
+  -- vanished (prev != NULL is NULL) and consecutive nulls emitted
+  -- spurious intervals (code-review r4; latent — fixture priorities are
+  -- never null).
   SELECT o_custkey, o_orderdate, o_orderpriority,
-         LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+         LAG(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk
   FROM dedup WHERE rn = 1
 ), hist AS (
   SELECT o_custkey, o_orderpriority, o_orderdate AS vf,
          LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS vt
-  FROM changes WHERE prev IS NULL OR prev != o_orderpriority
+  FROM changes WHERE rnk = 1 OR prev IS DISTINCT FROM o_orderpriority
 )
 SELECT o_custkey, o_orderpriority AS priority,
        strftime(vf, '%Y-%m-%d') AS valid_from,
@@ -2626,7 +2671,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders")
-    batches = [o.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)]
+    # coalesced split key: pmod(NULL, 3) == i is NULL for every i, so a
+    # row with a NULL o_orderkey silently landed in NO batch and vanished
+    # from the maintained state the oracle still counts (code-review r4)
+    split_key = F.pmod(F.coalesce(F.col("o_orderkey"), F.lit(0)), F.lit(3))
+    batches = [o.filter(split_key == i) for i in range(3)]
     state = agg_state(batches[0], ["o_custkey"], "o_totalprice")
     for delta_raw in batches[1:]:
         state = merge_state(state, agg_state(delta_raw, ["o_custkey"], "o_totalprice"), ["o_custkey"])
@@ -3036,7 +3085,16 @@ def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
 
     def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
-        n = child.join(parent, child[ck] == parent[pk], "left_anti").count()
+        # NON-NULL child keys only — SQL FK semantics (MATCH SIMPLE), the
+        # same rule operators/expectations.foreign_key_check applies: the
+        # bare anti join kept NULL-key rows (NULL never matches) and
+        # counted legitimately-nullable FKs as orphans, while the oracle
+        # excluded them for only 2 of the 4 relations (code-review r4)
+        n = (
+            child.filter(F.col(ck).isNotNull())
+            .join(parent, child[ck] == parent[pk], "left_anti")
+            .count()
+        )
         return spark.createDataFrame([(label, n)], "relation string, n_orphans long")
 
     frames = [
@@ -3058,11 +3116,11 @@ SELECT * FROM (
             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
   UNION ALL
   SELECT 'lineitem->part',
-         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
   UNION ALL
   SELECT 'lineitem->supplier',
-         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
   UNION ALL
   SELECT 'orders->customer',
@@ -3229,11 +3287,10 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the exact decimal sums agree across engines, but huge-decimal
             # -> double conversion rounding does not (values exceed 2^53);
             # 6-decimal rounding absorbs the conversion ulp
-            F.round(
+            _q6(
                 F.col("_num").cast("double")
                 / F.col("_den").cast("double")
-                / F.lit(1000000.0),
-                6,
+                / F.lit(1000000.0)
             ).alias("twa_value"),
         )
         .orderBy("user_id")
@@ -3250,8 +3307,8 @@ WITH seg AS (
   QUALIFY LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 )
 SELECT user_id, COUNT(*) AS n_segments,
-       ROUND(CAST(SUM(v_fp * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0,
-             6) AS twa_value
+       FLOOR(CAST(SUM(v_fp * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0
+             * 1000000 + 0.5) / 1000000 AS twa_value
 FROM seg
 GROUP BY user_id
 HAVING SUM(dur_us) > 0
@@ -3278,7 +3335,7 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         monthly.join(F.broadcast(prev), "month", "left")
-        .withColumn("growth", F.round(F.col("revenue") / F.col("prev_revenue") - 1, 6))
+        .withColumn("growth", _q6(F.col("revenue") / F.col("prev_revenue") - 1))
         .select(
             F.date_format("month", "yyyy-MM").alias("month"),
             "revenue",
@@ -3297,7 +3354,7 @@ WITH monthly AS (
 )
 SELECT strftime(m.month, '%Y-%m') AS month, m.revenue,
        p.revenue AS prev_revenue,
-       ROUND(m.revenue / p.revenue - 1, 6) AS growth
+       FLOOR((m.revenue / p.revenue - 1) * 1000000 + 0.5) / 1000000 AS growth
 FROM monthly m
 LEFT JOIN monthly p ON m.month = p.month + INTERVAL 1 MONTH
 ORDER BY month
@@ -3468,9 +3525,16 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    fact = li.join(
-        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
-    ).join(F.broadcast(classes), li.l_partkey == classes.p_partkey)
+    # NULL l_suppkey excluded on BOTH sides: the anti join KEEPS a
+    # null-key row (NULL never matches) while the oracle's NOT IN drops it
+    # (NULL NOT IN evaluates NULL) — a latent row-count divergence; a null
+    # supplier shouldn't count toward supplier variety anyway
+    # (code-review r4)
+    fact = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(classes), li.l_partkey == classes.p_partkey)
+    )
     return (
         fact.groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -3485,6 +3549,7 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand <> 'Brand#3'
   AND p.p_type NOT LIKE 'PROMO%'
   AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey IS NOT NULL
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
@@ -3658,13 +3723,16 @@ WITH groups AS (
   SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
   FROM customer GROUP BY c_nationkey, c_mktsegment
 )
+-- COALESCEd sums: on an EMPTY table the uncoalesced SUMs are NULL and
+-- the CASE verdict falls to 0, while the engine (deliberately) reports a
+-- trivially k-anonymous empty input (code-review r4)
 SELECT CAST(5 AS BIGINT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
-       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_violating_groups,
-       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT)
          AS n_exposed_rows,
-       CASE WHEN SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0
+       CASE WHEN COALESCE(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) = 0
             THEN 1 ELSE 0 END AS is_k_anonymous
 FROM groups
 """

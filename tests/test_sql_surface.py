@@ -122,3 +122,53 @@ def test_bigram_logprob_upper_bound_and_repetition_ceiling(spark, sf_dir):
         base.unionByName(inj).write.mode("overwrite").parquet(f"{td}/documents.parquet")
         out = {r["doc_id"]: r["avg_logprob"] for r in q_bigram_logprob(spark, td).collect()}
     assert out[20_000_001] == 0.0
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin the empirically-verified boundary semantics: a gap of EXACTLY
+    the 30-minute threshold merges into one session (Spark's session_window
+    splits only on gap > threshold), so the lag+cumsum oracles correctly use
+    strict `>` — a `>=` would diverge on threshold-exact data (code-review
+    r4 finding adjudicated false-positive, pinned here so it stays settled)."""
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 1800s after the first
+            (1, "2024-01-01 01:00:01"),  # 1801s after the second -> splits
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    n = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert n == 2, f"expected [merge, split] -> 2 sessions, got {n}"
+
+
+def test_q6_quotient_rounding_is_lockstep_with_duckdb_on_boundaries(spark):
+    """Pin the _q6 contract (code-review r4): the lockstep
+    FLOOR(x*1e6+0.5)/1e6 form produces bit-identical doubles in Spark and
+    DuckDB on quotient boundary cases (power-of-two rank denominators,
+    shortest-repr ...5 at the 7th decimal) — by construction, not by the
+    engines' ROUND internals happening to agree."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from european_emissions_data_warehouse_spark.plans.analytics import _q6
+
+    cases = [1.0 / 128, 3.0 / 128, -1.0 / 128, 0.1234565, 0.0078125]
+    df = spark.createDataFrame([(c,) for c in cases], "x double")
+    got = {
+        r["x"]: r["q"]
+        for r in df.select("x", _q6(F.col("x")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        (want,) = con.execute(
+            "SELECT FLOOR(? * 1000000 + 0.5) / 1000000", [c]
+        ).fetchone()
+        assert got[c] == want, (c, got[c], want)
+    con.close()
