@@ -171,7 +171,15 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/lambda_handler_warehouse.py:95-101): re-ingest every open ('O')
     order with a +10% price against the existing warehouse of all orders.
     The oracle states the *semantic* result; the Spark side runs the real
-    anti-join + union operator."""
+    anti-join + union operator.
+
+    Load-bearing assumption, asserted by test_merge_properties'
+    orders-key-uniqueness check: o_orderkey is unique in the orders drop.
+    With a duplicated key carrying mixed statuses, upsert_anti_join drops
+    EVERY old row under that key while the oracle's per-row CASE keeps
+    them — the engine/oracle pair is only equivalent on key-unique input
+    (the documented upsert contract; dedupe_last is the feed-side fix)
+    (code-review r4)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )

@@ -99,8 +99,13 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     path = path.removeprefix("file://").removeprefix("file:")
 
     def one(file_path: str) -> tuple[str, bool] | None:
-        t = pq.read_schema(file_path).field(column).type
-        meta = pq.ParquetFile(file_path).metadata
+        # a single ParquetFile open serves both the arrow schema and the
+        # row-group metadata — the old pq.read_schema + pq.ParquetFile pair
+        # fetched every footer twice, doubling driver-side metadata I/O on
+        # many-part directories (code-review r4)
+        pf = pq.ParquetFile(file_path)
+        t = pf.schema_arrow.field(column).type
+        meta = pf.metadata
         if meta.num_rows == 0 or meta.num_row_groups == 0:
             # a zero-row part carries no decodable data (and possibly no
             # trustworthy physical-type evidence: pyarrow surfaces INT96 as
@@ -121,17 +126,26 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
         return t.unit, t.tz is not None
 
     if os.path.isdir(path):
-        parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        # recursive walk, not a top-level listdir: a hive-partitioned drop
+        # (events.parquet/day=.../part-*.parquet) keeps its part files in
+        # subdirectories that Spark's own scan discovers fine — the probe
+        # must see the same files the scan will read (code-review r4)
+        parts = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
         if not parts:
             raise FileNotFoundError(f"no .parquet part files under {path}")
-        units = {u for p in parts if (u := one(os.path.join(path, p))) is not None}
+        units = {u for p in parts if (u := one(p)) is not None}
         if len(units) > 1:
             raise ValueError(
                 f"mixed timestamp layouts {sorted(units)} across part files in "
                 f"{path}; rewrite the drop to one unit before scanning"
             )
         if not units:  # every part is empty — nothing to decode either way
-            return schema_only(os.path.join(path, parts[0]))
+            return schema_only(parts[0])
         return next(iter(units))
     return one(path) or schema_only(path)
 
@@ -140,7 +154,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its registered explicit schema."""
     # timestamps in the lake are naive-UTC; pin the session so date_format/
     # date_trunc render identically under any host timezone (DuckDB oracles
-    # treat the same parquet values as naive)
+    # treat the same parquet values as naive).  This DOES mutate the caller's
+    # session conf — deliberately and contractually: the driver contract runs
+    # these queries on a session this package did not build (get_session
+    # already pins UTC for its own sessions), and every lake query's output
+    # is defined in UTC.  A caller needing local-time rendering of their own
+    # data should do it explicitly (from_utc_timestamp / date_format with tz)
+    # rather than relying on ambient session tz (code-review r4 adjudication:
+    # documented contract, not moved — removing the pin breaks every
+    # timestamp-rendering query under a non-UTC host session).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = TESTDATA_SCHEMAS.get(name)
     if name == "events":
@@ -152,11 +174,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if unit == "int96":
             # legacy Spark-written layout: the native reader decodes INT96
             # into TimestampType directly (session-TZ aware; the UTC pin
-            # keeps values identical to the naive layouts)
-            i96_schema = StructType(
-                [StructField("ts", TimestampType()) if f.name == "ts" else f for f in schema]
-            )
-            return read_parquet(spark, path, i96_schema)
+            # keeps values identical to the naive layouts).  The registered
+            # schema already declares ts as TimestampType, so it is used
+            # as-is (code-review r4: an identical-copy rebuild here implied
+            # a type swap that never happened)
+            return read_parquet(spark, path, schema)
         if unit == "ns":
             # TIMESTAMP(NANOS) is illegal for Spark's reader.  Scan it as a
             # nanos long (runtime-settable legacy conf), then convert to the
@@ -219,13 +241,23 @@ def fetch_to_lake(url: str, dest_path: str, timeout_s: float = 60.0) -> str:
 
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
     tmp = dest_path + ".part"
-    with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(tmp, "wb") as out:
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-    os.replace(tmp, dest_path)  # atomic publish, no torn files for the scan
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp, open(tmp, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dest_path)  # atomic publish, no torn files for the scan
+    except BaseException:
+        # never leave a torn .part inside the lake directory — a later
+        # whole-directory scan (pathGlobFilter='*') would ingest it as data
+        # (code-review r4)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return dest_path
 
 

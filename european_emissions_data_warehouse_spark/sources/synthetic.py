@@ -43,6 +43,10 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
+# canonical generation order of _gen_doc's tuple; readers re-project to the
+# schema Spark actually binds (see _field_indexes)
+_CANON_FIELDS = ("doc_id", "text", "lang", "source", "n_chars")
+
 _LANGS = ["en", "de", "fr", "es"]
 _SOURCES = ["web", "wiki", "books"]
 _VOCAB = [
@@ -69,6 +73,22 @@ def _gen_doc(seed: str, doc_id: int) -> tuple[int, str, str, str, int]:
     return (doc_id, text, lang, source, len(text))
 
 
+def _field_indexes(field_names) -> tuple[int, ...]:
+    """Map the schema Spark binds (user ``.schema(...)`` included) onto the
+    generator's canonical tuple order.  Spark binds reader output tuples to
+    the *effective* schema POSITIONALLY, so a user schema that reorders
+    columns (e.g. ``source`` before ``lang`` — both strings) silently
+    swapped values under the old fixed-order emit; unknown columns now fail
+    loudly instead of binding garbage (code-review r4)."""
+    names = tuple(field_names)
+    unknown = [n for n in names if n not in _CANON_FIELDS]
+    if unknown:
+        raise ValueError(
+            f"synthetic_docs has no column(s) {unknown}; available: {list(_CANON_FIELDS)}"
+        )
+    return tuple(_CANON_FIELDS.index(n) for n in names)
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -76,13 +96,19 @@ class _RangePartition(InputPartition):
 
 
 class SyntheticDocsReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, field_names=_CANON_FIELDS):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_partitions = int(options.get("n_partitions", 8))
+        if self.n_partitions < 1:
+            # validated at construction: a 0 reached partitions() as a
+            # ZeroDivisionError inside an opaque Py4J plan-time traceback
+            # (code-review r4)
+            raise ValueError(f"n_partitions must be >= 1, got {self.n_partitions}")
         self.seed = options.get("seed", "synthetic")
         self.lo = 0
         self.hi = self.n_docs  # exclusive
         self.eq: dict[str, str] = {}
+        self._idx = _field_indexes(field_names)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Tighten the generation range / add equality prunes; yield back
@@ -126,7 +152,7 @@ class SyntheticDocsReader(DataSourceReader):
                 continue
             if "source" in self.eq and row[3] != self.eq["source"]:
                 continue
-            yield row
+            yield tuple(row[i] for i in self._idx)
 
 
 class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
@@ -138,10 +164,11 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     ``docs_per_batch`` docs per trigger until ``n_docs`` is exhausted,
     then idles (finite-stream drain tests rely on that)."""
 
-    def __init__(self, options):
+    def __init__(self, options, field_names=_CANON_FIELDS):
         self.n_docs = int(options.get("n_docs", 1000))
         self.docs_per_batch = int(options.get("docs_per_batch", 100))
         self.seed = options.get("seed", "synthetic")
+        self._idx = _field_indexes(field_names)
 
     def initialOffset(self) -> dict:
         return {"next": 0}
@@ -156,8 +183,9 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return [
-            _gen_doc(self.seed, doc_id)
+            tuple(row[i] for i in self._idx)
             for doc_id in range(int(start["next"]), int(end["next"]))
+            for row in (_gen_doc(self.seed, doc_id),)
         ]
 
 
@@ -178,7 +206,10 @@ class SyntheticDocsDataSource(DataSource):
         )
 
     def reader(self, schema) -> SyntheticDocsReader:
-        return SyntheticDocsReader(self.options)
+        # honor the EFFECTIVE schema (a user .schema(...) overrides ours):
+        # Spark binds output tuples positionally, so the reader must emit in
+        # the bound order, not the canonical one (code-review r4)
+        return SyntheticDocsReader(self.options, [f.name for f in schema.fields])
 
     def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
-        return SyntheticDocsStreamReader(self.options)
+        return SyntheticDocsStreamReader(self.options, [f.name for f in schema.fields])

@@ -196,3 +196,20 @@ def test_provenance_columns(spark, sf_dir):
     rows = df.select("_source_file", "_ingest_label").distinct().collect()
     assert all(r["_ingest_label"] == "r3" for r in rows)
     assert all("nation.parquet" in r["_source_file"] for r in rows)
+
+
+def test_fetch_to_lake_cleans_partial_file_on_failure(tmp_path):
+    """A failed download must not leave a torn .part inside the lake dir —
+    a later whole-directory scan would ingest it as data (code-review r4).
+    file:// to a nonexistent source exercises the failure path."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from european_emissions_data_warehouse_spark.sources.readers import fetch_to_lake
+
+    dest = str(tmp_path / "lake" / "raw.csv")
+    with _pytest.raises(Exception):
+        fetch_to_lake((tmp_path / "missing.csv").as_uri(), dest)
+    assert not _os.path.exists(dest)
+    assert not _os.path.exists(dest + ".part")

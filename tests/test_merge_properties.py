@@ -10,6 +10,8 @@ example tests (reference scripts/lambda_handler_warehouse.py:95-101):
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -150,7 +152,11 @@ def test_time_weighted_value_matches_reference(spark, events, tmp_path_factory):
             den += dur_us
         if den > 0:
             n_seg = len(evs) - 1
-            want[uid] = (n_seg, round(num / den / 1_000_000, 6))
+            # _q6's lockstep FLOOR(x*1e6+0.5)/1e6, NOT Python round() —
+            # round() is banker's rounding AND decimal-repr based, neither
+            # of which the engine promises (code-review r4)
+            x = num / den / 1_000_000
+            want[uid] = (n_seg, math.floor(x * 1_000_000 + 0.5) / 1_000_000)
     assert got == want
 
 
@@ -192,3 +198,20 @@ def test_scd2_null_value_transitions(spark):
     # intervals contiguous
     for a, b in zip(hist, hist[1:]):
         assert a["valid_to"] == b["valid_from"]
+
+
+def test_upsert_fixture_key_uniqueness_assumption_holds(spark, sf_dir):
+    """q_upsert's engine/oracle equivalence silently assumes o_orderkey is
+    unique in the orders drop (a duplicated key with mixed statuses makes
+    upsert_anti_join drop ALL old rows under it while the oracle's per-row
+    CASE keeps them).  Pin the assumption against the fixtures so a future
+    testdata change fails HERE with an explanation instead of as an opaque
+    hash mismatch in the correctness gate (code-review r4)."""
+    from european_emissions_data_warehouse_spark.operators.merge import check_unique
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    assert check_unique(orders, ["o_orderkey"]) == 0, (
+        "orders.o_orderkey is no longer unique — q_upsert's oracle is only "
+        "valid on key-unique input; dedupe the feed or rewrite the oracle"
+    )

@@ -117,3 +117,74 @@ def test_empty_string_equality_filter_matches_nothing(docs_reader):
     df = docs_reader(n_docs=80)
     assert df.filter(F.col("lang") == "").count() == 0
     assert df.filter(F.col("source") == "").count() == 0
+
+
+def test_user_schema_reorder_and_subset_bind_by_name(spark, docs_reader):
+    """Spark binds Python-source output tuples to the effective schema
+    POSITIONALLY, so a user .schema() that reorders (or subsets) columns
+    must change the reader's emit order — the old fixed-order emit silently
+    swapped same-typed columns like lang/source (code-review r4)."""
+    base = {r["doc_id"]: r for r in docs_reader(n_docs=50).collect()}
+
+    reordered = (
+        spark.read.format("synthetic_docs")
+        .schema("doc_id bigint, text string, source string, lang string, n_chars bigint")
+        .option("n_docs", 50)
+        .load()
+        .collect()
+    )
+    assert len(reordered) == 50
+    for r in reordered:
+        b = base[r["doc_id"]]
+        assert r["lang"] == b["lang"] and r["source"] == b["source"], (
+            "lang/source swapped under a reordered user schema"
+        )
+
+    subset = (
+        spark.read.format("synthetic_docs")
+        .schema("source string, doc_id bigint")
+        .option("n_docs", 50)
+        .load()
+        .collect()
+    )
+    assert {r["doc_id"]: r["source"] for r in subset} == {
+        k: v["source"] for k, v in base.items()
+    }
+
+    # pushdown still prunes correctly under the reordered schema
+    filtered = (
+        spark.read.format("synthetic_docs")
+        .schema("doc_id bigint, text string, source string, lang string, n_chars bigint")
+        .option("n_docs", 200)
+        .load()
+        .filter(F.col("lang") == "en")
+        .collect()
+    )
+    want_en = {k for k, v in
+               {r["doc_id"]: r for r in docs_reader(n_docs=200).collect()}.items()
+               if v["lang"] == "en"}
+    assert {r["doc_id"] for r in filtered} == want_en
+    assert all(r["lang"] == "en" for r in filtered)
+
+
+def test_unknown_schema_column_and_bad_n_partitions_fail_loudly(spark):
+    """A user schema naming a column the generator doesn't have must raise
+    a clear error (not bind garbage positionally), and n_partitions=0 must
+    fail at validation, not as a planner ZeroDivisionError (code-review r4)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.sources.synthetic import (
+        SyntheticDocsReader,
+    )
+
+    with pytest.raises(Exception, match="no column"):
+        (
+            spark.read.format("synthetic_docs")
+            .schema("doc_id bigint, nonexistent string")
+            .option("n_docs", 5)
+            .load()
+            .collect()
+        )
+
+    with pytest.raises(ValueError, match="n_partitions must be >= 1"):
+        SyntheticDocsReader({"n_docs": "10", "n_partitions": "0"})

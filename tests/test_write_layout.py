@@ -161,3 +161,32 @@ def test_parquet_ts_unit_zero_row_parts_and_remote_schemes(tmp_path):
 
     with pytest.raises(NotImplementedError, match="local filesystem"):
         _parquet_ts_unit("s3a://lake/events.parquet")
+
+
+def test_parquet_ts_unit_walks_hive_partitioned_directories(tmp_path):
+    """A hive-partitioned drop (events.parquet/day=.../part-*.parquet) keeps
+    its part files in subdirectories: the footer probe must find them the
+    same way Spark's partition discovery does, and must still catch a unit
+    mix hidden across partitions (code-review r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        _parquet_ts_unit,
+    )
+
+    def write_part(reldir, fname, unit):
+        d = tmp_path / reldir
+        d.mkdir(parents=True, exist_ok=True)
+        tbl = pa.table({"ts": pa.array([0, 1_000_000], type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / fname))
+
+    write_part("nested/day=2026-01-01", "part-0.parquet", "us")
+    write_part("nested/day=2026-01-02", "part-0.parquet", "us")
+    assert _parquet_ts_unit(str(tmp_path / "nested")) == ("us", False)
+
+    write_part("nested_mix/day=2026-01-01", "part-0.parquet", "us")
+    write_part("nested_mix/day=2026-01-02", "part-0.parquet", "ns")
+    with pytest.raises(ValueError, match="mixed timestamp layouts"):
+        _parquet_ts_unit(str(tmp_path / "nested_mix"))
