@@ -46,8 +46,21 @@ def arrow_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def batches(it):
         import pyarrow.compute as pc
 
+        def col(batch, name):
+            # get_field_index returns -1 for a missing column and
+            # RecordBatch.column(-1) silently selects the LAST column —
+            # a wrong text_col argument computed stats over whatever
+            # happened to sit there instead of erroring (code-review r4)
+            i = batch.schema.get_field_index(name)
+            if i < 0:
+                raise KeyError(
+                    f"arrow_token_stats: column {name!r} not in batch "
+                    f"schema {batch.schema.names}"
+                )
+            return batch.column(i)
+
         for batch in it:
-            t = batch.column(batch.schema.get_field_index(text_col))
+            t = col(batch, text_col)
             stripped = pc.replace_substring_regex(
                 t,
                 pattern="^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$",
@@ -63,7 +76,7 @@ def arrow_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             tokens = pc.if_else(empty, pa.scalar(0), pc.add(seps, 1))
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column(batch.schema.get_field_index("doc_id")),
+                    col(batch, "doc_id"),
                     pc.cast(tokens, pa.int64()),
                     pc.cast(pc.utf8_length(t), pa.int64()),
                 ],

@@ -79,15 +79,36 @@ def punct_ratio(text: Column) -> Column:
     array per row in the corpus-prep hot path; single-char matches make
     the two counts identical by construction."""
     n_punct = F.length(F.regexp_replace(text, r"[\s\p{L}\p{N}]", ""))
-    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+    return (
+        # NULL text propagates NULL — the old otherwise(0.0) routed the
+        # null condition to the else branch and scored a null document as
+        # perfectly clean, while sibling counters (ws_token_count,
+        # quality_score) propagate NULL for the same input: one null
+        # policy per module (code-review r4)
+        F.when(text.isNull(), F.lit(None).cast("double"))
+        .when(F.length(text) > 0, n_punct / F.length(text))
+        .otherwise(F.lit(0.0))
+    )
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are common English stopwords;
-    0.0 for token-less text (same ANSI guard as punct_ratio)."""
+    """Fraction of whitespace tokens that are common English stopwords,
+    clamped to [0, 1]; 0.0 for token-less text (same ANSI guard as
+    punct_ratio) and NULL for NULL text (same null policy).
+
+    Clamped because the numerator counts \\b-bounded regex hits INSIDE
+    tokens while the denominator counts whitespace tokens — 'the-and-of'
+    is one token with three hits, and the raw quotient (3.0) escaped into
+    text_stats' exported stop_ratio as an impossible probability
+    (code-review r4).  quality_score's LEAST(1, ratio*4) is unaffected:
+    any ratio >= 0.25 already saturated it."""
     hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), F.lit(0)))
     ws = ws_token_count(text)
-    return F.when(ws > 0, hits / ws).otherwise(F.lit(0.0))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("double"))
+        .when(ws > 0, F.least(F.lit(1.0), hits / ws))
+        .otherwise(F.lit(0.0))
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -174,8 +195,16 @@ def char_shingles(text: Column, k: int = 8) -> Column:
     Jaccard and MinHash.  Documents shorter than k yield a single shingle
     (the whole text)."""
     n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+    return F.when(
+        # NULL propagates: greatest() SKIPS nulls, so NULL text fell
+        # through to n=1 and produced [NULL] — rolling_fingerprint of
+        # every null document became the constant [xxhash64(NULL)] and
+        # all null-text rows matched each other as exact near-dups
+        # (code-review r4)
+        text.isNotNull(),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k))
+        ),
     )
 
 
@@ -188,17 +217,25 @@ def word_shingles(text: Column, n: int = 5) -> Column:
     trailing newline failed to match as duplicates (code-review r4)."""
     toks = ws_tokens(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    return F.when(  # NULL propagates, same rationale as char_shingles
+        text.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
     )
 
 
-# Conservative PII patterns, identical RE2/Java semantics in Spark and DuckDB
+# Conservative PII patterns, identical RE2/Java semantics in Spark and DuckDB.
+# PHONE: 7-16 digits joined by AT MOST ONE space/()/- between digits.  The
+# old [0-9()\-\s]{7,} span was unbounded and crossed newlines/double
+# separators, so unrelated numeric spans ('2020 123\n2021 456\n2022 789')
+# merged into ONE <PHONE> and whole numeric tables vanished from the corpus
+# before token counting (code-review r4).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+PHONE_RE = r"\+?[0-9](?:[()\- ]?[0-9]){6,15}"
 
 
 def clean_text(text: Column) -> Column:

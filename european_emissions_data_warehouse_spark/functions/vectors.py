@@ -36,14 +36,22 @@ def norm(a: Column) -> Column:
     against everything — ranked last, never crashing.  1e-150, not
     smaller: two floored norms multiply in the hoisted dot/(na·nb) forms,
     and the product must stay a normal double (1e-300 > 0), not underflow
-    back to the zero it guards against."""
-    return F.greatest(
-        F.sqrt(
-            F.aggregate(
-                a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-            )
+    back to the zero it guards against.
+
+    NULL arrays propagate NULL — greatest() SKIPS nulls, so the bare floor
+    turned norm(NULL) into 1e-150, a fabricated near-zero magnitude that
+    contradicted embedding_stats_udf's NULL for the same vector
+    (code-review r4)."""
+    return F.when(
+        a.isNotNull(),
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+                )
+            ),
+            F.lit(1e-150),
         ),
-        F.lit(1e-150),
     )
 
 
@@ -65,13 +73,22 @@ def int8_quant_max_err(a: Column, scale: Column) -> Column:
     """Max absolute reconstruction error of symmetric int8 quantization at
     ``scale`` (q_i = floor(x·scale + 0.5), dequant q_i/scale).  floor(+0.5)
     is explicit round-half-up — identical in every engine, unlike banker's
-    rounding builtins.  Max is order-independent, so the fold is exact."""
+    rounding builtins.  Max is order-independent, so the fold is exact.
+
+    scale = 0 (the absmax of a zero vector, or 127/absmax of one) returns
+    NULL instead of aborting: under the repo's ANSI-on session the bare
+    q/scale was a DIVIDE_BY_ZERO job abort — the exact failure class norm()
+    is hardened against, reachable by any caller that doesn't pre-filter
+    amax > 0 (code-review r4)."""
     def err(v):
         x = v.cast("double")
         q = F.floor(x * scale + F.lit(0.5))
         return F.abs(x - q / scale)
 
-    return F.aggregate(a, F.lit(0.0), lambda acc, v: F.greatest(acc, err(v)))
+    return F.when(
+        scale != 0,
+        F.aggregate(a, F.lit(0.0), lambda acc, v: F.greatest(acc, err(v))),
+    )
 
 
 def embedding_stats_udf():

@@ -47,6 +47,10 @@ from pyspark.sql import functions as F
 _KNUTH = 2654435761
 _FOLD = 1 << 30
 _MOD32 = 1 << 32
+# odd mixer folding the key's high 34 bits into the low 30: small enough
+# that |hi|·_MIX + lo stays under 2^51 (ANSI-safe), odd so distinct hi
+# values never alias at a stride (see hash_bucket docstring)
+_MIX = 48271
 
 
 def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column:
@@ -54,17 +58,28 @@ def hash_bucket(key_col: str, n_buckets: int = 100, salt: int = 40503) -> Column
     +,*,%,div only, so the exact expression is portable to any SQL engine
     (the oracles inline the same VALUES; the key is reduced mod 2^30
     BEFORE the salt is added — ``key + salt`` overflowed bigint for keys
-    within salt of Long.MAX under ANSI, and since (key % F + salt) mod F
-    == (key + salt) mod F the pre-reduction changes no bucket, so the
-    existing oracles stay value-identical; code-review r4).
+    within salt of Long.MAX under ANSI; code-review r4).
+
+    The high bits participate: the key's upper 34 bits are folded into the
+    low 30 via an odd-multiplier mix (hi·48271 + lo, all bounded by 2^50,
+    ANSI-safe) BEFORE the salt/multiply stages.  A plain ``key % 2^30``
+    discarded them entirely, so keys congruent mod 2^30 — notably
+    monotonically_increasing_id, whose partition id lives at bit 33 and
+    vanishes mod 2^30 — collided deterministically for EVERY salt and
+    modulus: row j of every partition drew the same split and the same
+    sample keep/drop, a silent structural bias (code-review r4, third
+    pass).  For keys below 2^30 (hi = 0) the mix is the identity, so
+    existing small-key assignments are unchanged.
 
     NULL keys raise instead of hashing: a null made every downstream
     comparison NULL, silently routing the row to split_by_hash's LAST
     split (the holdout!) while stratified_sample_hash silently DROPPED it
     — two different silent policies for data with no stable identity."""
     mult = (_KNUTH + 2 * salt) % _MOD32
-    keyed = f"((({key_col}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
-    folded = f"(({keyed}) + {salt}) % {_FOLD}"
+    lo = f"((({key_col}) % {_FOLD}) + {_FOLD}) % {_FOLD}"
+    hi = f"((({key_col}) - ({lo})) div {_FOLD})"  # exact multiple: trunc == floor
+    mixed = f"(((({hi}) * {_MIX} + ({lo})) % {_FOLD}) + {_FOLD}) % {_FOLD}"
+    folded = f"(({mixed}) + {salt}) % {_FOLD}"
     h = f"(({folded}) * {mult}) % {_MOD32}"
     return F.expr(
         f"CASE WHEN ({key_col}) IS NULL THEN "

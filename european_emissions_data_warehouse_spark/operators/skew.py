@@ -48,6 +48,12 @@ def salted_join(
     (code-review r4) — rejected with an error instead of returning wrong
     counts.  For a right/full outer, salt the other frame as the skewed
     side or fall back to AQE skew splitting."""
+    if n_salts < 1:
+        # validated like `how`: n_salts=-1 made the replicated side EMPTY
+        # (explode of a zero-length array) and the join silently returned
+        # nothing, violating the exact-equality contract; 0 died later as
+        # an ANSI pmod-divide-by-zero (code-review r4)
+        raise ValueError(f"salted_join: n_salts must be >= 1, got {n_salts}")
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
                "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
     if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:

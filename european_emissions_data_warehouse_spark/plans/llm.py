@@ -513,11 +513,15 @@ WITH m AS (
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) END AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         -- NULL text propagates NULL (engine null policy, code-review r4)
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         -- LEAST-clamped like the engine: \b-hits inside one hyphenated
+         -- token can exceed the whitespace-token count (code-review r4)
          CASE WHEN length(trim(text)) = 0 THEN 0.0
-              ELSE len(regexp_extract_all(lower(text),
+              ELSE LEAST(1.0, len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio
+                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) END AS stop_ratio
   FROM documents
 )
 SELECT doc_id, n_chars_text, ws_tokens, bpe_tokens, punct_ratio, stop_ratio,
@@ -552,7 +556,7 @@ WITH c AS (
                regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
                '\s+', ' ', 'g')),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS cleaned
+           '\+?[0-9](?:[()\- ]?[0-9]){6,15}', '<PHONE>', 'g') AS cleaned
   FROM documents
 )
 SELECT doc_id, CAST(len_raw AS BIGINT) AS len_raw,
@@ -621,7 +625,7 @@ WITH cleaned AS (
                regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
                '\s+', ' ', 'g')),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS ctext
+           '\+?[0-9](?:[()\- ]?[0-9]){6,15}', '<PHONE>', 'g') AS ctext
   FROM documents
 ), m AS (
   SELECT doc_id, ctext,
@@ -1184,10 +1188,21 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRAIN_TEST_SPLIT = """
-WITH b AS (
+-- lockstep with sampling.hash_bucket: high key bits mixed into the low 30
+-- (hi*48271 + lo) before the salt/multiply stages (code-review r4); for
+-- the fixtures' sub-2^30 doc_ids hi = 0 and the mix is the identity
+WITH k AS (
   SELECT doc_id, lang,
-         ((((((doc_id + 40503) % 1073741824) + 1073741824) % 1073741824) * 2654516767) % 4294967296 // 64) % 100 AS bucket
+         ((doc_id % 1073741824) + 1073741824) % 1073741824 AS lo
   FROM documents
+), mx AS (
+  SELECT doc_id, lang,
+         (((((doc_id - lo) // 1073741824) * 48271 + lo) % 1073741824 + 1073741824) % 1073741824) AS mixed
+  FROM k
+), b AS (
+  SELECT doc_id, lang,
+         ((((mixed + 40503) % 1073741824) * 2654516767) % 4294967296 // 64) % 100 AS bucket
+  FROM mx
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
@@ -1232,12 +1247,16 @@ WITH m AS (
                 / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio
   FROM documents
 ), q AS (
+  -- bucket arithmetic lockstep with sampling.hash_bucket incl. the
+  -- high-bit mix (identity for sub-2^30 doc_ids; code-review r4)
   SELECT doc_id, lang,
          ((CASE WHEN n_chars_text >= 100 THEN 1.0 ELSE n_chars_text / 100.0 END)
           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
                   ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
           + LEAST(1.0, stop_ratio * 4)) / 3 AS quality,
-         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
+         (((((((((doc_id - (((doc_id % 1073741824) + 1073741824) % 1073741824)) // 1073741824) * 48271
+              + (((doc_id % 1073741824) + 1073741824) % 1073741824)) % 1073741824 + 1073741824) % 1073741824)
+            + 52711) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
   FROM m
 )
 SELECT doc_id, lang, quality FROM q
@@ -1264,10 +1283,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STRATIFIED_SAMPLE = """
-WITH b AS (
+-- bucket arithmetic lockstep with sampling.hash_bucket incl. the high-bit
+-- mix (identity for sub-2^30 doc_ids; code-review r4)
+WITH k AS (
   SELECT doc_id, lang,
-         ((((((doc_id + 52711) % 1073741824) + 1073741824) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
+         ((doc_id % 1073741824) + 1073741824) % 1073741824 AS lo
   FROM documents
+), mx AS (
+  SELECT doc_id, lang,
+         (((((doc_id - lo) // 1073741824) * 48271 + lo) % 1073741824 + 1073741824) % 1073741824) AS mixed
+  FROM k
+), b AS (
+  SELECT doc_id, lang,
+         ((((mixed + 52711) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
+  FROM mx
 )
 SELECT doc_id, lang FROM b
 WHERE bucket < (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.8

@@ -907,3 +907,90 @@ def test_bpe_train_storage_stays_bounded(spark, sf_dir):
         f"superseded checkpoints leaked: {after - before} new persistent RDDs "
         "after a 5-merge train"
     )
+
+
+def test_null_text_propagates_through_text_functions(spark):
+    """One NULL policy per module (code-review r4): NULL text yields NULL
+    ratios/shingles/fingerprints — not 0.0 ('perfectly clean'), not [NULL]
+    (which made every null document an exact near-dup of every other:
+    rolling_fingerprint collapsed to the constant [xxhash64(NULL)])."""
+    from european_emissions_data_warehouse_spark.functions.text import (
+        char_shingles,
+        punct_ratio,
+        rolling_fingerprint,
+        stopword_ratio,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([(None,), ("real text here",)], "text string")
+    r = df.select(
+        punct_ratio(F.col("text")).alias("p"),
+        stopword_ratio(F.col("text")).alias("s"),
+        char_shingles(F.col("text")).alias("cs"),
+        word_shingles(F.col("text")).alias("ws"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    nulls = next(x for x in r if x["cs"] is None or (x["p"] is None))
+    assert nulls["p"] is None and nulls["s"] is None
+    assert nulls["cs"] is None and nulls["ws"] is None and nulls["fp"] is None
+    real = next(x for x in r if x["cs"] is not None)
+    assert real["p"] is not None and real["cs"]
+
+
+def test_stopword_ratio_clamped_to_probability_range(spark):
+    """\\b-bounded hits inside one hyphenated token exceeded the
+    whitespace-token count, exporting stop_ratio = 3.0 as a 'fraction'
+    (code-review r4) — now clamped to [0, 1]."""
+    from european_emissions_data_warehouse_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame([("the-and-of",), ("the cat",)], "text string")
+    vals = [r["s"] for r in df.select(stopword_ratio(F.col("text")).alias("s")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals), vals
+
+
+def test_mask_pii_does_not_merge_numeric_spans_across_lines(spark):
+    """The unbounded [0-9()\\-\\s]{7,} phone span crossed newlines and
+    swallowed whole numeric tables into one <PHONE> (code-review r4); the
+    bounded single-separator form keeps each line's content while still
+    masking phone-shaped runs."""
+    from european_emissions_data_warehouse_spark.functions.text import mask_pii
+
+    text = "revenue by year:\n2020 123\n2021 456\n2022 789 done"
+    (out,) = spark.createDataFrame([(text,)], "text string").select(
+        mask_pii(F.col("text")).alias("m")
+    ).collect()[0]
+    assert out.count("\n") == 3, f"newlines destroyed: {out!r}"
+    assert "done" in out
+    assert out.count("<PHONE>") >= 1  # each line masks independently at most
+
+    phone = "call +1 (415) 555-0199 now"
+    (out2,) = spark.createDataFrame([(phone,)], "text string").select(
+        mask_pii(F.col("text")).alias("m")
+    ).collect()[0]
+    assert "<PHONE>" in out2 and "call" in out2 and "now" in out2
+
+
+def test_vector_guards_null_and_zero_scale(spark):
+    """norm(NULL) is NULL (not the 1e-150 floor — greatest() skips nulls),
+    matching embedding_stats_udf; int8_quant_max_err at scale 0 returns
+    NULL instead of an ANSI DIVIDE_BY_ZERO abort (code-review r4)."""
+    from european_emissions_data_warehouse_spark.functions.vectors import (
+        int8_quant_max_err,
+        norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [3.0, 4.0])],
+        "id long, v array<double>",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        norm(F.col("v")).alias("n"),
+        int8_quant_max_err(F.col("v"), F.lit(0.0)).alias("e0"),
+        int8_quant_max_err(F.col("v"), F.lit(25.4)).alias("e"),
+    ).collect()}
+    assert rows[2]["n"] is None
+    assert rows[3]["n"] == 5.0
+    assert rows[1]["n"] == 1e-150  # zero vector keeps the divide floor
+    assert rows[1]["e0"] is None and rows[3]["e0"] is None
+    assert rows[3]["e"] is not None and rows[3]["e"] >= 0.0

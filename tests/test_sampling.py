@@ -256,3 +256,34 @@ def test_small_fraction_sample_still_spans_splits(spark):
     assert set(by_split) == {"train", "valid", "test"}, by_split
     assert 0.7 < by_split["train"] / n < 0.9, by_split
     assert by_split["valid"] / n > 0.05 and by_split["test"] / n > 0.05, by_split
+
+
+def test_hash_bucket_uses_high_key_bits(spark):
+    """Keys congruent mod 2^30 must NOT collide deterministically: under
+    the old fold (key % 2^30 alone), monotonically_increasing_id-style keys
+    (pid·2^33 + j, where 2^33 ≡ 0 mod 2^30) drew identical buckets for row
+    j of EVERY partition, for every salt — correlated split/sample
+    decisions at exactly the id scheme Spark hands out (code-review r4).
+    Also pins that the mix is the identity for sub-2^30 keys (hi = 0), so
+    historical small-key assignments never moved."""
+    from european_emissions_data_warehouse_spark.operators.sampling import hash_bucket
+
+    # 64 partitions x 32 rows of monotonically_increasing_id-shaped keys
+    rows = [(pid * (1 << 33) + j,) for pid in range(64) for j in range(32)]
+    df = spark.createDataFrame(rows, "k long")
+    out = df.select("k", hash_bucket("k", 100).alias("b")).collect()
+    by_offset = {}
+    for r in out:
+        by_offset.setdefault(r["k"] % (1 << 33), set()).add(r["b"])
+    # every offset j must spread across many buckets, not collapse to one
+    collapsed = [j for j, bs in by_offset.items() if len(bs) == 1]
+    assert not collapsed, f"offsets {collapsed[:5]} bucket identically across partitions"
+
+    # identity for small keys: hi = 0 path must equal the pre-mix arithmetic
+    small = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    got = {r["k"]: r["b"] for r in small.select("k", hash_bucket("k", 100).alias("b")).collect()}
+    F_, M32, salt = 1 << 30, 1 << 32, 40503
+    mult = (2654435761 + 2 * salt) % M32
+    for k in range(1000):
+        want = ((((k + salt) % F_) * mult) % M32 // 64) % 100
+        assert got[k] == want, (k, got[k], want)

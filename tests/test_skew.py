@@ -68,3 +68,18 @@ def test_salted_helpers_reject_column_collisions(spark):
 
     with pytest.raises(ValueError, match="__salt"):
         salted_count_distinct(df, ["k"], "__salt")
+
+
+def test_salted_join_rejects_nonpositive_n_salts(spark):
+    """n_salts=-1 silently emptied the replicated side (explode of a
+    zero-length array) and the join returned nothing; 0 died later as an
+    ANSI pmod-by-zero (code-review r4) — both now rejected up front."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n_salts must be >= 1"):
+            salted_join(a, b, ["k"], n_salts=bad)
