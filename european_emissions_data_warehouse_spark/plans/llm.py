@@ -517,8 +517,13 @@ WITH m AS (
          CASE WHEN text IS NULL THEN NULL
               WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
          -- LEAST-clamped like the engine: \b-hits inside one hyphenated
-         -- token can exceed the whitespace-token count (code-review r4)
-         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         -- token can exceed the whitespace-token count.  Guarded on the
+         -- FILTERED token count, not length(trim()): trim strips only
+         -- 0x20, so tab-only text slipped past the length guard into a
+         -- 0/0 = NULL quotient that LEAST (which SKIPS nulls) turned into
+         -- a fabricated 1.0 (code-review r4, second pass)
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) = 0 THEN 0.0
               ELSE LEAST(1.0, len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
                 / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) END AS stop_ratio
@@ -1237,27 +1242,36 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_QUALITY_WEIGHTED_SAMPLE = r"""
+-- bucket arithmetic lockstep with sampling.hash_bucket incl. the high-bit
+-- mix (identity for sub-2^30 doc_ids), written as the same lo -> mixed ->
+-- bucket chain as the sibling oracles so the formula exists in one shape
+-- (code-review r4, second pass).  stop_ratio guards on the FILTERED token
+-- count: tab-only text slipped past length(trim()) into a 0/0 = NULL that
+-- LEAST (which SKIPS nulls) turned into a fabricated 1.0.
 WITH m AS (
   SELECT doc_id, lang,
          CAST(length(text) AS BIGINT) AS n_chars_text,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) = 0 THEN 0.0
               ELSE len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
-                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio
+                / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS stop_ratio,
+         ((doc_id % 1073741824) + 1073741824) % 1073741824 AS lo
   FROM documents
+), mx AS (
+  SELECT doc_id, lang, n_chars_text, punct_ratio, stop_ratio,
+         (((((doc_id - lo) // 1073741824) * 48271 + lo) % 1073741824 + 1073741824) % 1073741824) AS mixed
+  FROM m
 ), q AS (
-  -- bucket arithmetic lockstep with sampling.hash_bucket incl. the
-  -- high-bit mix (identity for sub-2^30 doc_ids; code-review r4)
   SELECT doc_id, lang,
          ((CASE WHEN n_chars_text >= 100 THEN 1.0 ELSE n_chars_text / 100.0 END)
           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
                   ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
           + LEAST(1.0, stop_ratio * 4)) / 3 AS quality,
-         (((((((((doc_id - (((doc_id % 1073741824) + 1073741824) % 1073741824)) // 1073741824) * 48271
-              + (((doc_id % 1073741824) + 1073741824) % 1073741824)) % 1073741824 + 1073741824) % 1073741824)
-            + 52711) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
-  FROM m
+         ((((mixed + 52711) % 1073741824) * 2654541183) % 4294967296 // 64) % 10000 AS bucket
+  FROM mx
 )
 SELECT doc_id, lang, quality FROM q
 WHERE bucket < quality * 10000.0
@@ -2451,9 +2465,15 @@ ORACLE_NB_QUALITY = r"""
 WITH m AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
-         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[^\s\p{L}\p{N}]')) / length(text) ELSE 0.0 END
            AS punct_ratio,
-         CASE WHEN length(trim(text)) = 0 THEN 0.0
+         -- token-count guard, not length(trim()): tab-only text made the
+         -- quotient 0/0 = NULL, LEAST skipped it to 1.0, and ONE such
+         -- row's flipped label poisoned the NB model for every document
+         -- (code-review r4, second pass)
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) = 0 THEN 0.0
               ELSE len(regexp_extract_all(lower(text),
                   '\b(the|and|of|to|is|in|that|for|with|was)\b'))
                 / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
@@ -2466,7 +2486,12 @@ WITH m AS (
           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
                   ELSE GREATEST(0.0, 1.0 - (punct_ratio - 0.2) * 2) END)
           + LEAST(1.0, stop_ratio * 4)) / 3 >= 0.5 THEN 1 ELSE 0 END AS good
-  FROM m
+  -- NULL text is excluded from the labeled set entirely: the engine's
+  -- boolean label is NULL there (unknown label != bad), so the doc joins
+  -- neither the vocabulary nor the class prior — the bare ELSE 0 counted
+  -- it as a bad-class document and shifted ln(n_good/n_bad) for EVERY
+  -- score (code-review r4, second pass)
+  FROM m WHERE text IS NOT NULL
 ), toks AS (
   SELECT doc_id, good, tok FROM (
     SELECT doc_id, good,

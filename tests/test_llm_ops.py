@@ -994,3 +994,59 @@ def test_vector_guards_null_and_zero_scale(spark):
     assert rows[1]["n"] == 1e-150  # zero vector keeps the divide floor
     assert rows[1]["e0"] is None and rows[3]["e0"] is None
     assert rows[3]["e"] is not None and rows[3]["e"] >= 0.0
+
+
+def test_text_quality_oracles_lockstep_on_degenerate_docs(spark, tmp_path):
+    """Engine vs DuckDB oracle on exactly the document classes the fixtures
+    lack: NULL text, tab-only text (slips past length(trim()) guards),
+    hyphen-joined stopwords (ratio numerator > denominator), and a
+    multi-line numeric table (phone-regex bait).  DuckDB's LEAST/GREATEST
+    SKIP NULLs, so an unguarded NULL quotient fabricates 1.0 — this pins
+    the token-count guards added in code-review r4 (second pass)."""
+    import duckdb
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    docs = [
+        (1, None, "en", "web"),
+        (2, "\t", "en", "web"),
+        (3, "   ", "en", "web"),
+        (4, "the-and-of", "en", "web"),
+        (5, "revenue by year:\n2020 123\n2021 456\n2022 789 done", "en", "web"),
+        (6, "the cat sat on the mat with a hat and the bat", "en", "web"),
+        (7, "", "en", "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string")
+    sf = str(tmp_path)
+    df.withColumn("n_chars", F.length("text").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    # Spark writes a part-file DIRECTORY; DuckDB needs the glob form
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    Q, O = entry_mod.queries(), entry_mod.oracle_sql()
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.12g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    for name in ("text_stats", "text_clean", "quality_weighted_sample", "nb_quality"):
+        sdf = Q[name](spark, sf)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        ores = con.execute(O[name]).fetchall()
+        ocols = [d[0] for d in con.description]
+        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+        order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        a = sorted(tuple(norm_cell(r[i]) for i in order_s) for r in srows)
+        b = sorted(tuple(norm_cell(r[i]) for i in order_o) for r in ores)
+        assert sorted(scols) == sorted(ocols), (name, scols, ocols)
+        assert a == b, (name, a[:4], b[:4])
+    con.close()
