@@ -838,13 +838,11 @@ def _read_minhash_params(spark, store_path: str) -> dict[str, str] | None:
                         f"{st.getPath().toString()}/{_MINHASH_PARAMS_FILE}"
                     )
                 )
+    from european_emissions_data_warehouse_spark.operators.snapshots import read_small_text
+
     for p in cands:
-        if fs.exists(p):
-            stream = fs.open(p)
-            try:
-                text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-            finally:
-                stream.close()
+        text = read_small_text(spark, p.toString())
+        if text is not None:
             return dict(
                 ln.split("=", 1) for ln in text.strip().splitlines() if "=" in ln
             )

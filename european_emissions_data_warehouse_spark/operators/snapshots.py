@@ -50,6 +50,24 @@ def _fs(spark: SparkSession, path: str):
     return jvm, jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
 
 
+def read_small_text(spark: SparkSession, path: str) -> str | None:
+    """Driver-side read of one small text file through the path's Hadoop
+    filesystem; None if the file does not exist.  THE shared helper for
+    manifest/marker/metadata reads — the open + IOUtils.toString +
+    close-in-finally sequence previously existed as four hand-synced
+    copies across snapshots/ingest/dedup (code-review r4, streaming
+    pass)."""
+    jvm, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 class SnapshotTable:
     """A versioned parquet table at ``path`` (see module docstring)."""
 
@@ -82,17 +100,10 @@ class SnapshotTable:
         return h[-1] if h else None
 
     def _manifest_text(self, version: int) -> str:
-        jvm, fs = _fs(self.spark, self.path)
-        p = self._jpath(f"{self.commits_dir}/{version:08d}")
-        if not fs.exists(p):
+        text = read_small_text(self.spark, f"{self.commits_dir}/{version:08d}")
+        if text is None:
             raise ValueError(f"version {version} does not exist at {self.path}")
-        stream = fs.open(p)
-        try:
-            return (
-                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
-            )
-        finally:
-            stream.close()
+        return text.strip()
 
     def _manifest(self, version: int) -> str:
         """The snapshot data dir named by a commit (manifest line 1; later
@@ -135,12 +146,29 @@ class SnapshotTable:
 
     # --- write ----------------------------------------------------------
 
-    def commit(self, df: DataFrame, meta: dict[str, str] | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        meta: dict[str, str] | None = None,
+        expected_base: int | None = None,
+    ) -> int:
         """Write ``df`` as the next snapshot; returns its version.  ``meta``
         key=value pairs are recorded in the commit manifest — streaming
         ingest stamps the micro-batch id there so a crash-replayed batch can
         be recognized and skipped (version-level idempotence, not just
         content-level).
+
+        ``expected_base``: the version ``df`` was DERIVED from (-1 for an
+        empty table), for read-modify-write callers.  The commit then
+        publishes at exactly ``expected_base + 1`` so the rename-CAS itself
+        detects any commit that landed between the caller's read and this
+        publish and raises ConcurrentCommitError (retry by re-reading).
+        Without it the version comes from a FRESH listing, so an
+        interleaved commit was silently merged-over: reader pins v5, writer
+        X commits v6, reader publishes its v5+delta as v7 — v6's changes
+        (a GDPR delete_where, another stream's batch) resurrected/lost with
+        no error (code-review r4, streaming pass).  Blind appends that
+        don't read the current snapshot may keep the fresh-listing form.
 
         The data dir carries a per-writer random suffix: two writers racing
         to the same version previously both wrote ``data_v<N>`` with
@@ -151,11 +179,15 @@ class SnapshotTable:
         ConcurrentCommitError; the manifest is the only name readers follow."""
         import uuid
 
-        # one listing, not two: latest_version() re-lists the commits dir
-        # history() just walked (code-review r4 — at 10k commits every
-        # redundant listStatus is 10k driver RPC entries per trigger)
-        h = self.history()
-        version = (h[-1] if h else -1) + 1
+        if expected_base is not None:
+            version = expected_base + 1
+        else:
+            # one listing, not two: latest_version() re-lists the commits
+            # dir history() just walked (code-review r4 — at 10k commits
+            # every redundant listStatus is 10k driver RPC entries per
+            # trigger)
+            h = self.history()
+            version = (h[-1] if h else -1) + 1
         data_dir = f"data_v{version:08d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(f"{self.path}/{data_dir}")
         try:

@@ -49,20 +49,10 @@ def _checkpoint_generation(spark: SparkSession, checkpoint_path: str) -> str | N
     happens outside a live query)."""
     import json
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/metadata")
-    fs = path.getFileSystem(conf)
-    if not fs.exists(path):
-        return None
-    stream_in = fs.open(path)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream_in, "UTF-8"
-        )
-    finally:
-        stream_in.close()
-    return json.loads(text).get("id")
+    from european_emissions_data_warehouse_spark.operators.snapshots import read_small_text
+
+    text = read_small_text(spark, f"{checkpoint_path}/metadata")
+    return None if text is None else json.loads(text).get("id")
 
 
 def stream_from_directory(
@@ -276,17 +266,37 @@ def _run_ledgered_stream(
         table = SnapshotTable(spark, table_path)
         gen = _checkpoint_generation(spark, checkpoint_path)
         hist = table.history()
+        if not hist and batch_id > 0:
+            # torn checkpoint/table pair: the checkpoint says batches
+            # 0..batch_id-1 were read and committed, but the table has no
+            # history — someone deleted/reset the table under a live
+            # checkpoint.  The file source will never re-read those
+            # batches, so continuing would silently rebuild from only the
+            # remaining input (code-review r4, streaming pass).
+            raise RuntimeError(
+                f"ledgered stream at {table_path}: checkpoint "
+                f"{checkpoint_path} is at batch {batch_id} but the table "
+                "has no commit history — the table was deleted/reset under "
+                "a live checkpoint; reset the checkpoint too (the input "
+                "will be re-read) or restore the table"
+            )
         applied = table.last_applied_batch(gen, history=hist)
         if applied is not None and batch_id <= applied:
             return  # crash-replay of an already-committed batch
         if guard is not None:
             guard(table, gen, hist)
         delta = delta_fn(batch)
-        merged = merge_fn(table.read(hist[-1]), delta) if hist else delta
+        base = hist[-1] if hist else -1
+        merged = merge_fn(table.read(base), delta) if hist else delta
         meta = {"batch_id": str(batch_id)}
         if gen is not None:
             meta["ckpt_gen"] = gen
-        table.commit(merged, meta=meta)
+        # expected_base pins the merge's read version: a commit landing
+        # between the history() above and this publish (another stream, a
+        # GDPR delete_where) fails the CAS with ConcurrentCommitError
+        # instead of being silently merged-over; the failed batch is
+        # retried from a fresh read (code-review r4, streaming pass)
+        table.commit(merged, meta=meta, expected_base=base)
 
     (
         stream.writeStream.foreachBatch(commit_batch)
@@ -378,8 +388,6 @@ def run_corpus_prep_stream(
 
     At 100 TB/day the only state is the dedup hash set within the horizon;
     everything else is narrow and scales with input partitions."""
-    from pyspark.sql import functions as F
-
     from european_emissions_data_warehouse_spark.functions.text import (
         bpe_token_count,
         clean_text,
@@ -426,8 +434,6 @@ def run_windowed_counts(
     finalize and emit; later-arriving events for them are dropped — the
     explicit late-data policy the reference never had (its Lambda chain would
     silently double-import)."""
-    from pyspark.sql import functions as F
-
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
@@ -637,7 +643,6 @@ def run_neardup_dedup_stream(
     whatever an existing store at ``store_path`` was built with."""
     from european_emissions_data_warehouse_spark.operators.dedup import (
         _minhash_band_table,
-        _sig_estimate,
         _write_minhash_params,
         minhash_dedup_incremental,
         minhash_store_init,
@@ -662,13 +667,11 @@ def run_neardup_dedup_stream(
         # (code-review r4)
         store_exists = fs.exists(marker_p)
         if store_exists:
-            stream_in = fs.open(marker_p)
-            try:
-                stored_gen = jvm.org.apache.commons.io.IOUtils.toString(
-                    stream_in, "UTF-8"
-                ).strip()
-            finally:
-                stream_in.close()
+            from european_emissions_data_warehouse_spark.operators.snapshots import (
+                read_small_text,
+            )
+
+            stored_gen = (read_small_text(spark, marker_p.toString()) or "").strip()
             if gen is not None and stored_gen != gen:
                 raise RuntimeError(
                     f"run_neardup_dedup_stream: store {store_path} belongs to "
@@ -678,70 +681,49 @@ def run_neardup_dedup_stream(
                     "checkpoint or start a fresh store/output."
                 )
         if not store_exists:
-            # bootstrap: intra-batch dedup via the standing pair logic on
-            # an empty-store equivalent — first-id-wins within the batch.
-            # Checkpointed: the bucket self-join references the band table
-            # on both sides (same reason minhash_lsh_pairs checkpoints its
-            # signature frame).
-            band = _minhash_band_table(
-                batch, id_col, text_col, k, unit, num_hashes, bands
-            ).localCheckpoint(eager=True)
-            # _sig_estimate, not an inline copy: bootstrap survivors must be
-            # selected under the SAME estimate the incremental probe applies
-            # from batch 1 on, or a change to the estimate silently breaks
-            # bootstrap/incremental parity (code-review r4)
-            pairs = (
-                band.alias("n")
-                .join(band.alias("o"), ["band", "bucket"])
-                .filter(F.col("o.id") < F.col("n.id"))
-                .select(
-                    F.col("n.id").alias("new_id"),
-                    F.col("n.sig").alias("sig_a"),
-                    F.col("o.sig").alias("sig_b"),
-                )
-                .filter(_sig_estimate(num_hashes) >= threshold)
-                .select("new_id")
-                .distinct()
-            )
-            survivors = batch.join(
-                pairs.withColumnRenamed("new_id", id_col), id_col, "left_anti"
-            ).localCheckpoint(eager=True)
+            # bootstrap = an EMPTY store slice + marker, then the one
+            # incremental path below: its vs_new self-join already does
+            # first-id-wins intra-batch dedup under the same _sig_estimate,
+            # so the former ~30-line hand-copy of that pair logic (which
+            # had to stay synced with dedup.py by comment discipline) is
+            # gone (code-review r4, streaming pass).  Crash between the
+            # init and the marker: replay re-inits (overwrite, idempotent).
+            # Crash after the marker: replay routes through the incremental
+            # branch against the empty slice — same survivors, and the
+            # store/out overwrites below are idempotent.
             minhash_store_init(
-                survivors, store_part, id_col=id_col, text_col=text_col,
+                batch.limit(0), store_part, id_col=id_col, text_col=text_col,
                 k=k, unit=unit, num_hashes=num_hashes, bands=bands,
             )
-            # commit point: written AFTER the store bytes, so a crash
-            # mid-bootstrap replays the bootstrap branch
             out_stream = fs.create(marker_p, True)
             try:
                 out_stream.write(bytearray(gen or "", "utf-8"))
             finally:
                 out_stream.close()
-        else:
-            dups = minhash_dedup_incremental(
-                batch, store_path, id_col=id_col, text_col=text_col,
-                k=k, unit=unit, num_hashes=num_hashes, bands=bands,
-                threshold=threshold, update_store=False,
-            )
-            survivors = batch.join(
-                dups.select(F.col("new_id").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            ).localCheckpoint(eager=True)
-            # survivors' band rows land in THIS batch's store partition —
-            # replay overwrites it with identical content (idempotent),
-            # and duplicates never enter the store.  The params file is
-            # re-stamped after the overwrite: a bootstrap replay routed
-            # through THIS branch rewrites batch_id=0, which is where
-            # minhash_store_init put the convention record — without the
-            # re-stamp the overwrite silently downgraded the store's
-            # params-mismatch guard forever (code-review r4)
-            _minhash_band_table(
-                survivors, id_col, text_col, k, unit, num_hashes, bands
-            ).write.mode("overwrite").parquet(store_part)
-            _write_minhash_params(
-                spark, store_part, k, unit, num_hashes, bands
-            )
+        dups = minhash_dedup_incremental(
+            batch, store_path, id_col=id_col, text_col=text_col,
+            k=k, unit=unit, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, update_store=False,
+        )
+        survivors = batch.join(
+            dups.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        # survivors' band rows land in THIS batch's store partition —
+        # replay overwrites it with identical content (idempotent),
+        # and duplicates never enter the store.  The params file is
+        # re-stamped after the overwrite: a bootstrap replay routed
+        # through THIS branch rewrites batch_id=0, which is where
+        # minhash_store_init put the convention record — without the
+        # re-stamp the overwrite silently downgraded the store's
+        # params-mismatch guard forever (code-review r4)
+        _minhash_band_table(
+            survivors, id_col, text_col, k, unit, num_hashes, bands
+        ).write.mode("overwrite").parquet(store_part)
+        _write_minhash_params(
+            spark, store_part, k, unit, num_hashes, bands
+        )
         survivors.write.mode("overwrite").parquet(out_part)
 
     (

@@ -78,7 +78,22 @@ def sessionize_stateful(
             start = last = None
             n, total = 0, 0.0
 
-        closed: list[tuple] = []
+        # Interval-merge over (open state session ∪ this batch's events),
+        # NOT an event-at-a-time fold against the state bounds: a
+        # cross-batch out-of-order event can land ANYWHERE relative to the
+        # open session — more than a gap BEFORE it (its own earlier
+        # session: the old min(start, t) silently bridged a >gap silence
+        # the batch twin splits), inside it (widen), or after (extend or
+        # split).  Treating every event as a 1-point segment, sorting by
+        # start, and merging gap-adjacent neighbors handles all three with
+        # the batch twin's exact whole-second gap rule (code-review r4,
+        # streaming pass).  All but the newest merged segment close now —
+        # a future batch bridging two already-split segments cannot
+        # retract them (inherent to append-mode streaming, same class as
+        # the timeout flush heuristic above).
+        segs: list[list] = []
+        if start is not None:
+            segs.append([start, last, n, total])
         # A user's rows may span several Arrow chunks delivered in arbitrary
         # order; sorting per-chunk would fold events out of time order and
         # manufacture spurious gap-closures.  Concat first, sort once.
@@ -89,31 +104,28 @@ def sessionize_stateful(
             )
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1000)  # inline (module refs don't pickle to workers)
-                if start is None:
-                    start, last, n, total = t, t, 1, float(value)
-                # gap measured on WHOLE-SECOND truncations, exactly like the
-                # batch twin's ts.cast('long') difference — µs-precision
-                # comparison split sub-second boundary gaps (1800.5s) that
-                # q_sessionize merges (code-review r4)
-                elif (t // 1_000_000) - (last // 1_000_000) > gap_seconds:
-                    closed.append((start, last, n, total))
-                    start, last, n, total = t, t, 1, float(value)
-                else:
-                    # an out-of-order event from a LATER micro-batch can
-                    # precede state's bounds (within-batch rows are sorted,
-                    # cross-batch ones are not): the session window must
-                    # only widen, never regress — `last = t` moved
-                    # session_end backward and manufactured spurious
-                    # gap-splits against the stale lower bound
-                    # (code-review r4)
-                    start = min(start, t)
-                    last = max(last, t)
-                    n += 1
-                    total += float(value)
-
-        if start is not None:
+                segs.append([t, t, 1, float(value)])
+        segs.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list] = []
+        for seg in segs:
+            # gap measured on WHOLE-SECOND truncations, exactly like the
+            # batch twin's ts.cast('long') difference — µs-precision
+            # comparison split sub-second boundary gaps (1800.5s) that
+            # q_sessionize merges (code-review r4)
+            if merged and (seg[0] // 1_000_000) - (merged[-1][1] // 1_000_000) <= gap_seconds:
+                m = merged[-1]
+                m[1] = max(m[1], seg[1])
+                m[2] += seg[2]
+                m[3] += seg[3]
+            else:
+                merged.append(seg)
+        closed: list[tuple] = [tuple(m) for m in merged[:-1]]
+        if merged:
+            start, last, n, total = merged[-1]
             state.update((start, last, n, total))
             state.setTimeoutDuration(timeout_ms)
+        else:
+            start = None
         if closed:
             yield pd.DataFrame(
                 {

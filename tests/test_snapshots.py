@@ -332,3 +332,25 @@ def test_last_applied_batch_matches_full_ledger(spark, nation, tmp_path):
     assert t.last_applied_batch("g3") is None
     assert t.newest_generation() == "g2"
     assert t.applied_batch_ids("g1") == {0, 1}
+
+
+def test_commit_expected_base_detects_interleaved_commit(spark, nation, tmp_path):
+    """Read-modify-write with expected_base: a commit landing between the
+    reader's history() and its publish must fail the CAS with
+    ConcurrentCommitError instead of being silently merged-over — the
+    fresh-listing form happily published v5+delta as v7, resurrecting
+    rows v6 had deleted (code-review r4, streaming pass)."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(nation.limit(5))                      # v0
+    base = t.latest_version()                      # reader pins v0
+    pinned = t.read(base)
+    t.commit(nation.limit(7))                      # interleaved writer: v1
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(pinned.unionByName(nation.limit(1)), expected_base=base)
+    # retry from a fresh read succeeds at the next slot
+    fresh = t.latest_version()
+    v = t.commit(t.read(fresh).limit(3), expected_base=fresh)
+    assert v == fresh + 1
+    assert t.history() == [0, 1, 2]

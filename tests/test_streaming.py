@@ -826,3 +826,71 @@ def test_hll_stream_matches_batch_sketch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert re_streamed == batch
+
+
+def test_stateful_sessions_split_far_early_out_of_order_event(spark, tmp_path):
+    """An out-of-order event arriving MORE than a gap before the open
+    session must become its own earlier session, not widen the open one
+    via min(start, t): state [12:00,12:10] + a late 07:00 event is TWO
+    sessions (a 5-hour silence sits between), exactly what the batch twin
+    emits (code-review r4, streaming pass)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [(1, 1, "2024-06-01 12:00:00", 1.0), (1, 2, "2024-06-01 12:10:00", 1.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [(1, 3, "2024-06-01 07:00:00", 5.0)],  # >gap BEFORE the open session
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import os
+
+    os.makedirs(landing)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    sessions = sessionize_stateful(stream, timeout_ms=3_000)
+    run_sessionize_drain(sessions, out, ckpt, max_wait_s=120)
+    got = sorted(spark.read.parquet(out).collect(), key=lambda r: r["session_start"])
+    assert len(got) == 2, [tuple(r) for r in got]
+    early, late = got
+    assert early["n_events"] == 1 and str(early["session_start"]).startswith("2024-06-01 07:00")
+    assert late["n_events"] == 2 and str(late["session_end"]).startswith("2024-06-01 12:10")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_ledgered_stream_rejects_table_deleted_under_live_checkpoint(
+    spark, events_batch, tmp_path
+):
+    """Deleting/resetting the state table while keeping the checkpoint must
+    fail loudly: the file source will never re-read the already-committed
+    batches, so continuing would silently rebuild from only the remaining
+    input (code-review r4, streaming pass)."""
+    import pytest
+
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_snapshot_ingest,
+        stream_from_directory,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    events_batch.limit(5).coalesce(1).write.mode("append").parquet(landing)
+    stream = stream_from_directory(spark, landing, events_batch.schema)
+    run_snapshot_ingest(stream, table, ckpt, key=["event_id"], order_by=["ts"])
+
+    shutil.rmtree(table)  # "reset" the table, keep the checkpoint
+    events_batch.limit(10).coalesce(1).write.mode("append").parquet(landing)
+    stream2 = stream_from_directory(spark, landing, events_batch.schema)
+    with pytest.raises(Exception, match="no commit history"):
+        run_snapshot_ingest(stream2, table, ckpt, key=["event_id"], order_by=["ts"])
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
