@@ -9,7 +9,9 @@ each batch aggregates locally and merges into the state on the group key.
 Correctness rests on the measures being COMMUTATIVE MONOIDS (sum, count,
 min, max — anything Spark itself partial-aggregates): merging per-batch
 partials in any order equals the one-shot aggregate.  AVG and friends must
-be carried as (sum, count) and finalized at read.
+be carried as (sum, non-null count) and finalized at read as
+sum_v / n_vals (NULL when n_vals = 0) — n_rows is the row count, not the
+AVG denominator.
 
 Scale: the state table is |groups| rows (orders of magnitude smaller than
 the fact); each refresh shuffles ONE batch's partial aggregate plus the
@@ -26,10 +28,18 @@ from pyspark.sql import functions as F
 
 def agg_state(batch: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
     """Partial-aggregate one batch into state shape:
-    (keys..., sum_v double, n_rows long, min_v, max_v)."""
+    (keys..., sum_v double, n_rows long, n_vals long, min_v, max_v).
+
+    ``n_vals`` is the NON-NULL value count — the AVG denominator.  SUM
+    skips nulls but COUNT(*) does not, so finalizing AVG as
+    sum_v / n_rows silently deflated every average on nullable measures
+    (group [2.0, NULL]: 2.0/2 = 1.0 where SQL AVG says 2.0); the correct
+    finalizer is sum_v / n_vals, NULL when n_vals = 0 (code-review r4,
+    operators pass)."""
     return batch.groupBy(*keys).agg(
         F.sum(value_col).alias("sum_v"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     )
@@ -45,6 +55,7 @@ def merge_state(state: DataFrame, delta: DataFrame, keys: Sequence[str]) -> Data
         .agg(
             F.sum("sum_v").alias("sum_v"),
             F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )

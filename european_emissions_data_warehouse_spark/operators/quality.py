@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from european_emissions_data_warehouse_spark.functions.text import ws_token_count
+from european_emissions_data_warehouse_spark.functions.text import ws_token_count, ws_tokens
 
 
 def repetition_signals(
@@ -33,11 +33,15 @@ def repetition_signals(
     one token explode, and the groupBy keys (id, word) are unskewed by
     construction.
     """
+    # ws_tokens is THE tokenization (phantom-''-token handling included);
+    # the per-site re-inline of split+filter had to re-fix that bug per
+    # copy (code-review r4, operators pass).  pos is dense over non-empty
+    # tokens — only its ORDER feeds the bigram window, so this is
+    # element-identical to the old post-filter form.
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")  # split('') yields [''] — a phantom token that
-    # scored every empty doc as maximally repetitive (code-review r4)
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "w"),
+    )
     # materialized: the unigram groupBy and the bigram window consume toks
     # under different shuffle keys ((id,w) vs id), so without the
     # checkpoint the corpus is re-scanned and re-tokenized per branch —
@@ -96,8 +100,8 @@ def token_rarity(
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")  # same phantom-''-token guard as repetition_signals
+        F.explode(ws_tokens(F.col(text_col))).alias("w"),  # THE tokenization
+    )
     # materialized: df_tab aggregates toks AND the scoring join probes it —
     # two corpus scans without the checkpoint (code-review r4)
     toks = toks.localCheckpoint(eager=False)
@@ -139,7 +143,10 @@ def source_mixture(
     """
     per = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(ws_token_count(F.col(text_col))).alias("n_tokens"),
+        # coalesced: a source whose texts are all NULL otherwise reports
+        # NULL n_tokens (SUM skips nulls) instead of 0 (code-review r4,
+        # operators pass)
+        F.coalesce(F.sum(ws_token_count(F.col(text_col))), F.lit(0)).alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").alias("__total_tokens"))
     return (
@@ -148,7 +155,14 @@ def source_mixture(
             group_col,
             "n_docs",
             "n_tokens",
-            (F.col("n_tokens") / F.col("__total_tokens")).alias("token_share"),
+            # guarded: a zero-token corpus slice (empty/whitespace docs)
+            # made this an ANSI DIVIDE_BY_ZERO job abort; an undefined
+            # mixture share is NULL, not a crash (code-review r4,
+            # operators pass — reproduced)
+            F.when(
+                F.col("__total_tokens") > 0,
+                F.col("n_tokens") / F.col("__total_tokens"),
+            ).alias("token_share"),
             (F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
         )
     )
@@ -184,8 +198,8 @@ def nb_quality_scores(
     toks = base.select(
         "id",
         "good",
-        F.explode(F.split(F.lower(F.trim(F.col("t"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(ws_tokens(F.lower(F.col("t")))).alias("tok"),  # THE tokenization
+    )
     vocab = toks.groupBy("tok").agg(
         F.sum("good").alias("n_good"),
         F.sum(1 - F.col("good")).alias("n_bad"),
@@ -232,5 +246,8 @@ def nb_quality_scores(
             F.round(F.sum(logodds) + F.first("prior"), 4).alias("nb_logodds"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "nb_logodds")
-        .orderBy(id_col)
+        # no orderBy: a corpus-wide global sort bought nothing (the driver
+        # compare and every consumer are order-insensitive) and cost a
+        # full range-exchange of the output (code-review r4, operators
+        # pass)
     )

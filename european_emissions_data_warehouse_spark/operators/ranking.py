@@ -34,19 +34,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"\s+"
+from european_emissions_data_warehouse_spark.functions.text import ws_tokens
+
 
 
 def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, term) rows: lowercase, whitespace-split, empties dropped.
     Mirrors the corpus convention used by the dedup family
     (DuckDB: ``string_split_regex(lower(trim(text)), '\\s+')``)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias("term"),
-        )
-        .filter(F.col("term") != "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),  # THE tokenization
     )
 
 

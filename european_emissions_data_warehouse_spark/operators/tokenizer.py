@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from european_emissions_data_warehouse_spark.functions.text import ws_tokens
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wfreq) — the corpus collapsed to its vocabulary.  One shuffle
@@ -21,8 +23,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token streams to a vocabulary table (typically <10⁷ rows), after which
     every later tokenizer-training stage is vocabulary-sized."""
     return (
-        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
+        docs.select(F.explode(ws_tokens(F.col(text_col))).alias("word"))  # THE tokenization
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wfreq"))
     )
@@ -96,8 +97,13 @@ def bpe_apply_merge(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # corpus) the row is identical to the grouped form.
     return applied.agg(
         F.max("pair").alias("merge_pair"),
+        # wfreq-weighted like every sibling measure in this row: the
+        # unweighted form counted distinct VOCABULARY entries while
+        # merges_applied/symbols_* count corpus occurrences, so
+        # words_touched/total-corpus-words ratios were wrong whenever any
+        # touched word repeats (code-review r4, operators pass)
         F.coalesce(
-            F.sum(F.when(F.col("touched"), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(F.col("touched"), F.col("wfreq")).otherwise(0)), F.lit(0)
         ).cast("bigint").alias("words_touched"),
         F.coalesce(F.sum(F.col("wfreq") * merges).cast("bigint"), F.lit(0))
         .cast("bigint")
@@ -164,6 +170,23 @@ def _unpersist_rdds(spark, ids: set[int]) -> None:
             m.apply(rid).unpersist(False)
 
 
+def _checkpoint_rdd_ids(df: DataFrame) -> set[int]:
+    """The persisted RDD id(s) backing an eager localCheckpoint — read
+    DIRECTLY off the checkpointed plan (a LogicalRDD), not by diffing the
+    context-global persistent-RDD registry: the diff captured any RDD a
+    CONCURRENT job persisted in the window and force-unpersisted it on the
+    next iteration, truncated lineage and all (code-review r4, operators
+    pass).  Falls back to empty (skip the sweep, lean on the context
+    cleaner's GC) if the plan shape ever changes."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return {plan.rdd().id()}
+    except Exception:
+        pass
+    return set()
+
+
 def bpe_train(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:
@@ -192,13 +215,12 @@ def bpe_train(
     O(n_merges x vocab) — at 10^4 merges over a 10^7-row vocabulary the
     unswept blocks exhausted MEMORY_AND_DISK (code-review r4)."""
     spark = docs.sparkSession
-    before = _persistent_rdd_ids(spark)
     words = (
         word_frequencies(docs, text_col)
         .select(F.expr("split(word, '')").alias("syms"), "wfreq")
         .localCheckpoint(eager=True)
     )
-    prev_ids = _persistent_rdd_ids(spark) - before
+    prev_ids = _checkpoint_rdd_ids(words)
     rules: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         # size<2 words carry no pairs — and sequence(1, 0) DESCENDS in
@@ -225,12 +247,11 @@ def bpe_train(
         rules.append((left, right, int(cnt)))
         # apply the merge via the Column-bound fold (_merge_fold) — the
         # learned symbols travel as literals, never as SQL text
-        before = _persistent_rdd_ids(spark)
         words = words.select(
             _merge_fold(F.col("syms"), left, right).alias("syms"),
             "wfreq",
         ).localCheckpoint(eager=True)
-        new_ids = _persistent_rdd_ids(spark) - before
+        new_ids = _checkpoint_rdd_ids(words)
         # eager=True: the new blocks exist before the old ones are freed
         _unpersist_rdds(spark, prev_ids)
         prev_ids = new_ids
@@ -267,8 +288,8 @@ def bpe_encode(
         syms = _merge_fold(syms, rule[0], rule[1])
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
-    ).filter(F.col("word") != "")
+        F.explode(ws_tokens(F.col(text_col))).alias("word"),  # THE tokenization
+    )
     return (
         words.select("doc_id", F.size(syms).alias("n_toks"))
         .groupBy("doc_id")

@@ -783,16 +783,21 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SOURCE_MIXTURE = r"""
+-- COALESCE + zero-total guard lockstep with operators/quality.py
+-- source_mixture: all-NULL sources count 0 tokens, and a zero-token
+-- corpus reports NULL share instead of dividing by zero (code-review r4)
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END) AS BIGINT) AS n_tokens
+         CAST(COALESCE(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END), 0) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per
 )
 SELECT source, n_docs, n_tokens,
-       n_tokens / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per) AS token_share,
+       CASE WHEN t > 0 THEN n_tokens / t END AS token_share,
        n_tokens / n_docs AS tokens_per_doc
-FROM per
+FROM per, tot
 """
 
 
@@ -2342,7 +2347,9 @@ WITH words AS (
   SELECT pair FROM pairs GROUP BY pair ORDER BY SUM(wfreq) DESC, pair ASC LIMIT 1
 )
 SELECT r.pair AS merge_pair,
-       CAST(SUM(CASE WHEN contains(w.word, r.pair) THEN 1 ELSE 0 END) AS BIGINT)
+       -- wfreq-weighted: corpus occurrences touched, consistent with the
+       -- sibling measures (code-review r4, operators pass)
+       CAST(SUM(CASE WHEN contains(w.word, r.pair) THEN w.wfreq ELSE 0 END) AS BIGINT)
          AS words_touched,
        CAST(SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2)
          AS BIGINT) AS merges_applied,

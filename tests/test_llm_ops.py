@@ -355,19 +355,21 @@ def test_bpe_pair_counts_hand_example(spark):
 
 def test_bpe_apply_merge_hand_example(spark):
     """Applying the learned top merge on a hand-countable corpus: the rule
-    is "ab" (count 3); 'abab' shrinks by 2 symbols, 'abc'/'ab' by 1."""
+    is "ab"; every summary measure is wfreq-WEIGHTED (corpus occurrences,
+    not distinct vocabulary entries — code-review r4, operators pass), so
+    'ab' appearing twice in the corpus counts twice in words_touched."""
     from european_emissions_data_warehouse_spark.operators.tokenizer import bpe_apply_merge
 
     docs = spark.createDataFrame(
-        [(1, "abab abc"), (2, "ab x")],
+        [(1, "abab abc"), (2, "ab x ab")],
         "doc_id long, text string",
     )
     [r] = bpe_apply_merge(docs).collect()
     assert r["merge_pair"] == "ab"
-    # vocab: abab(1), abc(1), ab(1), x(1)
-    assert r["words_touched"] == 3
-    assert r["merges_applied"] == 2 + 1 + 1
-    assert r["symbols_before"] == 4 + 3 + 2 + 1
+    # vocab: abab(1), abc(1), ab(2), x(1) — touched occurrences 1+1+2
+    assert r["words_touched"] == 4
+    assert r["merges_applied"] == 2 + 1 + 2 * 1
+    assert r["symbols_before"] == 4 + 3 + 2 * 2 + 1
     assert r["symbols_after"] == r["symbols_before"] - r["merges_applied"]
 
 
