@@ -54,6 +54,11 @@ def table_expectations(
     for c in not_null:
         aggs.append(_violations(F.col(c).isNotNull()).alias(f"{table}.{c}.not_null"))
     for c in unique:
+        # COUNT(c) - COUNT(DISTINCT c) both SKIP nulls — Postgres UNIQUE
+        # parity (multiple NULLs never conflict).  merge.check_unique is
+        # deliberately stricter (NULL keys group, matching the null-safe
+        # merge identity); the two validators answer different questions
+        # (code-review r4, operators pass)
         aggs.append(
             (F.count(c) - F.countDistinct(c)).alias(f"{table}.{c}.unique")
         )

@@ -41,18 +41,40 @@ def z_value(c1: Column, c2: Column, bits: int = 16) -> Column:
     # far apart in the column co-locate — min/max pruning quietly stops
     # working with no error; negative inputs likewise produce garbage
     # keys.  Fail loudly instead (code-review r4).
+    if not 1 <= bits <= 31:
+        # the invariant the docstring states, now enforced: at bits >= 32
+        # the interleave shifts into the SIGN bit, rows with that bit set
+        # get negative z keys that range-sort FIRST, and min/max pruning is
+        # silently destroyed — the exact silent-garbage failure the value
+        # guard below exists to prevent (code-review r4, operators pass)
+        raise ValueError(f"z_value: bits must be in [1, 31] (2*bits <= 62), got {bits}")
     bound = 1 << bits
     def checked(c: Column) -> Column:
         v = c.cast("long")
-        return F.when((v >= 0) & (v < bound), v).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("z_value: column value "),
-                    v.cast("string"),
+        return (
+            # explicit NULL branch: a NULL fell into the otherwise() whose
+            # concat message was itself NULL, so the job died with 'null'
+            # as the entire diagnostic (code-review r4, operators pass)
+            F.when(
+                v.isNull(),
+                F.raise_error(
                     F.lit(
-                        f" outside [0, 2^{bits}) — raise `bits` (2*bits <= 62)"
-                        " or pre-scale the column (code-review r4)"
-                    ),
+                        "z_value: NULL in a z-order column — fill or filter "
+                        "nulls before clustering (code-review r4)"
+                    )
+                ).cast("long"),
+            )
+            .when((v >= 0) & (v < bound), v)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("z_value: column value "),
+                        v.cast("string"),
+                        F.lit(
+                            f" outside [0, 2^{bits}) — raise `bits` (2*bits <= 62)"
+                            " or pre-scale the column (code-review r4)"
+                        ),
+                    )
                 )
             )
         )
@@ -143,6 +165,36 @@ def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _rewrite(
+    spark: SparkSession,
+    path: str,
+    staging_suffix: str,
+    shape,
+    target_file_mb: int,
+    skip_if_sized: bool = False,
+) -> tuple[int, int]:
+    """THE recover → stat → read → reshape → stage → swap → re-stat
+    skeleton shared by compact_parquet and cluster_zorder — previously two
+    hand-synced copies of the crash-safety sequence (code-review r4,
+    operators pass).  ``shape(df, n_target) -> DataFrame`` supplies the
+    layout; ``skip_if_sized`` makes an already-at-target directory a free
+    no-op instead of a full-table rewrite (a re-run maintenance job at
+    100 TB otherwise re-wrote every byte for zero benefit)."""
+    _recover_interrupted_swap(spark, path)
+    n_before, total_bytes = _dir_stats(spark, path)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    if skip_if_sized and n_before == n_target:
+        return n_before, n_before
+
+    out = shape(spark.read.parquet(path), n_target)
+    staging = f"{path}{staging_suffix}"
+    out.write.mode("overwrite").parquet(staging)
+    _swap_into(spark, staging, path)
+
+    n_after, _ = _dir_stats(spark, path)
+    return n_before, n_after
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -153,25 +205,25 @@ def compact_parquet(
 
     Returns (files_before, files_after).  With `sort_by`, rows are
     range-sorted across and within files so min/max row-group stats prune
-    scans on those columns."""
-    _recover_interrupted_swap(spark, path)
-    n_before, total_bytes = _dir_stats(spark, path)
-    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    scans on those columns.  Without `sort_by`, a directory already at the
+    target file count returns immediately (no layout promise to re-make);
+    sorted/z-ordered rewrites always run, since file COUNT says nothing
+    about clustering."""
 
-    df = spark.read.parquet(path)
-    if sort_by:
-        # repartitionByRange + sortWithinPartitions: global clustering on the
-        # sort key, one shuffle, each output file covers a disjoint key range
-        out = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(*sort_by)
-    else:
-        out = df.repartition(n_target)
+    def shape(df, n_target):
+        if sort_by:
+            # repartitionByRange + sortWithinPartitions: global clustering
+            # on the sort key, one shuffle, each output file covers a
+            # disjoint key range
+            return df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        return df.repartition(n_target)
 
-    staging = f"{path}__compact"
-    out.write.mode("overwrite").parquet(staging)
-    _swap_into(spark, staging, path)
-
-    n_after, _ = _dir_stats(spark, path)
-    return n_before, n_after
+    return _rewrite(
+        spark, path, "__compact", shape, target_file_mb,
+        skip_if_sized=not sort_by,
+    )
 
 
 def cluster_zorder(
@@ -187,19 +239,13 @@ def cluster_zorder(
     atomically swap — data-skipping then works for filters on either column
     (compact_parquet's staging/swap protocol, same crash safety).  Returns
     (files_before, files_after)."""
-    _recover_interrupted_swap(spark, path)
-    n_before, total_bytes = _dir_stats(spark, path)
-    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
-    zed = df.withColumn("__z", z_value(F.col(col1), F.col(col2), bits))
-    out = (
-        zed.repartitionByRange(n_target, "__z").sortWithinPartitions("__z").drop("__z")
-    )
+    def shape(df, n_target):
+        zed = df.withColumn("__z", z_value(F.col(col1), F.col(col2), bits))
+        return (
+            zed.repartitionByRange(n_target, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
 
-    staging = f"{path}__zorder"
-    out.write.mode("overwrite").parquet(staging)
-    _swap_into(spark, staging, path)
-
-    n_after, _ = _dir_stats(spark, path)
-    return n_before, n_after
+    return _rewrite(spark, path, "__zorder", shape, target_file_mb)

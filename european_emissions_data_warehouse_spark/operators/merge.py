@@ -57,7 +57,14 @@ def upsert_anti_join(old: DataFrame, new: DataFrame, key: Sequence[str]) -> Data
 
 def upsert_window(old: DataFrame, new: DataFrame, key: Sequence[str]) -> DataFrame:
     """Last-write-wins merge, window-dedup form: union old and new with a
-    precedence tag, keep rank-1 per key (new beats old)."""
+    precedence tag, keep rank-1 per key (new beats old).
+
+    Same precondition as upsert_anti_join: ``new`` must be key-unique
+    (feed through dedupe_last first).  With an intra-batch duplicate key
+    the rank-1 pick ties on __prec and keeps a NONDETERMINISTIC winner
+    here, while the anti-join form keeps BOTH rows — the documented
+    equivalence of the two forms holds only on clean input (code-review
+    r4, operators pass)."""
     key = list(key)
     tagged = old.withColumn("__prec", F.lit(0)).unionByName(new.withColumn("__prec", F.lit(1)))
     w = Window.partitionBy(*key).orderBy(F.col("__prec").desc())
@@ -116,7 +123,13 @@ def with_surrogate_key(
     # materialized once: the counts collect and the id-assignment window
     # otherwise each run the full range exchange (double cost), and any
     # non-deterministic lineage could re-partition differently between the
-    # passes, corrupting the offsets (code-review r4)
+    # passes, corrupting the offsets (code-review r4).  localCheckpoint is
+    # executor-local (NOT fault-tolerant): an executor lost between the
+    # two passes fails the job rather than silently recomputing with
+    # different partitioning — the safe failure mode for id assignment.
+    # On preemptible/dynamic-allocation clusters, set a checkpoint dir and
+    # swap this for reliable .checkpoint() (or stage `tagged` to parquet)
+    # to make the loss recoverable (code-review r4, operators pass).
     tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
@@ -184,8 +197,16 @@ def scd2_from_changelog(
 
 
 def check_unique(df: DataFrame, key: Sequence[str]) -> int:
-    """UNIQUE-constraint validation (reference lambda_handler_warehouse.py:63).
-    Returns the number of violating keys (0 == constraint holds)."""
+    """MERGE-contract uniqueness: the number of keys holding >1 row
+    (0 == the upsert precondition holds).  NULL keys GROUP TOGETHER here
+    — deliberately stricter than Postgres UNIQUE (which admits multiple
+    NULLs), because the null-safe merge forms (upsert_anti_join's
+    eqNullSafe, upsert_window's partitionBy) also treat NULL keys as one
+    identity, so two NULL-key rows really would collide at merge time.
+    For Postgres-parity UNIQUE validation (NULLs never conflict) use
+    expectations.table_expectations' unique rule, which skips NULLs —
+    the two checks answer different questions (code-review r4, operators
+    pass: the disagreement is intentional, now documented on both)."""
     return (
         df.groupBy(*key).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).count()
     )

@@ -29,6 +29,21 @@ FEATURE_SCHEMA = (
 )
 
 
+
+def _reject_null_payloads(pdf) -> None:
+    """Shared null-payload guard for every multimodal verb — one copy, one
+    diagnostic (the three inline copies had already drifted apart;
+    code-review r4, operators pass)."""
+    bad = pdf["asset_id"][pdf["payload"].isna()]
+    if len(bad):
+        raise ValueError(
+            "null payload for asset_id(s) "
+            f"{sorted(bad.head(5).tolist())} — filter or impute "
+            "before media processing (code-review r4: None used to "
+            "surface as an opaque TypeError inside a worker task)"
+        )
+
+
 def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -72,14 +87,7 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bad = pdf["asset_id"][pdf["payload"].isna()]
-            if len(bad):
-                raise ValueError(
-                    "null payload for asset_id(s) "
-                    f"{sorted(bad.head(5).tolist())} — filter or impute "
-                    "before media processing (code-review r4: None used to "
-                    "surface as an opaque TypeError inside a worker task)"
-                )
+            _reject_null_payloads(pdf)
             dims = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
             yield pd.DataFrame(
                 {
@@ -128,18 +136,15 @@ def sample_frames(
         import math
 
         for pdf in batches:
-            bad = pdf["asset_id"][pdf["payload"].isna()]
-            if len(bad):
-                raise ValueError(
-                    "null payload for asset_id(s) "
-                    f"{sorted(bad.head(5).tolist())} — filter or impute "
-                    "before media processing (code-review r4: None used to "
-                    "surface as an opaque TypeError inside a worker task)"
-                )
+            _reject_null_payloads(pdf)
             ids, nos, sizes, digests = [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(p)
-                n_frames = max(1, math.ceil(len(p) / frame_size))
+                # ceil, NOT max(1, ceil): an empty payload has ZERO frames
+                # — the floor fabricated a phantom (frame_no=0, 0 bytes,
+                # md5(b'')) row per empty asset (code-review r4, operators
+                # pass; oracle updated in lockstep)
+                n_frames = math.ceil(len(p) / frame_size)
                 for fi in range(0, n_frames, every):
                     chunk = p[fi * frame_size : (fi + 1) * frame_size]
                     ids.append(aid)
@@ -179,13 +184,7 @@ def resize_media(
         import math
 
         for pdf in batches:
-            bad = pdf["asset_id"][pdf["payload"].isna()]
-            if len(bad):
-                raise ValueError(
-                    "null payload for asset_id(s) "
-                    f"{sorted(bad.head(5).tolist())} — filter or impute "
-                    "before media processing"
-                )
+            _reject_null_payloads(pdf)
             ids, n_ins, n_outs, digests = [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(p)

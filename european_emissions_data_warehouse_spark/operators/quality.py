@@ -46,7 +46,11 @@ def repetition_signals(
     # under different shuffle keys ((id,w) vs id), so without the
     # checkpoint the corpus is re-scanned and re-tokenized per branch —
     # the same multi-consumer fix ranking.term_index carries
-    # (code-review r4)
+    # (code-review r4).  Lifecycle: the blocks back the RETURNED frame, so
+    # they cannot be freed here — they are reclaimed by the context
+    # cleaner once the result is garbage-collected (a per-ingest-batch
+    # caller holds at most one token-stream copy per live result, not an
+    # unbounded accumulation; code-review r4, operators pass).
     toks = toks.localCheckpoint(eager=False)
     uni = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
     uni_stats = uni.groupBy("id").agg(
@@ -103,7 +107,8 @@ def token_rarity(
         F.explode(ws_tokens(F.col(text_col))).alias("w"),  # THE tokenization
     )
     # materialized: df_tab aggregates toks AND the scoring join probes it —
-    # two corpus scans without the checkpoint (code-review r4)
+    # two corpus scans without the checkpoint (code-review r4).  Same
+    # cleaner-reclaimed lifecycle note as repetition_signals' checkpoint.
     toks = toks.localCheckpoint(eager=False)
     df_tab = (
         toks.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))

@@ -958,8 +958,10 @@ ORACLE_MEDIA_FRAMES = """
 WITH en AS (
   SELECT doc_id, text FROM documents WHERE lang = 'en'
 ), idx AS (
+  -- no GREATEST floor: an empty payload has ZERO frames, lockstep with
+  -- sample_frames (code-review r4, operators pass)
   SELECT doc_id, text,
-         unnest(range(0, GREATEST(CAST(CEIL(length(text) / 64.0) AS BIGINT), 1), 2)) AS fi
+         unnest(range(0, CAST(CEIL(length(text) / 64.0) AS BIGINT), 2)) AS fi
   FROM en
 )
 SELECT doc_id AS asset_id, fi AS frame_no,

@@ -1052,3 +1052,18 @@ def test_text_quality_oracles_lockstep_on_degenerate_docs(spark, tmp_path):
         assert sorted(scols) == sorted(ocols), (name, scols, ocols)
         assert a == b, (name, a[:4], b[:4])
     con.close()
+
+
+def test_sample_frames_empty_payload_has_zero_frames(spark):
+    """An empty payload must emit NO frame rows — the old max(1, ceil)
+    floor fabricated a phantom (frame_no=0, 0 bytes, md5(b'')) row per
+    empty asset (code-review r4, operators pass)."""
+    from european_emissions_data_warehouse_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b""), "video"), (2, bytearray(b"x" * 100), "video")],
+        "asset_id long, payload binary, media_type string",
+    )
+    rows = sample_frames(media, frame_size=64, every=2, fake=True).collect()
+    assert all(r["asset_id"] == 2 for r in rows), rows
+    assert len(rows) == 1  # ceil(100/64)=2 frames, every 2nd -> frame 0 only

@@ -116,3 +116,42 @@ def test_zorder_cluster_preserves_data_with_disjoint_file_ranges(spark, sf_dir, 
     )
     spans = sorted((r.lo, r.hi) for r in spans)
     assert all(prev_hi <= lo for (_, prev_hi), (lo, _) in zip(spans, spans[1:]))
+
+
+def test_z_value_rejects_bad_bits_and_null_inputs(spark):
+    """bits >= 32 interleaves into the sign bit (negative z keys range-sort
+    FIRST — silent pruning corruption) and a NULL input used to die with a
+    message-less raise_error(NULL): both now fail with real diagnostics
+    (code-review r4, operators pass)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.maintenance import z_value
+
+    with pytest.raises(ValueError, match="bits must be in"):
+        z_value(F.col("a"), F.col("b"), bits=32)
+
+    df = spark.createDataFrame([(1, None)], "a long, b long")
+    with pytest.raises(Exception, match="NULL in a z-order column"):
+        df.select(z_value(F.col("a"), F.col("b"), bits=8)).collect()
+
+
+def test_compact_rerun_is_a_noop_at_target(spark, tmp_path):
+    """An unsorted compaction re-run on an already-at-target directory must
+    not rewrite the table (code-review r4, operators pass)."""
+    import os
+
+    from european_emissions_data_warehouse_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).repartition(8).write.parquet(path)
+    b1, a1 = compact_parquet(spark, path, target_file_mb=128)
+    assert b1 == 8 and a1 == 1
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    b2, a2 = compact_parquet(spark, path, target_file_mb=128)
+    assert (b2, a2) == (1, 1)
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }, "re-run rewrote an already-compacted directory"
