@@ -30,18 +30,30 @@ FEATURE_SCHEMA = (
 
 
 
-def _reject_null_payloads(pdf) -> None:
-    """Shared null-payload guard for every multimodal verb — one copy, one
-    diagnostic (the three inline copies had already drifted apart;
-    code-review r4, operators pass)."""
-    bad = pdf["asset_id"][pdf["payload"].isna()]
-    if len(bad):
-        raise ValueError(
-            "null payload for asset_id(s) "
-            f"{sorted(bad.head(5).tolist())} — filter or impute "
-            "before media processing (code-review r4: None used to "
-            "surface as an opaque TypeError inside a worker task)"
-        )
+def _make_null_payload_guard():
+    def _reject_null_payloads(pdf) -> None:
+        """Shared null-payload guard for every multimodal verb — one copy,
+        one diagnostic (the three inline copies had already drifted apart;
+        code-review r4, operators pass)."""
+        bad = pdf["asset_id"][pdf["payload"].isna()]
+        if len(bad):
+            raise ValueError(
+                "null payload for asset_id(s) "
+                f"{sorted(bad.head(5).tolist())} — filter or impute "
+                "before media processing (code-review r4: None used to "
+                "surface as an opaque TypeError inside a worker task)"
+            )
+
+    return _reject_null_payloads
+
+
+# WORKER-SAFE sharing: built via the factory so its __qualname__ contains
+# <locals> and cloudpickle serializes it BY VALUE into each mapInPandas
+# closure.  A plain module-level def is pickled by REFERENCE, which requires
+# this package importable inside every Python worker — the driver-only
+# importability contract (tests/test_cwd_independence.py) then breaks with
+# ModuleNotFoundError in the worker (caught by the final r4 full-suite run).
+_reject_null_payloads = _make_null_payload_guard()
 
 
 def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
