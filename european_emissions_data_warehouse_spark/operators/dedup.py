@@ -58,7 +58,14 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     keyed = docs.select(
         h1.alias("_h1"),
         h2.alias("_h2"),
-        F.length(F.col(text_col)).alias("_len"),
+        # -1 sentinel for NULL text (no real length is negative): the bare
+        # length() made _lmin/_lmax NULL, NULL == NULL is NULL, and the
+        # when() fell into raise_error — one NULL-text doc aborted the
+        # whole corpus dedup claiming a hash collision that never happened
+        # (code-review r4, final pass).  xxhash64 hashes all NULL texts to
+        # one group (the seed), so they dedup together — NULL content is
+        # one identity, distinct from '' (different hash, length 0 vs -1).
+        F.coalesce(F.length(F.col(text_col)), F.lit(-1)).alias("_len"),
         F.col(id_col).cast("long").alias("_id"),
     )
     grouped = keyed.groupBy("_h1", "_h2").agg(
@@ -100,8 +107,12 @@ def _split_tokens(text_col, unit: str):
 
 
 def _rolling_grams(docs: DataFrame, id_col: str, text_col: str, k: int, unit: str) -> DataFrame:
-    """(id, hs array<long>) — one 31-bit gram per k-gram position, as an
-    in-row array (narrow, no shuffle).  For operators that *aggregate* the
+    """(id, n_toks, hs array<long>) — one 31-bit gram per k-gram position,
+    as an in-row array (narrow, no shuffle).  ``n_toks`` is the token count
+    (0 for empty/whitespace/NULL text) — token-less docs still carry the
+    content-free [0]-fold in ``hs``, so consumers that must not pair them
+    filter ``n_toks > 0`` (the gram VALUE can't distinguish them: a real
+    doc may legitimately fold to 0).  For operators that *aggregate* the
     array in place (MinHash's array_min) — never explode this array: Spark
     evaluates an interpreted higher-order-function child once per generated
     row, turning explode(transform(...)) into O(n²) work.  Exploding
@@ -129,7 +140,11 @@ def _rolling_grams(docs: DataFrame, id_col: str, text_col: str, k: int, unit: st
             acc = (acc * F.lit(_C1) + nxt).bitwiseAND(F.lit(_MASK))
         return acc
 
-    return hashed.select("id", F.transform(F.sequence(F.lit(1), n_pos), gram_at).alias("hs"))
+    return hashed.select(
+        "id",
+        F.coalesce(F.size(th), F.lit(0)).alias("n_toks"),
+        F.transform(F.sequence(F.lit(1), n_pos), gram_at).alias("hs"),
+    )
 
 
 def shingle_index(
@@ -474,8 +489,23 @@ def minhash_signatures(
     each k-gram gets an integer identity from one token-hash pass + a rolling
     polynomial (never a shingle string), then the i-th signature slot is the
     min of an integer permutation a_i*h + b_i over the gram hashes.  All
-    narrow (no shuffle); ~10x cheaper than hashing shingle strings per slot."""
-    sh = _rolling_grams(docs, id_col, text_col, k, unit)
+    narrow (no shuffle); ~10x cheaper than hashing shingle strings per slot.
+
+    Token-less docs (empty/whitespace/NULL text) get NO signature row: their
+    gram array is the content-free constant [0]-fold, so every such doc
+    shared an identical signature, landed in every common band bucket, and
+    the whole family flagged all token-less pairs as est_jaccard=1.0
+    duplicates — while shingle_index/ngram_jaccard (the documented
+    ground-truth verifier) emits no shingles for them and could never
+    confirm the candidate.  In the incremental store the effect was
+    permanent: every token-less doc in every future batch was dropped as a
+    dup of the first one stored.  Excluding them matches the verifier: no
+    content, no near-dup claim (code-review r4, final pass)."""
+    sh = (
+        _rolling_grams(docs, id_col, text_col, k, unit)
+        .filter(F.col("n_toks") > 0)
+        .drop("n_toks")
+    )
 
     # Unrolled: one flat transform per slot with literal constants (odd
     # multiplier -> bijection mod 2^31; products stay < 2^62 under ANSI).
@@ -689,14 +719,26 @@ def chunk_dedup(
         F.col(id_col).cast("long").alias("_id"),
         # non-empty tokens, matching _split_tokens/ws_tokens: phantom ''
         # entries from edge whitespace would enter chunks and the
-        # reassembled text (code-review r4)
-        _split_tokens(F.col(text_col), "word").alias("_toks"),
+        # reassembled text (code-review r4).  NULL text coalesces to the
+        # empty token array: a NULL _toks otherwise produced no chunk rows
+        # and the inner verdict join ERASED the document, breaking the
+        # every-doc-one-row conservation contract (code-review r4, final
+        # pass).
+        F.coalesce(
+            _split_tokens(F.col(text_col), "word"),
+            F.array().cast("array<string>"),
+        ).alias("_toks"),
     )
     chunked = tokenized.select(
         "_id",
+        # greatest(ceil, 1): a token-less doc is ONE empty chunk, kept at
+        # its global first occurrence — without the floor, sequence(0, -1)
+        # DESCENDS ([0, -1]) and fabricated TWO phantom chunks per empty
+        # doc, corrupting n_chunks/n_kept (code-review r4, final pass;
+        # oracle mirrors GREATEST(..., 1))
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(ceil(size(_toks) / {w}.0)) - 1),"
+                f"transform(sequence(0, greatest(int(ceil(size(_toks) / {w}.0)), 1) - 1),"
                 f" i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
             )
         ).alias("chunk_idx", "chunk"),

@@ -1191,6 +1191,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iters: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, rank, neighbor_id, sim).
 
@@ -1200,7 +1201,13 @@ def ivf_topk(
     the recall/cost knob (n_probe) is runtime-tunable without re-indexing.
     At 100 TB: centroids broadcast (k x dim doubles), the corpus shuffles
     once on centroid_id at index build, queries join the inverted lists on
-    an equality key."""
+    an equality key.
+
+    ``exclude_self``: drop candidates whose id equals the query id — right
+    for self-search (queries ⊆ corpus), WRONG when queries and corpus are
+    different collections that happen to share an id space (bitext groups
+    aligned by id: the filter silently removed the gold pair; code-review
+    r4, final pass) — cross-collection callers pass False."""
     from pyspark.sql import Window
 
     centroids = ivf_build_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
@@ -1226,13 +1233,12 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "_nq", "centroid_id")
     )
-    cand = (
-        probes.join(inv_lists, "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_nq") * F.col("_ncv")),
-        )
+    cand = probes.join(inv_lists, "centroid_id")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "sim",
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_nq") * F.col("_ncv")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1412,21 +1418,52 @@ def mutual_nn_pairs_ann(
     pins the overlap against the exact miner on the test corpus.  Top-1s
     are re-ranked on true cosine (not ADC), so any pair this emits carries
     its exact similarity — approximation affects only which candidates are
-    seen."""
-    a = vectors.filter(F.col(group_col) == group_a).select(id_col, vec_col)
-    b = vectors.filter(F.col(group_col) == group_b).select(id_col, vec_col)
-    # candidates: a-queries probe b's index, and vice versa; k=1 per side
-    a_to_b = ivf_topk(a, b, id_col, vec_col, k=1, n_centroids=n_centroids, n_probe=n_probe)
-    b_to_a = ivf_topk(b, a, id_col, vec_col, k=1, n_centroids=n_centroids, n_probe=n_probe)
-    best_a = a_to_b.filter(F.col("rank") == 1).select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.col("sim").alias("sim"),
+    seen.
+
+    Contract matches the exact miner: ``(id_a, id_b, sim, margin_a)``,
+    margin_a = a's top-1 sim minus its runner-up within the probed
+    candidates (NULL when only one candidate is seen) — the CCMatrIX-style
+    filtering signal the exact form emits; omitting it broke any
+    margin-based quality cut on the scale path (code-review r4, final
+    pass).  ``exclude_self=False`` on both probes: the groups are
+    DIFFERENT collections, and ivf_topk's self-id filter silently removed
+    gold pairs whose aligned ids coincide across groups."""
+    a = vectors.filter(F.col(group_col) == group_a).select(
+        id_col, _width_checked(F.col(vec_col), dim, "mutual_nn_pairs_ann").alias(vec_col)
+    )
+    b = vectors.filter(F.col(group_col) == group_b).select(
+        id_col, _width_checked(F.col(vec_col), dim, "mutual_nn_pairs_ann").alias(vec_col)
+    )
+    # candidates: a-queries probe b's index (k=2 so the runner-up yields
+    # the margin), and vice versa (k=1 — only the top matters for
+    # mutuality)
+    a_to_b = ivf_topk(
+        a, b, id_col, vec_col, k=2, n_centroids=n_centroids, n_probe=n_probe,
+        exclude_self=False,
+    )
+    b_to_a = ivf_topk(
+        b, a, id_col, vec_col, k=1, n_centroids=n_centroids, n_probe=n_probe,
+        exclude_self=False,
+    )
+    runner_up = a_to_b.filter(F.col("rank") == 2).select(
+        F.col("query_id").alias("id_a"), F.col("sim").alias("_sim2")
+    )
+    best_a = (
+        a_to_b.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("sim").alias("sim"),
+        )
+        .join(runner_up, "id_a", "left")
     )
     best_b = b_to_a.filter(F.col("rank") == 1).select(
         F.col("neighbor_id").alias("id_a"),
         F.col("query_id").alias("id_b"),
     )
     return best_a.join(best_b, ["id_a", "id_b"]).select(
-        "id_a", "id_b", F.round("sim", 4).alias("sim")
+        "id_a",
+        "id_b",
+        F.round("sim", 4).alias("sim"),
+        F.round(F.col("sim") - F.col("_sim2"), 4).alias("margin_a"),
     )

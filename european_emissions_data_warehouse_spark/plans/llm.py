@@ -2286,12 +2286,16 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CHUNK_DEDUP = r"""
+-- conservation lockstep with chunk_dedup (code-review r4, final pass):
+-- NULL text coalesces to the empty token list and a token-less doc is
+-- exactly ONE empty chunk (GREATEST floor), so every input doc keeps its
+-- output row
 WITH base AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents
+  SELECT doc_id, COALESCE(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''), []) AS toks FROM documents
 ), chunks AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          array_to_string(toks[(CAST(i AS INT) * 16 + 1):(CAST(i AS INT) * 16 + 16)], ' ') AS chunk
-  FROM base, UNNEST(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS t(i)
+  FROM base, UNNEST(range(0, GREATEST(CAST(ceil(len(toks) / 16.0) AS BIGINT), 1))) AS t(i)
 ), marked AS (
   SELECT doc_id, chunk_idx, chunk,
          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn

@@ -690,23 +690,34 @@ def test_minhash_survives_docs_shorter_than_k(spark):
     INVALID_ARRAY_INDEX_IN_ELEMENT_AT — the fixtures' min doc length was
     the only reason the MinHash family survived (code-review r4).  Missing
     positions fold as 0, the same convention as shingle_index's window
-    leads, and near-identical short docs still collide."""
+    leads, and near-identical short docs still collide.
+
+    TOKEN-LESS docs (empty/whitespace/NULL text) get NO signature row:
+    their gram was the content-free constant fold, so every token-less
+    pair scored est_jaccard=1.0 while the ngram ground-truth verifier saw
+    no shingles at all — in the incremental store that permanently dropped
+    every later token-less doc as a dup of the first (code-review r4,
+    final pass)."""
     from european_emissions_data_warehouse_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
     )
 
     docs = spark.createDataFrame(
-        [(1, "tiny doc here"), (2, "tiny doc here"), (3, "x"), (4, "")],
+        [(1, "tiny doc here"), (2, "tiny doc here"), (3, "x"), (4, ""),
+         (5, "   "), (6, None)],
         "doc_id long, text string",
     )
-    sigs = minhash_signatures(docs, "doc_id", "text", k=5).collect()
-    assert len(sigs) == 4 and all(len(r["sig"]) == 32 for r in sigs)
+    sigs = {r["id"] for r in minhash_signatures(docs, "doc_id", "text", k=5).collect()}
+    assert sigs == {1, 2, 3}, sigs  # token-less docs excluded, short docs kept
     pairs = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
     }
     assert (1, 2) in pairs, "identical short docs must still collide"
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs), (
+        "token-less docs must never be near-dup candidates"
+    )
 
 
 def test_incremental_minhash_rejects_mismatched_params(spark, sf_dir, tmp_path):
@@ -1067,3 +1078,54 @@ def test_sample_frames_empty_payload_has_zero_frames(spark):
     rows = sample_frames(media, frame_size=64, every=2, fake=True).collect()
     assert all(r["asset_id"] == 2 for r in rows), rows
     assert len(rows) == 1  # ceil(100/64)=2 frames, every 2nd -> frame 0 only
+
+
+def test_dedup_family_conserves_degenerate_docs(spark, tmp_path):
+    """NULL/empty/whitespace docs through the exact-dedup family
+    (code-review r4, final pass): dedup_exact must not abort with a false
+    collision on NULL text (all NULL texts are ONE identity, distinct from
+    ''), and chunk_dedup must keep one output row per input doc — NULL
+    text used to vanish (no chunk rows, inner verdict join) and
+    token-less docs fabricated TWO phantom chunks (sequence(0,-1)
+    descends).  Engine and DuckDB oracle compared on exactly this corpus."""
+    import duckdb
+    import math
+
+    import __spark_entry__ as entry_mod
+    from european_emissions_data_warehouse_spark.operators.dedup import dedup_exact
+
+    docs = [
+        (1, None, "en", "web"),
+        (2, None, "en", "web"),
+        (3, "", "en", "web"),
+        (4, "   ", "en", "web"),
+        (5, "real words in this document repeated words in this document", "en", "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string")
+
+    got = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert got[1] == 2, got       # both NULL docs -> one group, min id kept
+    assert got[3] == 1 and got[5] == 1
+    assert 4 in got               # '   ' distinct from '' (different text)
+
+    sf = str(tmp_path)
+    df.withColumn("n_chars", F.length("text").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    Q, O = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = Q["chunk_dedup"](spark, sf)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    orows = sorted(tuple(r) for r in con.execute(O["chunk_dedup"]).fetchall())
+    con.close()
+    assert len(srows) == 5, srows  # conservation: every doc one row
+
+    def norm_row(t):
+        return tuple("NaN" if isinstance(v, float) and math.isnan(v) else v for v in t)
+
+    assert [norm_row(r) for r in srows] == [norm_row(r) for r in orows]
+    by_id = {r[0]: r for r in srows}
+    assert by_id[1][1] == 1 and by_id[1][2] <= 1  # one empty chunk, no phantoms
