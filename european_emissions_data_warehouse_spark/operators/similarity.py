@@ -200,6 +200,39 @@ def _signature_from_planes(vec_col, planes: list[list[float]]):
     return F.array(*[bit(plane) for plane in planes])
 
 
+def _rank_stratified_min_ids(
+    frame: DataFrame, k: int, id_col: str = "id", partition_cols: tuple = ()
+) -> DataFrame:
+    """(partition_cols..., centroid_id, id): THE rank-proportional
+    stratification — stratum(rk) = floor((rk-1)*k/n) with the min id per
+    stratum — occupying min(k, n) strata PROVABLY (each stratum's rank
+    preimage has length n/k >= 1 whenever n >= k).  One helper, one
+    formula: it previously existed as four hand-synced copies (tier 3
+    init, the IVF and PQ sampled-training paths, the two-level per-list
+    init), and this file's history carries two occupancy bugs fixed in
+    exactly this logic (code-review r4, final pass).
+
+    With ``partition_cols`` the rank window is partitioned (never
+    single-partition at scale — the two-level per-list use); without, the
+    window is global and callers must bound the input (distinct ids of a
+    tiny/adversarial set, or a 1/mod hash SAMPLE — never the corpus)."""
+    pw = Window.partitionBy(*partition_cols).orderBy(id_col)
+    cw = Window.partitionBy(*partition_cols)
+    return (
+        frame.select(
+            *partition_cols,
+            id_col,
+            F.row_number().over(pw).alias("_rk"),
+            F.count(F.lit(1)).over(cw).alias("_n"),
+        )
+        .groupBy(
+            *partition_cols,
+            ((F.col("_rk") - 1) * F.lit(k) / F.col("_n")).cast("int").alias("centroid_id"),
+        )
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
 def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFrame:
     """(centroid_id, id): deterministic k-means init — one min-id
     representative per stratum, with PROVABLE occupancy.
@@ -254,19 +287,7 @@ def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFra
             if len(rows) >= k:
                 break
         else:
-            ids = vecs.select(id_col).distinct()
-            n = ids.count()
-            cand = (
-                ids.select(
-                    id_col, F.row_number().over(Window.orderBy(id_col)).alias("_rk")
-                )
-                .groupBy(
-                    ((F.col("_rk") - 1) * F.lit(k) / F.lit(max(n, 1)))
-                    .cast("int")
-                    .alias("centroid_id")
-                )
-                .agg(F.min(id_col).alias(id_col))
-            )
+            cand = _rank_stratified_min_ids(vecs.select(id_col).distinct(), k, id_col)
             rows = cand.collect()
     return spark.createDataFrame(rows, cand.schema)
 
@@ -327,26 +348,12 @@ def ivf_build_centroids(
             )
         # residue strata of RAW ids can be unoccupied on a hash sample
         # (expected occupancy at n=20,k=16 is ~12 — the quantizer silently
-        # shrank past the count guard; code-review r4).  Rank the sample
-        # and stratify proportionally: stratum(rk) = floor((rk-1)*k/n),
-        # whose preimage interval has length n/k >= 1 for every stratum
-        # whenever n_train >= k, so all k strata are provably occupied
-        # (ceil-block striding occupied only ceil(n/ceil(n/k)) of them —
-        # 10 of 16 at n=20; second code-review r4).  The rank window is a
-        # single pass over the SAMPLE (bounded by the 1/mod rate the
-        # caller chose), never the corpus.
-        firsts = (
-            train.select(
-                "id",
-                F.row_number().over(Window.orderBy("id")).alias("_rk"),
-            )
-            .groupBy(
-                ((F.col("_rk") - 1) * F.lit(n_centroids) / F.lit(n_train))
-                .cast("int")
-                .alias("centroid_id")
-            )
-            .agg(F.min("id").alias("id"))
-        )
+        # shrank past the count guard; code-review r4): rank-proportional
+        # strata instead (_rank_stratified_min_ids — all k provably
+        # occupied for n_train >= k).  The rank window is a single pass
+        # over the SAMPLE (bounded by the 1/mod rate the caller chose),
+        # never the corpus.
+        firsts = _rank_stratified_min_ids(train.select("id"), n_centroids)
     else:
         train = vecs
         firsts = _stratified_init_ids(train, n_centroids)
@@ -594,22 +601,9 @@ def kmeans_two_level(
     # min(k2, n_list) strata provably; the rank window is partitioned by
     # coarse_id (never single-partition) and runs once, at init only
     # (code-review r4).
-    wlist = Window.partitionBy("coarse_id").orderBy("id")
-    init = (
-        vecs.select(
-            "coarse_id",
-            "id",
-            F.row_number().over(wlist).alias("_rk"),
-            F.count(F.lit(1)).over(Window.partitionBy("coarse_id")).alias("_n"),
-        )
-        .groupBy(
-            "coarse_id",
-            ((F.col("_rk") - 1) * F.lit(k2) / F.col("_n"))
-            .cast("int")
-            .alias("sub_id"),
-        )
-        .agg(F.min("id").alias("id"))
-    )
+    init = _rank_stratified_min_ids(
+        vecs.select("coarse_id", "id"), k2, partition_cols=("coarse_id",)
+    ).withColumnRenamed("centroid_id", "sub_id")
     sub_centroids = F.broadcast(init).join(
         vecs.select("id", "v"), "id"
     ).select("coarse_id", "sub_id", F.col("v").alias("centroid"))
@@ -793,25 +787,16 @@ def pq_reconstruct(
                 "or train on the full corpus (None)"
             )
         # proportional strata over the RANKED sample ids (same occupancy
-        # fix as ivf_build_centroids — raw-id residues, and equally
-        # ceil-block strides, can leave subspace strata empty on a hash
-        # sample; floor((rk-1)*k/n) occupies all k whenever n >= k); the
-        # id set is identical for every sub, so rank once and join.
-        ranked = (
-            train_subs.select("id")
-            .distinct()
-            .select("id", F.row_number().over(Window.orderBy("id")).alias("_rk"))
-            .select(
-                "id",
-                ((F.col("_rk") - 1) * F.lit(k) / F.lit(n_train))
-                .cast("int")
-                .alias("centroid_id"),
-            )
-        )
+        # fix as ivf_build_centroids — _rank_stratified_min_ids); the id
+        # set is identical for every sub and min-id per stratum is
+        # sub-independent, so stratify the distinct ids ONCE and join the
+        # <= k stratum minima out to all m subspaces (exactly the
+        # full-corpus else-branch shape).
+        strat = _rank_stratified_min_ids(train_subs.select("id").distinct(), k)
         init = (
-            train_subs.join(F.broadcast(ranked), "id")
-            .groupBy("sub", "centroid_id")
-            .agg(F.min("id").alias("id"))
+            train_subs.select("sub", "id")
+            .join(F.broadcast(strat), "id")
+            .select("sub", "centroid_id", "id")
         )
     else:
         train_subs = subs
@@ -1128,21 +1113,7 @@ def ivfpq_search(
     # index row (the projection sits below the probe join, so it is not
     # re-evaluated per candidate); sim = dot/(|q|·|approx|) — cosine()'s
     # exact expression tree, bit-identical ranking
-    q_scored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("_nq"),
-        )
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "_nq", "centroid_id")
-    )
+    probes = _probe_lists(queries, coarse, id_col, vec_col, n_probe)
     cand = (
         probes.join(
             index.withColumn("_napx", norm(F.col("approx_vec"))), "centroid_id"
@@ -1182,6 +1153,32 @@ def ivfpq_search(
     )
 
 
+
+def _probe_lists(queries, centroids, id_col: str, vec_col: str, n_probe: int):
+    """(query_id, q_vec, _nq, centroid_id): route each query to its n_probe
+    nearest coarse lists — broadcast routing table, query norm hoisted once.
+    THE shared routing stanza of ivf_topk and ivfpq_search: identical
+    window specs and tie-breaks previously existed as two verbatim copies
+    that had to stay hand-synced (code-review r4, final pass)."""
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_nq"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    return (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "_nq", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1217,22 +1214,7 @@ def ivf_topk(
         norm(F.col("v")).alias("_ncv"),
         "centroid_id",
     )
-    # probe lists per query; norms hoisted as in ivfpq_search
-    q_scored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm(F.col(vec_col)).alias("_nq"),
-        )
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine(F.col("q_vec"), F.col("centroid")))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", "_nq", "centroid_id")
-    )
+    probes = _probe_lists(queries, centroids, id_col, vec_col, n_probe)
     cand = probes.join(inv_lists, "centroid_id")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
