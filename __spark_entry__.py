@@ -30,10 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  Rounds 1-3
-# produced green rows for 148 of the 163 registered queries; round 4 leads
-# with the final 15 never-driver-graded entries (round 3's documented
-# _DEFER_NEXT_ROUND rotation, VERDICT r3 item #1), taking the engine to
-# 163/163 driver-graded.  The remaining 35 slots re-verify a cross-section
+# produced green rows for 148 of the then-163 registered queries; round 4
+# leads with the final 15 never-driver-graded entries (round 3's documented
+# _DEFER_NEXT_ROUND rotation, VERDICT r3 item #1) PLUS the one new r4
+# registration (semdedup_scaled, 164 total, in-window), taking the engine
+# to 164/164 driver-graded.  The remaining slots re-verify a cross-section
 # of already-green queries: the flagship/parity chain, every heavy LLM
 # operator reworked in round 3 (hash-key dedup exchanges, SemDeDup block
 # cap, banded MinHash), and representative analytics shapes — re-grading a

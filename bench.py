@@ -139,25 +139,44 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    headline = [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = qs.get(name)
-        if fn is None:
-            continue
+    if only:
+        requested = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in requested if n not in HEADLINE]
+        if unknown or not requested:
+            # fail loudly: a typo'd/whitespace-damaged subset silently
+            # benched NOTHING and printed a bogus 0-second total with exit
+            # code 0 — which make_scale.py then recorded as a real scaling
+            # data point (code-review r4, instruments pass)
+            raise SystemExit(
+                f"bench: SPARK_GRAFT_ONLY names {unknown or '(empty)'} not in "
+                f"HEADLINE — nothing would be benched"
+            )
+        headline = [n for n in HEADLINE if n in requested]
+    else:
+        headline = HEADLINE
+
+    def bench_one(name: str, fn) -> float:
+        """Min over repeats; a transient failure on a LATER repeat keeps the
+        already-measured min (the old overwrite-to--1 discarded a valid
+        estimate and dropped the query from the scaling ratios); -1 only
+        when no repeat succeeded (code-review r4, instruments pass)."""
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()
             try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # a broken query must not zero the whole bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
-                best = -1.0
                 break
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        return round(best if best is not None else -1.0, 3)
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs.get(name)
+        if fn is not None:
+            timings[name] = bench_one(name, fn)
 
     # Fixed-size ANN side table (VERDICT r3 item #7): the embeddings table
     # is NOT sf-proportional, so ann_pq/ann_ivfpq/mutual_nn stay out of the
@@ -187,23 +206,15 @@ def main() -> None:
         ("semdedup_scaled", qs.get("semdedup_scaled")),
     ]
     ann_fixed: dict[str, float] = {}
-    if only:
+    # skipped when a subset is requested (only) or explicitly disabled —
+    # tools/scaling_report.py's small-sf run only consumes the big run's
+    # ann_fixed, so re-timing the fixed-size index builds there was pure
+    # wasted wall-clock (code-review r4, instruments pass)
+    if only or os.environ.get("SPARK_GRAFT_SKIP_ANN"):
         ann_fixed_entries = []
     for name, fn in ann_fixed_entries:
-        if fn is None:
-            continue
-        best = None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:
-                print(f"bench: {name} failed: {exc}", file=sys.stderr)
-                best = -1.0
-                break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        ann_fixed[name] = round(best, 3)
+        if fn is not None:
+            ann_fixed[name] = bench_one(name, fn)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

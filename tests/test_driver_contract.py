@@ -15,11 +15,25 @@ _REPO = os.path.dirname(os.path.abspath(entry_mod.__file__))
 
 
 def _graded_names() -> set[str]:
+    """Names holding a GREEN driver row (rows+schema+hash all matched).
+    Red rows do NOT count as graded: a query that failed in round N and
+    was then rotated out of the window would otherwise satisfy this guard
+    forever without ever being re-verified — the r1 reds (json_extract,
+    approx_distinct) only dropped off this set's debt once their r2 rows
+    came back green (code-review r4, instruments pass)."""
     out: set[str] = set()
     for fn in sorted(os.listdir(_REPO)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(_REPO, fn)) as f:
-                out |= set(json.load(f))
+                rows = json.load(f)
+            out |= {
+                name
+                for name, r in rows.items()
+                if r.get("rows_match") and r.get("schema_match")
+                # rows-only checks (no oracle) record hash_match: None —
+                # the driver's weaker-but-passing verdict
+                and r.get("hash_match") is not False
+            }
     return out
 
 
@@ -32,8 +46,10 @@ def test_window_is_exactly_the_graded_prefix():
 
 
 def test_every_query_has_an_oracle():
+    # one set equality, both directions labeled below — the old third
+    # assertion (qs == osql | (qs - osql)) was a tautology that could only
+    # fail in the case the next line already covered (code-review r4)
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    assert set(qs) == set(osql) | (set(qs) - set(osql))
     assert not set(osql) - set(qs), "oracle without a query"
     assert not set(qs) - set(osql), "query without an oracle"
 

@@ -107,12 +107,11 @@ def test_oracle_match(spark, sf_dir, duck, name):
     # (DuckDB SUM(BIGINT) -> HUGEINT surfaces as decimal128 via Arrow and
     # hash-mismatches Spark's BIGINT even when values are identical), so
     # assert per-column type families agree before comparing values.
-    # NB: a second duck.execute() on the same connection invalidates the
-    # pending result, so fetch the arrow schema first, then re-run for rows.
-    arrow_types = {
-        f.name: _arrow_family(f.type)
-        for f in duck.execute(ORACLES[name]).fetch_arrow_table().schema
-    }
+    # ONE execution: the arrow table carries schema, columns, AND rows —
+    # the old fetch-schema-then-re-execute ran every oracle twice per
+    # suite (code-review r4, instruments pass).
+    tbl = duck.execute(ORACLES[name]).fetch_arrow_table()
+    arrow_types = {f.name: _arrow_family(f.type) for f in tbl.schema}
     spark_types = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
     drift = {
         c: (spark_types[c], arrow_types[c])
@@ -120,9 +119,8 @@ def test_oracle_match(spark, sf_dir, duck, name):
         if c in arrow_types and spark_types[c] != arrow_types[c]
     }
     assert not drift, f"{name}: dtype family drift (spark, oracle): {drift}"
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_cols = tbl.schema.names
+    duck_rows = [tuple(r.values()) for r in tbl.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"

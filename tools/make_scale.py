@@ -125,9 +125,18 @@ def main() -> None:
                     " ",
                 ),
             )
+            # n_chars must track the rewritten text: chunking and padding
+            # queries drive work off n_chars, so a stale copy silently
+            # skipped the tail of every perturbed document (code-review
+            # r4, instruments pass)
+            df = df.withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_copy")
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-        print(f"{t}: x{n_copies} -> {df.count()} rows")
+        # count the WRITTEN parquet: df.count() re-executed the whole
+        # cross-join + transform pipeline a second time just to print a
+        # number (code-review r4, instruments pass)
+        n_rows = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"{t}: x{n_copies} -> {n_rows} rows")
 
     spark.stop()
 

@@ -20,8 +20,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, skip_ann: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if skip_ann:
+        # the small run's ann_fixed results are never read (main() only
+        # consumes big['ann_fixed']) — timing the fixed-size index builds
+        # there was pure wasted wall-clock (code-review r4)
+        env["SPARK_GRAFT_SKIP_ANN"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -42,7 +47,7 @@ def main() -> None:
         small = json.load(open(sys.argv[1]))
         big = json.load(open(sys.argv[2]))
     else:
-        small = run_bench("/root/testdata/sf0.01")
+        small = run_bench("/root/testdata/sf0.01", skip_ann=True)
         big = run_bench("/root/testdata/sf0.1")
 
     common = [
