@@ -7,11 +7,19 @@ windows, sorts/limits, set ops, grouping sets — each as a DataFrame plan that
 Catalyst optimizes, each with a DuckDB oracle.
 
 Scale notes are attached per query; the common themes:
-- dimension joins broadcast (nation/region/supplier never shuffle the fact);
+- BOUNDED dims broadcast explicitly (nation/region — 25/5 rows at every
+  SF — plus 1-row scalars and calendar-bounded frames).  SF-PROPORTIONAL
+  dims (customer/supplier/part) carry NO explicit hint: the planner/AQE
+  broadcasts them by size at bench scale, and at 100 TB — where customer
+  alone is multi-TB — correctly falls back to a shuffle join; an explicit
+  hint there would bypass the planner's size check and hard-fail on
+  Spark's 8 GB broadcast ceiling (code-review r4, scale pass);
 - aggregations are partial (map-side combine) by construction in Spark;
 - top-k is `orderBy + limit`, which Spark executes as TakeOrderedAndProject
   (per-partition heap + driver merge of k rows, not a global sort);
-- window functions shuffle once on the partition key.
+- window functions shuffle once on the partition key; low-cardinality
+  partition keys get a salted pre-prune first (q_top3_per_segment) unless
+  the semantics need every row ranked (q_ranking_funcs).
 """
 
 from __future__ import annotations
@@ -97,7 +105,7 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_mktsegment") == "BUILDING")
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"), "o_orderpriority")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -124,7 +132,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⨝lineitem shuffle; revenue rolled up per region/nation."""
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -212,7 +220,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from two sums in the same aggregate — one scan, one broadcast, one
     2-row-per-month exchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     joined = li.join(part, li.l_partkey == part.p_partkey).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-07-01"))
     )
@@ -251,7 +259,7 @@ def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join filter (visible in .explain) — the join never degrades to a
     nested-loop over the OR."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 25))
@@ -342,12 +350,32 @@ FROM orders
 
 
 def q_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-N via row_number — the scalable "top per key" idiom
-    (no global sort; one shuffle on the group key)."""
+    """Per-group top-N with a LOW-cardinality group key (5 segments): a
+    bare row_number window would funnel the whole customer table through
+    5 reducer tasks, so a salted pre-prune runs first — per (segment,
+    salt) top-3 via the same ordered struct min/max idiom (map-side
+    combinable, fully parallel), then the final window ranks only the
+    3·n_salts survivors per segment (code-review r4, scale pass).  The
+    survivor superset provably contains the global top-3: any global
+    top-3 row is also top-3 within its own salt bucket.  For
+    high-cardinality keys the plain window IS the right idiom — this is
+    the low-cardinality variant."""
     cust = load_table(spark, sf_dir, "customer")
+    n_salts = 64
+    salted = cust.withColumn(
+        "_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(n_salts))
+    )
+    w_pre = Window.partitionBy("c_mktsegment", "_salt").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= 3)
+        .drop("_salt", "_rn")
+    )
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
-        cust.withColumn("rank_in_segment", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank_in_segment", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_segment") <= 3)
         .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_acctbal")
     )
@@ -860,7 +888,15 @@ ORDER BY user_id, session_id
 
 def q_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function window surface: ntile/percent_rank/cume_dist/rank
-    over a deterministic total order (tie-broken on the key)."""
+    over a deterministic total order (tie-broken on the key).
+
+    The 5-value segment partition key funnels each segment through one
+    reducer — INHERENT here: every row receives a rank, so no pre-prune
+    applies (contrast q_top3_per_segment, which only needs survivors).
+    At scale, per-row ranking over a low-cardinality key is the wrong ask
+    — bucket by value range (approx quantiles) instead (code-review r4,
+    scale pass; documented, not changed: this query demonstrates the
+    exact SQL window surface)."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return cust.select(
@@ -1332,9 +1368,15 @@ FROM purchases p ASOF LEFT JOIN views v
 
 def q_range_join_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: events bucketed into daily 08:00-20:00 'peak' windows.
-    The interval dim is tiny (one row/day) and broadcast, so the range
-    predicate is evaluated map-side — the scalable pattern for
-    point-in-interval joins (no shuffle of the fact on a range key)."""
+    The interval dim is calendar-bounded (one row/day) and broadcast, AND
+    the join carries a coarse equi-key (the event's day == the interval's
+    day) alongside the range predicate: a pure range condition plans a
+    BroadcastNestedLoopJoin that evaluates every event against every
+    interval — O(events x days), quadrillions of predicate evaluations at
+    100 TB — while the equi-key gets a BroadcastHashJoin with the range as
+    a residual filter, O(events) (code-review r4, scale pass).  This
+    bucket-the-range-key-then-filter shape is the standard production
+    interval join."""
     ev = load_table(spark, sf_dir, "events")
     days = (
         ev.select(F.date_trunc("day", "ts").alias("day"))
@@ -1348,7 +1390,9 @@ def q_range_join_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(
             F.broadcast(days),
-            (ev.ts >= days.win_start) & (ev.ts < days.win_end),
+            (F.date_trunc("day", ev.ts) == days.day)
+            & (ev.ts >= days.win_start)
+            & (ev.ts < days.win_end),
         )
         .groupBy(F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("window_start"))
         .agg(
@@ -1739,26 +1783,28 @@ ORDER BY name_a, name_b
 def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped arg-min per group: for each part, the supplier whose
     lineitem offered the lowest unit price (deterministic tie-break on
-    suppkey) — the row_number-over-ordered-window idiom for "the row that
-    achieves the group minimum", one shuffle on the group key."""
+    suppkey) — as a min(struct) AGGREGATE, not a row_number window: the
+    window form shuffles and sorts EVERY raw lineitem row on l_partkey
+    before discarding all but one per part, while min(struct(price,
+    suppkey)) combines map-side and exchanges roughly one row per
+    (partkey, map partition) — orders of magnitude less shuffle I/O at
+    100 TB (code-review r4, scale pass; struct ordering = lexicographic
+    (unit_price, l_suppkey), exactly the window's ORDER BY)."""
     li = load_table(spark, sf_dir, "lineitem")
     priced = li.select(
         "l_partkey",
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
-    return (
-        priced.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_partkey",
-            F.col("l_suppkey").alias("cheapest_suppkey"),
-            # raw IEEE division above; identical cross-engine
-            "unit_price",
-        )
-        .orderBy("l_partkey")
+    best = priced.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("_best")
     )
+    return best.select(
+        "l_partkey",
+        F.col("_best.l_suppkey").alias("cheapest_suppkey"),
+        # raw IEEE division above; identical cross-engine
+        F.col("_best.unit_price").alias("unit_price"),
+    ).orderBy("l_partkey")
 
 
 ORACLE_CHEAPEST_SUPPLIER = """
@@ -1822,7 +1868,7 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ever sees a single-partition exchange, so the same plan holds if
     the grouping key were high-cardinality (the ``SUM() OVER ()`` idiom
     would funnel every group through one reducer)."""
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     orders = load_table(spark, sf_dir, "orders")
     per_nation = (
@@ -1830,6 +1876,11 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(_r2(F.sum("o_totalprice")).alias("revenue"))
+        # materialized once: the total AND the share projection both read
+        # this 25-row rollup, and ReuseExchange does not deduplicate the
+        # lineages — without this the fact join runs twice (code-review
+        # r4, scale pass; same guard as q_important_parts)
+        .localCheckpoint(eager=True)
     )
     total = per_nation.agg(F.sum("revenue").alias("__total"))
     return (
@@ -1863,7 +1914,7 @@ def q_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer/nation sides broadcast; TakeOrderedAndProject caps the sort."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders")
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -2292,17 +2343,22 @@ FROM hist
 
 def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: the distribution of per-customer order counts,
-    zeros included.  Two aggregations at different grains: a left join
-    preserves order-less customers (count of a nullable column yields their
-    zero), then the per-customer counts histogram.  Both shuffles key on
-    high-cardinality columns (custkey, then the small count domain after a
-    partial agg) — no skew concentration at any corpus size."""
+    zeros included.  AGGREGATE EARLY, JOIN LATE: orders pre-aggregates to
+    per-customer counts (map-side combine — the exchange carries one row
+    per custkey per map partition, not every raw order row), then the left
+    join from customer restores the zero-order customers via coalesce.
+    The old join-then-group shipped every raw order through the custkey
+    exchange (code-review r4, scale pass).  Both shuffles key on
+    high-cardinality columns — no skew concentration at any corpus size."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # count(o_orderkey), not count(*): NULL order keys stay uncounted,
+    # exactly the oracle's COUNT(o_orderkey) semantics
+    counts = orders.groupBy("o_custkey").agg(F.count("o_orderkey").alias("_n"))
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(
+        "c_custkey", F.coalesce(F.col("_n"), F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
@@ -2328,13 +2384,21 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     own broadcast max (the scalar never funnels the fact table through one
     reducer; ties all surface, like the SQL view+subquery original)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "total_revenue"
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_revenue"
+            )
         )
+        # materialized once, like q_important_parts' per-part rollup: the
+        # max AND the filter both read this frame, and ReuseExchange does
+        # NOT deduplicate the two lineages — without this the 100 TB fact
+        # is scanned and aggregated twice (code-review r4, scale pass)
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
-    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    sup = load_table(spark, sf_dir, "supplier")
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
@@ -2403,8 +2467,16 @@ def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     brand_li = li.join(
-        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey, "left_semi"
+        brand_parts, li.l_partkey == brand_parts.p_partkey, "left_semi"
     )
+    # deliberately NOT materialized (code-review r4, scale pass
+    # adjudication): the threshold branch and the small-line filter both
+    # read brand_li, but brand_li is a FACT-sized slice — checkpointing
+    # ~1/25 of a 100 TB fact into executor storage costs more than the
+    # second pushdown-pruned scan it saves.  Re-scanning the fact twice
+    # with a semi-join filter is the standard TPC-H Q17 plan; the
+    # materialize-once guard is reserved for |groups|-sized rollups
+    # (q_important_parts, q_top_supplier_revenue).
     thresh = brand_li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_thresh")
     )
@@ -2475,7 +2547,7 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("share").alias("max_share"),
     )
     return (
-        counts.join(F.broadcast(supp), counts.l_suppkey == supp.s_suppkey)
+        counts.join(supp, counts.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "n_top_parts", "max_share")
         .orderBy("s_suppkey")
     )
@@ -2538,7 +2610,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(10)
@@ -2588,8 +2660,8 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01"))
         )
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -2632,7 +2704,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -2791,8 +2863,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reach the fact scan's probe side."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
     n1 = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
@@ -2851,11 +2923,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both operands keeps the division bit-identical cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    pa = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    )
-    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
     sn = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
@@ -2923,10 +2993,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan skeleton as Q7/Q8: one fact shuffle, all dims broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    pa = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    )
-    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = load_table(spark, sf_dir, "supplier")
     na = F.broadcast(load_table(spark, sf_dir, "nation"))
     # the 0.5x cost term makes HALF-cent sums, which land exactly on the
     # ROUND(..,2) boundary where Spark and DuckDB double-rounding disagree —
@@ -3089,13 +3157,19 @@ def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same rule operators/expectations.foreign_key_check applies: the
         # bare anti join kept NULL-key rows (NULL never matches) and
         # counted legitimately-nullable FKs as orphans, while the oracle
-        # excluded them for only 2 of the 4 relations (code-review r4)
-        n = (
+        # excluded them for only 2 of the 4 relations (code-review r4).
+        # LAZY legs, not driver-blocking .count() jobs: four serial 100 TB
+        # fact scans used to fire the moment this function was CALLED
+        # (even for .explain()); as one unioned plan the scheduler runs
+        # the legs concurrently at action time (code-review r4, scale
+        # pass).  parent pruned to its key — the anti join's hash table
+        # needs ids, not rows.
+        return (
             child.filter(F.col(ck).isNotNull())
-            .join(parent, child[ck] == parent[pk], "left_anti")
-            .count()
+            .join(parent.select(pk), child[ck] == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("relation"), "n_orphans")
         )
-        return spark.createDataFrame([(label, n)], "relation string, n_orphans long")
 
     frames = [
         orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
@@ -3213,7 +3287,7 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is an exact bigint-sum / count division — cross-engine stable
     without rounding."""
     o = load_table(spark, sf_dir, "orders")
-    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cu = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = (
         o.withColumn("prev_date", F.lag("o_orderdate").over(w))
@@ -3328,6 +3402,11 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(_r2(F.sum("o_totalprice")).alias("revenue"))
+        # materialized once: the current and shifted sides of the self-join
+        # both read this |months|-sized rollup, and ReuseExchange does not
+        # deduplicate — without this the orders fact aggregates twice
+        # (code-review r4, scale pass)
+        .localCheckpoint(eager=True)
     )
     prev = monthly.select(
         F.add_months(F.col("month"), 1).cast("timestamp").alias("month"),
@@ -3366,7 +3445,7 @@ def q_repeat_buyer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     fed by one per-customer pre-aggregation (order counts), so the distinct
     work is one customer-keyed shuffle, and the share is a bigint ratio."""
     o = load_table(spark, sf_dir, "orders")
-    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    cu = load_table(spark, sf_dir, "customer")
     per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         per_cust.join(cu, per_cust.o_custkey == cu.c_custkey)
@@ -3458,7 +3537,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    fact = li.join(F.broadcast(n7_supp), li.l_suppkey == n7_supp.s_suppkey, "left_semi")
+    fact = li.join(n7_supp, li.l_suppkey == n7_supp.s_suppkey, "left_semi")
     value_e4 = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
@@ -3532,8 +3611,8 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (code-review r4)
     fact = (
         li.filter(F.col("l_suppkey").isNotNull())
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(classes), li.l_partkey == classes.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(classes, li.l_partkey == classes.p_partkey)
     )
     return (
         fact.groupBy("p_brand", "p_type", "p_size")
