@@ -253,7 +253,13 @@ def q_etl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    dim = F.broadcast(supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey))
+    # nation keeps its hint (25 rows at every SF — the reference's actual
+    # country dim); supplier is SF-PROPORTIONAL, so its decode join is
+    # size-based: the planner broadcasts it at bench scale and correctly
+    # shuffle-joins at 100 TB where an explicit hint would hard-fail on
+    # the 8 GB broadcast ceiling (code-review r4, scale pass — the same
+    # policy as plans/analytics.py's module header)
+    dim = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
     cols = ["l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag", "l_linestatus", "l_extendedprice"]
     return (
         li.select(*cols)  # O2
