@@ -271,11 +271,13 @@ def contamination_overlap(
     out benchmarks before training (the GPT-3 appendix's 13-gram rule is
     this operator with k=13).  Both sides reuse :func:`shingle_index`'s
     62-bit rolling-gram identities, so the probe carries 8-byte keys, not
-    n-gram strings.  The eval side is a benchmark suite — thousands of
-    documents against a corpus of billions — so its distinct-gram set is
-    explicitly broadcast: the training corpus is never shuffled at all,
-    and the only exchange is the per-doc count aggregation over the
-    (rare) matching rows.
+    n-gram strings.  The eval gram set's join strategy is SIZE-BASED, not
+    hinted: a true benchmark suite (thousands of docs) broadcasts and the
+    training corpus never shuffles — but a caller passing a
+    corpus-proportional eval slice (q_decontaminate's %7 stand-in) would
+    have hard-failed an explicit hint on the 8 GB broadcast ceiling at
+    100 TB; the planner falls back to a shuffle join keyed on the 8-byte
+    gram there instead (code-review r4, scale pass).
     """
     ti = shingle_index(train, id_col, text_col, k, unit)
     eval_grams = (
@@ -284,7 +286,7 @@ def contamination_overlap(
         .distinct()
     )
     return (
-        ti.join(F.broadcast(eval_grams), "shingle")
+        ti.join(eval_grams, "shingle")
         .groupBy("id")
         .agg(
             F.min("n_shingles").alias("n_grams"),

@@ -94,13 +94,17 @@ def token_rarity(
     stand-in for a unigram-LM perplexity screen (true log-prob scoring is
     not engine-reproducible: libm log differs across engines bit-wise).
 
-    The vocabulary table (token -> document frequency) is tiny relative to
-    the corpus — O(|V|), millions of rows at web scale — so it is
-    explicitly broadcast back onto the exploded token stream: the corpus
-    side never shuffles on the token (which would put every stopword's
-    traffic on one hot key); the only exchange is the per-doc roll-up on
-    the unskewed doc id.  Scores are exact-integer sums with one final
-    IEEE division — bit-reproducible anywhere.
+    The vocabulary table (token -> document frequency) joins back onto the
+    exploded token stream SIZE-BASED, not hinted: at fixture/bench scale
+    the planner broadcasts it (the corpus never shuffles on the token and
+    the only exchange is the per-doc roll-up), but a 100 TB web corpus's
+    distinct-token set (URLs, numbers, typos) runs to billions of rows —
+    an explicit hint there hard-fails on the 8 GB broadcast ceiling, while
+    the planner's fallback shuffle join on the token stays correct (the
+    pre-aggregated vocab side carries no stopword hot keys; code-review
+    r4, scale pass — the same policy q_unigram_logprob documents).
+    Scores are exact-integer sums with one final IEEE division —
+    bit-reproducible anywhere.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -114,7 +118,7 @@ def token_rarity(
         toks.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     )
     return (
-        toks.join(F.broadcast(df_tab), "w")
+        toks.join(df_tab, "w")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -455,7 +455,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
     a1 = (
-        out.filter(F.col("rank") == 1)
+        # the top-1 frame is <= |queries| rows BY CONSTRUCTION but comes
+        # out of joins/windows the planner has no size stats for — without
+        # the hint it planned a sort-merge join that shuffled the ENTIRE
+        # embeddings corpus on neighbor_id to look up a handful of rows
+        # (code-review r4, scale pass; bounded frame, so the hint is safe
+        # at every scale, unlike the SF-proportional dims)
+        F.broadcast(out.filter(F.col("rank") == 1))
         .join(corpus_vecs, "neighbor_id")
         .join(F.broadcast(q_vecs), "query_id")
         .select("query_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("__approx1"))
@@ -1039,6 +1045,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FIXTURE-PINNED shard count: the oracle replays doc_id % 8 verbatim, so
+# the graded query must match.  The shard count is the parallelism of the
+# per-shard cumsum windows — a PRODUCTION caller sizes it to the cluster
+# (≈ spark.sql.shuffle.partitions); 8 shards over a 100 TB corpus would
+# funnel billions of rows through 8 sort tasks (code-review r4, scale
+# pass).  The sharded-window SHAPE is the scale mechanism; this constant
+# is only its test-scale setting.
 PACK_SHARDS = 8
 
 ORACLE_SEQUENCE_PACK = r"""
@@ -1589,11 +1602,17 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct (doc, token) presence once; the pair counts come from a
     doc-keyed self-join (a < b) — work is Σ_d |vocab_d|², bounded by the
-    per-doc DISTINCT vocabulary, not doc length; unigram doc-counts are a
-    tiny vocab-sized table broadcast onto the pairs; N is a 1-row broadcast.
-    At web scale, cap per-doc vocabulary (drop ultra-common terms first —
-    they carry no PMI anyway) to bound the quadratic term.  Scores are
-    ROUND()ed before ranking with a pair tiebreak (libm ln ulp noise)."""
+    per-doc DISTINCT vocabulary, not doc length; the unigram doc-count
+    table joins the pairs SIZE-BASED (vocabulary-sized: broadcast at bench
+    scale, shuffle join on a web corpus where a hint would exceed the 8 GB
+    ceiling); N is a 1-row broadcast.  This graded form is the EXACT,
+    UNCAPPED baseline (same status as ngram_jaccard vs its capped
+    sibling): at web scale a production caller MUST cap per-doc vocabulary
+    first — filter `uni` to mid-frequency terms and semi-join it back
+    before pairing (ultra-common terms carry no PMI anyway; a single 50k
+    distinct-token doc otherwise emits ~1.25e9 pair rows in one task;
+    code-review r4, scale pass).  Scores are ROUND()ed before ranking with
+    a pair tiebreak (libm ln ulp noise)."""
     docs = load_table(spark, sf_dir, "documents")
     pres = (
         docs.select(
@@ -1617,8 +1636,12 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     scored = (
-        pairs.join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n_doc").alias("n_a"))), "tok_a")
-        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n_doc").alias("n_b"))), "tok_b")
+        # size-based, not hinted: the unigram table is vocabulary-sized —
+        # fine to broadcast at bench scale (the planner does), billions of
+        # rows on a 100 TB web corpus where a hint would hard-fail on the
+        # 8 GB ceiling (code-review r4, scale pass)
+        pairs.join(uni.select(F.col("tok").alias("tok_a"), F.col("n_doc").alias("n_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("n_doc").alias("n_b")), "tok_b")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "pmi",
@@ -1737,11 +1760,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-bucket log-ratios cannot break cross-engine equality.
 
     ``tk`` (the corpus-wide tokenize + md5 + base-conversion pass — the
-    dominant cost) is materialized once: tcnt, rcnt, tots, and the scoring
-    join all consume it, and their exchanges differ (lang filter below
-    tcnt, plain groupBy, map-side agg, doc_id<100 filter) so ReuseExchange
-    cannot dedupe them — without the checkpoint the pipeline ran 4x
-    (code-review r4; the same discipline as q_pmi_pairs)."""
+    dominant cost) is materialized once and read exactly TWICE: one
+    conditional-count bucket rollup (n_t and n_r in the same groupBy; the
+    grand totals derive from its 256 rows) and the scoring join — the old
+    tcnt/rcnt/tots trio read it four times under exchanges ReuseExchange
+    cannot dedupe (code-review r4, scale pass; the same discipline as
+    q_pmi_pairs)."""
     B = 256
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1754,14 +1778,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % B).alias("b"),
     ).localCheckpoint(eager=False)
-    tcnt = tk.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
-    rcnt = tk.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
-    tots = tk.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
-        F.count(F.lit(1)).alias("rt"),
+    # ONE bucket rollup: the en-count is a conditional sum inside the same
+    # groupBy, and the grand totals derive from the 256-row bucket table —
+    # the old tcnt/rcnt/tots trio re-read the checkpointed token stream
+    # THREE times for numbers one pass provides (code-review r4, scale
+    # pass; exact integer counts, values identical)
+    bstats = tk.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+        F.count(F.lit(1)).alias("n_r"),
     )
+    tots = bstats.agg(F.sum("n_t").alias("tt"), F.sum("n_r").alias("rt"))
     w = (
-        rcnt.join(tcnt, "b", "left")
+        bstats
         .crossJoin(F.broadcast(tots))
         .select(
             "b",
@@ -1910,6 +1938,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # materialized once: the count rollup and the scoring join both read
+    # the exploded stream under DIFFERENT exchanges (partial-agg-on-tok vs
+    # raw-rows-on-tok), so ReuseExchange cannot dedupe and the corpus
+    # tokenized twice (code-review r4, scale pass; same discipline as
+    # q_dsir_weights)
+    toks = toks.localCheckpoint(eager=False)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("tot"))
     return (
@@ -2054,11 +2088,15 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("prev", F.lag("tok").over(w))
         .filter(F.col("prev").isNotNull())
         .select("doc_id", "prev", "tok")
-        # three consumers (bigram counts, prefix counts, the scoring join)
+        # two consumers (bigram counts and the scoring join; prefix counts
+        # derive from the bigram-count table)
         .localCheckpoint(eager=False)
     )
     bcnt = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("n2"))
-    pcnt = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    # prefix counts roll up from the (much smaller) bigram-count table —
+    # the direct groupBy re-read the checkpointed bigram stream a second
+    # time for an identical integer (code-review r4, scale pass)
+    pcnt = bcnt.groupBy("prev").agg(F.sum("n2").alias("n1"))
     return (
         big.join(bcnt, ["prev", "tok"])
         .join(pcnt, "prev")
@@ -2106,6 +2144,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # materialized once: the top-500 build and the probe join both read
+    # the exploded stream (code-review r4, scale pass)
+    toks = toks.localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
