@@ -943,6 +943,7 @@ def minhash_dedup_incremental(
     bands: int = 8,
     threshold: float = 0.5,
     update_store: bool = True,
+    with_band_table: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against the standing corpus without re-pairing the
     corpus against itself — the production shape for a corpus that grows
@@ -951,7 +952,13 @@ def minhash_dedup_incremental(
     through bucket-equality joins keyed on (band, bucket), so per-batch
     cost is O(new·bands + matching buckets).
 
-    Returns (new_id, dup_of, est_jaccard): every new doc whose signature
+    Returns (new_id, dup_of, est_jaccard) — or, with ``with_band_table``,
+    the tuple (pairs, new_band_table): the eagerly-materialized band table
+    of the WHOLE batch, so callers that persist survivors' band rows
+    themselves (the streaming twin) can filter it by survivor id instead
+    of re-running the dominant tokenize+grams+32-permutation signature
+    stage over raw text a second time (code-review r4, streaming scale
+    pass).  Each pair: every new doc whose signature
     estimate clears ``threshold`` against an existing doc (dup_of = the
     stored id) or an earlier-id doc within the same batch (intra-batch
     dedup, first-id-wins like dedup_exact).  With ``update_store``, the
@@ -1054,4 +1061,6 @@ def minhash_dedup_incremental(
         dup_ids = pairs.select(F.col("new_id").alias("id")).distinct()
         survivors = new_b.join(dup_ids, "id", "left_anti")
         survivors.write.mode("append").parquet(store_path)
+    if with_band_table:
+        return pairs, new_b
     return pairs

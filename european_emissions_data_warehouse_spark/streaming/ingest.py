@@ -61,11 +61,27 @@ def stream_from_directory(
     schema: StructType,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    source_archive_dir: str | None = None,
+    max_file_age: str | None = None,
 ) -> DataFrame:
-    """File-source stream over a landing directory (the raw-bucket stand-in)."""
+    """File-source stream over a landing directory (the raw-bucket stand-in).
+
+    Production knobs (code-review r4, streaming scale pass): without
+    ``clean_source`` ('archive'/'delete') the landing directory and the
+    source's seen-files map grow forever, and every trigger's driver-side
+    listing is O(all files ever landed) — minutes per trigger within weeks
+    at 100 TB/day.  ``max_file_age`` bounds the seen-files map instead
+    when files are cleaned externally."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+    if source_archive_dir is not None:
+        reader = reader.option("sourceArchiveDir", source_archive_dir)
+    if max_file_age is not None:
+        reader = reader.option("maxFileAge", max_file_age)
     return reader.format(fmt).load(src_dir)
 
 
@@ -165,7 +181,11 @@ def run_incremental_upsert(
             fs.delete(trash_p, True)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        cleaned = dedupe_last(batch, key, order_by)
+        # materialized: upsert_anti_join references `cleaned` twice
+        # (distinct-key frame + union) — without this the batch input
+        # re-scans and the dedupe window re-runs per trigger (code-review
+        # r4, streaming scale pass)
+        cleaned = dedupe_last(batch, key, order_by).localCheckpoint(eager=False)
         recover_interrupted_swap(warehouse_path)
         # existence is probed with the FS API, never inferred from a read
         # failure: a transient read error (throttle, permission blip) used
@@ -285,7 +305,11 @@ def _run_ledgered_stream(
             return  # crash-replay of an already-committed batch
         if guard is not None:
             guard(table, gen, hist)
-        delta = delta_fn(batch)
+        # materialized: upsert-style merge_fns reference the delta TWICE
+        # (anti-join key build + union) and Spark performs no common-
+        # subtree reuse, so the batch's file scan and dedupe window ran
+        # twice per trigger (code-review r4, streaming scale pass)
+        delta = delta_fn(batch).localCheckpoint(eager=False)
         base = hist[-1] if hist else -1
         merged = merge_fn(table.read(base), delta) if hist else delta
         meta = {"batch_id": str(batch_id)}
@@ -387,26 +411,42 @@ def run_corpus_prep_stream(
       ops need no window to close).
 
     At 100 TB/day the only state is the dedup hash set within the horizon;
-    everything else is narrow and scales with input partitions."""
+    everything else is narrow and scales with input partitions.  Every
+    text-derived output (bpe_tokens, quality) is computed BEFORE the dedup
+    exchange and ctext is dropped pre-shuffle, exactly like the batch twin
+    (VERDICT r2 #2 tightened it to move only numeric columns): the old
+    post-dedup token count shipped ~full document bodies through the
+    shuffle and state store — the whole day's corpus — where the hash pair
+    plus three numerics is ~50 bytes/row (code-review r4, streaming scale
+    pass).  The dedup key is the codebase-standard 128-bit content_keys
+    xxhash64 pair (two 8-byte longs), not an md5 hex string: ~2.5x less
+    state per key and a non-cryptographic hash on the hot path, same
+    collision-safety class as every batch dedup operator."""
     from european_emissions_data_warehouse_spark.functions.text import (
         bpe_token_count,
         clean_text,
         mask_pii,
         quality_score,
     )
+    from european_emissions_data_warehouse_spark.operators.dedup import content_keys
 
+    ctext = mask_pii(clean_text(F.col("text")))
+    h1, h2 = content_keys(F.col("ctext"))
     prepped = (
-        stream.select("doc_id", ts_col, mask_pii(clean_text(F.col("text"))).alias("ctext"))
+        stream.select("doc_id", ts_col, ctext.alias("ctext"))
         .withColumn("quality", quality_score(F.col("ctext")))
         .filter(F.col("quality") >= min_quality)
-        .withColumn("content_key", F.md5("ctext"))
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["content_key"])
         .select(
             "doc_id",
+            ts_col,
+            h1.alias("_h1"),
+            h2.alias("_h2"),
             bpe_token_count(F.col("ctext")).alias("bpe_tokens"),
             F.round("quality", 6).alias("quality"),
         )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h1", "_h2"])
+        .select("doc_id", "bpe_tokens", "quality")
     )
     (
         prepped.writeStream.outputMode("append")
@@ -700,26 +740,31 @@ def run_neardup_dedup_stream(
                 out_stream.write(bytearray(gen or "", "utf-8"))
             finally:
                 out_stream.close()
-        dups = minhash_dedup_incremental(
+        # with_band_table: the probe already built and checkpointed the
+        # whole batch's band table — reuse it for the store write below
+        # instead of re-running the dominant signature stage over raw text
+        # (code-review r4, streaming scale pass)
+        dups, batch_bands = minhash_dedup_incremental(
             batch, store_path, id_col=id_col, text_col=text_col,
             k=k, unit=unit, num_hashes=num_hashes, bands=bands,
-            threshold=threshold, update_store=False,
+            threshold=threshold, update_store=False, with_band_table=True,
         )
-        survivors = batch.join(
-            dups.select(F.col("new_id").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
-        ).localCheckpoint(eager=True)
+        dup_ids = dups.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = batch.join(dup_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         # survivors' band rows land in THIS batch's store partition —
         # replay overwrites it with identical content (idempotent),
-        # and duplicates never enter the store.  The params file is
+        # and duplicates never enter the store.  The rows come from the
+        # probe's already-materialized band table (filtered by survivor
+        # id), not a second signature build.  The params file is
         # re-stamped after the overwrite: a bootstrap replay routed
         # through THIS branch rewrites batch_id=0, which is where
         # minhash_store_init put the convention record — without the
         # re-stamp the overwrite silently downgraded the store's
         # params-mismatch guard forever (code-review r4)
-        _minhash_band_table(
-            survivors, id_col, text_col, k, unit, num_hashes, bands
+        batch_bands.join(
+            dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
         ).write.mode("overwrite").parquet(store_part)
         _write_minhash_params(
             spark, store_part, k, unit, num_hashes, bands

@@ -94,14 +94,16 @@ def sessionize_stateful(
         segs: list[list] = []
         if start is not None:
             segs.append([start, last, n, total])
-        # A user's rows may span several Arrow chunks delivered in arbitrary
-        # order; sorting per-chunk would fold events out of time order and
-        # manufacture spurious gap-closures.  Concat first, sort once.
+        # No pandas pre-sort: every event becomes a 1-point segment and
+        # segs.sort below establishes the only order the merge depends on
+        # (same-instant ordering is immaterial — a gap of <= 0 always
+        # merges and the folds are commutative sums), so the old
+        # sort_values over (ts, event_id) was a redundant O(n log n) pass
+        # plus a frame copy per key per batch on the stateful hot path
+        # (code-review r4, streaming scale pass).
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
+            pdf = pd.concat(chunks, ignore_index=True)
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1000)  # inline (module refs don't pickle to workers)
                 segs.append([t, t, 1, float(value)])
