@@ -29,75 +29,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_etl_flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the FIRST 50 queries in registration order.  Rounds 1-3
-# produced green rows for 148 of the then-163 registered queries; round 4
-# leads with the final 15 never-driver-graded entries (round 3's documented
-# _DEFER_NEXT_ROUND rotation, VERDICT r3 item #1) PLUS the one new r4
-# registration (semdedup_scaled, 164 total, in-window), taking the engine
-# to 164/164 driver-graded.  The remaining slots re-verify a cross-section
-# of already-green queries: the flagship/parity chain, every heavy LLM
-# operator reworked in round 3 (hash-key dedup exchanges, SemDeDup block
-# cap, banded MinHash), and representative analytics shapes — re-grading a
-# green query is free insurance that the current code still matches its
-# oracle under the driver's own protocol.
+# The driver grades the FIRST 50 queries in registration order.  As of
+# round 4 all 164 registered queries hold a green driver row, so round 5
+# rotates the window to the 50 queries with the OLDEST green rows (VERDICT
+# r4 item #1): the 37 r1-vintage rows plus the 13 alphabetically-first
+# r2-vintage rows.  The engine under those rows was reworked heavily in
+# rounds 3-4 (ANSI mode, null semantics, oracle hardening, the size-based
+# broadcast policy) — the replica gate says they still pass, but the
+# driver row is the hard signal, and re-grading a green query is free
+# insurance under the driver's own protocol.
 _GRADE_FIRST = [
-    # --- the last 15 queries with no driver CORRECTNESS row (r3 deferrals) ---
-    "important_parts",        # TPC-H Q11 shape — completes the 22/22 sweep
-    "supplier_part_variety",  # TPC-H Q16 shape
-    "bpe_apply_merge",        # tokenizer training: apply the learned merge
-    "heavy_hitters_cms",      # count-min sketch frequency estimation
-    "mutual_nn",              # bitext-style mutual-NN pair mining
-    "hll_distinct",           # mergeable HLL distinct-count sketches
-    "skew_profile",           # pre-salting hot-key diagnostics
-    "dedup_rate_by_source",   # per-source corpus duplication report
-    "nb_quality",             # CCNet-style Naive-Bayes quality classifier
-    "readability",            # Flesch-Kincaid readability screen
-    "k_anonymity",            # privacy audit before publication
-    "lateness_profile",       # event-time disorder, watermark tuning
-    "cohort_retention",       # first-order-year retention matrix
-    "corpus_shuffle",         # seeded deterministic training-data shuffle
-    "padding_efficiency",     # length-bucketed batching profile
-    # --- re-verification: flagship + parity chain ---
-    "etl_flagship",
-    "upsert_lww",
-    "surrogate_key",
-    "dedupe_last",
-    "dim_decode_join",
-    "csv_roundtrip",
-    "try_cast_import",
-    # --- re-verification: heavy LLM operators (all reworked in round 3) ---
-    "dedup_exact",
-    "corpus_prep",
-    "semdedup",
-    "semdedup_scaled",        # NEW r4: two-level-clustered SemDeDup (k grows with n)
-    "minhash_neardup",
-    "simhash_neardup",
-    "dedup_components",
-    "chunk_dedup",
-    "bpe_pair_counts",
-    "kmeans_clusters",
-    "ann_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "text_stats",
-    "text_clean",
-    "lang_predict",
-    "doc_fingerprint",
-    "token_topk",
-    "train_test_split",
-    "tfidf_terms",
-    "bm25_search",
-    # --- re-verification: analytics cross-section ---
-    "pricing_summary",
-    "sessionize",
-    "scd2_dim",
-    "asof_join",
-    "range_join_peak",
-    "funnel_conversion",
-    "salted_join_hot",
+    # --- r1-vintage driver rows (graded round 1, never since) ---
+    "anti_join",
+    "case_when",
+    "conditional_agg",
+    "correlated_above_avg",
+    "cube_status",
+    "dim_decode_map",
+    "distinct_segments",
+    "events_hourly",
+    "events_sliding",
+    "exists_late_orders",
+    "filter_pred",
+    "full_outer_nation",
+    "grouping_sets",
+    "having_groups",
+    "in_subquery_big_orders",
+    "lag_lead",
+    "null_drop",
+    "percentiles",
+    "pivot_status",
+    "projection",
+    "range_frame_spend",
+    "ranking_funcs",
+    "region_revenue",
+    "rename",
+    "rollup_region",
+    "running_total",
+    "salted_distinct",
+    "scalar_funcs",
+    "scalar_subquery",
+    "semi_join",
+    "session_window",
+    "set_ops",
+    "string_agg_nations",
+    "top3_per_segment",
+    "top_building_orders",
+    "topk_orders",
+    "weighted_avg_udaf",
+    # --- r2-vintage driver rows (alphabetically first 13 of 29) ---
+    "approx_distinct",
+    "array_hof",
+    "bucketed_join",
+    "cheapest_supplier",
+    "cosine_pairs",
+    "disjunct_revenue",
+    "doc_chunks",
+    "embedding_stats",
+    "explode_outer",
+    "json_extract",
+    "label_centroids",
+    "map_funcs",
+    "media_features",
 ]
-# (user_streaks rotated out of the re-verification slots to make room for
-# semdedup_scaled — it holds a green r1 row and is unchanged since.)
+# (The remaining 16 r2-vintage rows are the stalest after this window and
+# should lead round 6: media_frames, name_similarity, ngram_jaccard,
+# ngram_jaccard_capped, null_handling, ... — recompute from the
+# CORRECTNESS_r*.json latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
 # of round 4: every registered query either holds a driver CORRECTNESS row

@@ -155,12 +155,15 @@ def main() -> None:
     else:
         headline = HEADLINE
 
-    def bench_one(name: str, fn) -> float:
+    def bench_one(name: str, fn) -> tuple[float, dict[str, float]]:
         """Min over repeats; a transient failure on a LATER repeat keeps the
-        already-measured min (the old overwrite-to--1 discarded a valid
+        already-measured runs (the old overwrite-to--1 discarded a valid
         estimate and dropped the query from the scaling ratios); -1 only
-        when no repeat succeeded (code-review r4, instruments pass)."""
-        best = None
+        when no repeat succeeded (code-review r4, instruments pass).
+        Also returns {min, med, max} over the successful repeats so a
+        ±20%-noise claim is verifiable from the artifact itself and a real
+        hot-operator regression can't hide inside it (VERDICT r4 item #3)."""
+        runs: list[float] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             try:
@@ -168,15 +171,28 @@ def main() -> None:
             except Exception as exc:  # a broken query must not zero the whole bench
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        return round(best if best is not None else -1.0, 3)
+            runs.append(time.perf_counter() - t0)
+        if not runs:
+            return -1.0, {}
+        runs.sort()
+        med = runs[len(runs) // 2] if len(runs) % 2 else (
+            (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]) / 2
+        )
+        spread = {
+            "min": round(runs[0], 3),
+            "med": round(med, 3),
+            "max": round(runs[-1], 3),
+        }
+        return spread["min"], spread
 
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in headline:
         fn = qs.get(name)
         if fn is not None:
-            timings[name] = bench_one(name, fn)
+            timings[name], sp = bench_one(name, fn)
+            if sp:
+                spreads[name] = sp
 
     # Fixed-size ANN side table (VERDICT r3 item #7): the embeddings table
     # is NOT sf-proportional, so ann_pq/ann_ivfpq/mutual_nn stay out of the
@@ -206,6 +222,7 @@ def main() -> None:
         ("semdedup_scaled", qs.get("semdedup_scaled")),
     ]
     ann_fixed: dict[str, float] = {}
+    ann_spreads: dict[str, dict[str, float]] = {}
     # skipped when a subset is requested (only) or explicitly disabled —
     # tools/scaling_report.py's small-sf run only consumes the big run's
     # ann_fixed, so re-timing the fixed-size index builds there was pure
@@ -214,7 +231,9 @@ def main() -> None:
         ann_fixed_entries = []
     for name, fn in ann_fixed_entries:
         if fn is not None:
-            ann_fixed[name] = bench_one(name, fn)
+            ann_fixed[name], sp = bench_one(name, fn)
+            if sp:
+                ann_spreads[name] = sp
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -225,6 +244,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_fixed": ann_fixed,
+                # per-query {min, med, max} over repeats (VERDICT r4 #3):
+                # "queries"/"ann_fixed" stay min-floats for the driver and
+                # tools/scaling_report.py; the spread rides alongside
+                "spread": spreads,
+                "ann_spread": ann_spreads,
                 "sf": sf,
                 "repeats": repeats,
             }

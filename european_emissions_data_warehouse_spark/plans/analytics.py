@@ -926,23 +926,27 @@ def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (UDAF surface): quantity-weighted average price per
     return flag via a pandas GROUPED_AGG UDF (functions/udafs.py — the
     type-hint form; eval type inferred from the (Series, Series) -> float
-    signature).  Cent-precision prices times integer quantities are exactly
-    representable doubles, so the sum — and therefore the ratio — is
-    order-independent and matches the oracle bit-for-bit despite parallel
-    accumulation."""
+    signature).  Cent prices are NOT dyadic rationals (0.67 has no finite
+    binary form), so each product carries an ulp of rounding and the
+    parallel sum is order-dependent: at sf0.01 the UDAF's partial-sum
+    order diverges from DuckDB's sequential sum by ~1e-11 relative, enough
+    to break a full-precision value hash depending on partition count (the
+    r1 green driver row was partition-order luck — caught by the round-5
+    window-rotation drive).  _q6 lockstep rounding absorbs it."""
     from european_emissions_data_warehouse_spark.functions.udafs import weighted_avg
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(weighted_avg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .agg(_q6(weighted_avg("l_extendedprice", "l_quantity")).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
 
 
 ORACLE_WEIGHTED_AVG = """
 SELECT l_returnflag,
-       SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS wavg_price
+       FLOOR(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) * 1000000 + 0.5)
+         / 1000000 AS wavg_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
