@@ -1892,8 +1892,13 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "revenue",
-            # share of a sum of 2-decimal-rounded terms: identical IEEE both sides
-            (F.col("revenue") / F.col("__total")).alias("share"),
+            # the 25-term total sums NON-dyadic 2-decimal values, so its
+            # last ulps depend on partition order — the quotient must go
+            # through _q6 lockstep rounding (caught by the round-5
+            # partition-determinism sweep; the old "identical IEEE both
+            # sides" claim was partition luck, same class as
+            # weighted_avg_udaf)
+            _q6(F.col("revenue") / F.col("__total")).alias("share"),
         )
         .orderBy("n_name")
     )
@@ -1907,7 +1912,8 @@ WITH per_nation AS (
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, revenue, revenue / SUM(revenue) OVER () AS share
+SELECT n_name, revenue,
+       FLOOR(revenue / SUM(revenue) OVER () * 1000000 + 0.5) / 1000000 AS share
 FROM per_nation ORDER BY n_name
 """
 
