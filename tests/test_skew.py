@@ -83,3 +83,70 @@ def test_salted_join_rejects_nonpositive_n_salts(spark):
     for bad in (0, -1):
         with pytest.raises(ValueError, match="n_salts must be >= 1"):
             salted_join(a, b, ["k"], n_salts=bad)
+
+
+def test_aqe_skew_split_vs_salting_adjudication(spark):
+    """When does the built-in AQE skew-join split suffice, and when is
+    manual salting still needed (VERDICT r4 #7; measurements in
+    EXPLAIN.md "AQE skew-join vs manual salting")?
+
+    1. Pure shuffle-join skew: AQE splits the oversized partition — the
+       final adaptive plan carries SortMergeJoin(skew=true) — and manual
+       salting there only adds replication overhead (measured 0.92s vs
+       0.55s at 4M rows).
+    2. Join feeding a same-key aggregate: Catalyst elides the aggregate's
+       exchange because the join output already satisfies its required
+       distribution — which PINS the join partitioning, so AQE refuses to
+       split (with or without forceOptimizeSkewedJoin) and the hot key
+       rides one task end-to-end.  Manual salting is the only lever (and
+       aggregation skew itself has no AQE rule at all —
+       salted_count_distinct exists for exactly that)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    n_left, n_keys = 400_000, 2_000
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(n_left).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("attr"),
+        )
+        # collect() on the SAME DataFrame whose plan we inspect: a write/
+        # count would build a separate QueryExecution and the inspected
+        # plan would still say isFinalPlan=false
+        join_only = left.join(right, "k").groupBy().count()
+        assert join_only.collect()[0][0] == n_left
+        plan = join_only._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+
+        pinned = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.sum("payload").alias("s"))
+            .groupBy()
+            .count()
+        )
+        assert pinned.collect()[0][0] == n_keys
+        plan2 = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan2, (
+            "AQE split a join whose output partitioning a same-key "
+            "aggregate depends on — if Spark ever learns to do this "
+            "safely, the EXPLAIN.md adjudication needs rewriting"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
