@@ -142,9 +142,12 @@ def write_warehouse_jdbc(
     Each partition opens one connection and streams `batchsize`-row inserts
     (Spark's JDBC writer is per-partition parallel); cap partitions with
     `df.coalesce(n)` to respect the database's connection limit.  Requires
-    the JDBC driver jar on the Spark classpath; no driver ships with this
-    container, so the test suite exercises the call path with a dry-run
-    guard only."""
+    the JDBC driver jar on the Spark classpath.  No Postgres jar ships in
+    this container, but the full live path (dialect DDL, batched insert,
+    overwrite/append, partitioned readback) is integration-tested against
+    embedded Derby, which pyspark bundles
+    (tests/test_emissions_etl.py::test_jdbc_live_roundtrip_via_derby);
+    Postgres differs only by dialect."""
     # properties ride ONLY the .jdbc(properties=...) channel —
     # DataFrameWriter.jdbc merges them into the writer options itself, so
     # the old duplicate option() loop was dead plumbing (code-review r4)

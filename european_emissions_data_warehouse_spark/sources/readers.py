@@ -283,8 +283,9 @@ def read_jdbc(
     busy.  Pick a roughly uniform integer column (a sequence key); skew in
     the column skews the stripes.
 
-    Requires the driver jar on the classpath (absent in this container —
-    exercised by a call-path test, like the sink)."""
+    Requires the driver jar on the classpath.  Live-tested against the
+    Derby jar pyspark bundles (partitioned 4-stripe readback included);
+    the Postgres call path is covered by the driver-resolution test."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:

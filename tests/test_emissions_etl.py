@@ -213,3 +213,42 @@ def test_fetch_to_lake_cleans_partial_file_on_failure(tmp_path):
         fetch_to_lake((tmp_path / "missing.csv").as_uri(), dest)
     assert not _os.path.exists(dest)
     assert not _os.path.exists(dest + ".part")
+
+
+def test_jdbc_live_roundtrip_via_derby(spark, sf_dir, tmp_path):
+    """LIVE JDBC integration (closes the r4 env-gap on the JDBC sink):
+    Derby ships inside pyspark/jars, auto-registers its embedded driver,
+    and Spark carries a built-in DerbyDialect — so the exact production
+    code path (DataFrameWriter.jdbc -> JdbcRelationProvider -> dialect DDL
+    -> batched inserts, then the partitioned-stripe read) runs against a
+    real SQL database with zero extra dependencies.  Postgres differs only
+    by dialect string; the plumbing proven here is the same."""
+    from european_emissions_data_warehouse_spark.plans.emissions import (
+        write_warehouse_jdbc,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        load_table,
+        read_jdbc,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+
+    write_warehouse_jdbc(nation, url, "nation_wh")
+    back = read_jdbc(
+        spark, url, "nation_wh",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=24,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4  # the stripes actually split
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+    # append mode: second load doubles the rows through the same sink
+    write_warehouse_jdbc(nation.limit(3), url, "nation_wh", mode="append")
+    assert read_jdbc(spark, url, "nation_wh").count() == nation.count() + 3
+
+    # overwrite drops and recreates
+    write_warehouse_jdbc(nation.limit(5), url, "nation_wh")
+    assert read_jdbc(spark, url, "nation_wh").count() == 5
