@@ -583,10 +583,19 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_JSON_EXTRACT = """
+-- json_valid guard: DuckDB json_extract ERRORS on malformed JSON where
+-- Spark's from_json nulls the row (PERMISSIVE mode) — lockstep NULL
+-- semantics for invalid/empty/NULL props (round-5 fuzz gate)
+WITH parsed AS (
+  SELECT event_type,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract(props, '$.k') END AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
-FROM events GROUP BY event_type ORDER BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT k) AS n_k
+FROM parsed GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -596,9 +605,12 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     accesses.  At scale this beats per-field ``get_json_object`` because the
     parse cost is paid once per row, not once per field reference, and the
     binary form column-prunes; missing/mistyped fields degrade to NULL
-    (counted here) instead of failing the scan."""
+    (counted here) instead of failing the scan.  ``try_parse_json``, not
+    ``parse_json``: the plain form THROWS on malformed JSON text (Jackson
+    EOF inside VariantBuilder), which contradicted this docstring's own
+    degrade-to-NULL claim — caught by the round-5 fuzz gate."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    v = ev.select("event_type", F.try_parse_json("props").alias("v"))
     # bigint extraction, same overflow rationale as q_json_extract
     k = F.try_variant_get("v", "$.k", "bigint").cast("long")
     missing = F.try_variant_get("v", "$.absent", "bigint").cast("long")
@@ -616,11 +628,20 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_VARIANT_EXTRACT = """
+-- json_valid guard mirrors try_parse_json's degrade-to-NULL (fuzz gate)
+WITH parsed AS (
+  SELECT event_type,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract(props, '$.k') END AS BIGINT) AS k,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract(props, '$.absent') END AS BIGINT) AS m
+  FROM events
+)
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-       COUNT(CAST(json_extract(props, '$.absent') AS BIGINT)) AS n_absent
-FROM events GROUP BY event_type ORDER BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       COUNT(m) AS n_absent
+FROM parsed GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -704,7 +725,10 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("long")
         .alias("days_before_2002"),
-        _r2(F.sqrt(F.col("o_totalprice"))).alias("price_sqrt"),
+        # negative-domain guard: Spark sqrt(-x) yields NaN while DuckDB
+        # ERRORS — the query defines sqrt as NULL off-domain (fuzz gate)
+        F.when(F.col("o_totalprice") >= 0, _r2(F.sqrt(F.col("o_totalprice"))))
+        .alias("price_sqrt"),
         F.abs(F.col("o_totalprice") - 100000).alias("price_dist_100k"),
         (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
     )
@@ -718,7 +742,7 @@ SELECT o_orderkey,
        CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
        CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
        CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_before_2002,
-       ROUND(SQRT(o_totalprice), 2) AS price_sqrt,
+       CASE WHEN o_totalprice >= 0 THEN ROUND(SQRT(o_totalprice), 2) END AS price_sqrt,
        ABS(o_totalprice - 100000) AS price_dist_100k,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
 FROM orders
@@ -1180,7 +1204,11 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+        # COUNT(value), not COUNT(*): the sketch and the rank counts both
+        # skip NULL values, so the rank interval must be anchored to the
+        # NON-NULL population — COUNT(*) shifted n/2 past tol once the
+        # fuzz fixture planted NULL values (round-5 fuzz gate)
+        F.count("value").alias("n_rows"),
     )
     ranked = (
         ev.join(F.broadcast(approx), "event_type")
@@ -1209,7 +1237,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_APPROX_PERCENTILE = """
-SELECT event_type, COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS within_tol
+SELECT event_type, COUNT(value) AS n_rows, CAST(1 AS BIGINT) AS within_tol
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -1316,7 +1344,13 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     Views are pre-deduped per (user, ts) so ties are deterministic."""
     ev = load_table(spark, sf_dir, "events")
     views = (
-        ev.filter(F.col("event_type") == "view")
+        # NULL-user views are unmatchable under SQL ASOF JOIN equality
+        # (NULL = NULL is not true), but the window's partitionBy groups
+        # NULLs TOGETHER — so a NULL-user purchase silently matched a
+        # NULL-user view (round-5 fuzz gate).  Dropping NULL-user views
+        # makes the window form replicate join semantics exactly: NULL-user
+        # purchases stay, with no view to match.
+        ev.filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("view_id"))
         .select("user_id", "ts", "view_id", F.lit(None).cast("long").alias("purchase_id"))
@@ -1799,6 +1833,12 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    ).filter(
+        # NULL-priced offers are non-candidates on BOTH sides: Spark's
+        # struct comparison sorts a NULL field FIRST (min picks it) while
+        # DuckDB's ORDER BY defaults NULLS LAST (round-5 fuzz gate) —
+        # "cheapest actual offer" is the only semantics both express
+        F.col("unit_price").isNotNull()
     )
     best = priced.groupBy("l_partkey").agg(
         F.min(F.struct("unit_price", "l_suppkey")).alias("_best")
@@ -1817,6 +1857,8 @@ WITH priced AS (
          ROW_NUMBER() OVER (PARTITION BY l_partkey
                             ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
   FROM lineitem
+  -- NULL-priced offers excluded, lockstep with the engine (fuzz gate)
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_partkey, l_suppkey AS cheapest_suppkey, unit_price
 FROM priced WHERE rn = 1 ORDER BY l_partkey
@@ -2145,9 +2187,11 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXPLODE_OUTER = r"""
 WITH t AS (
+  -- COALESCE: NULL text means a NULL token list, and explode_outer emits
+  -- exactly one null row for it — same as the empty list (fuzz gate)
   SELECT doc_id,
-         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                         x -> length(x) >= 12)) AS n
+         COALESCE(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> length(x) >= 12)), 0) AS n
   FROM documents
 )
 SELECT doc_id,
@@ -2191,16 +2235,24 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NULL_HANDLING = """
 -- TRY_CAST AS BIGINT, not strict CAST AS INT: a k past 2^31 (or a
 -- non-integer) raised a conversion error / diverged from the engine's
--- from_json 'k BIGINT' null-on-mismatch semantics (code-review r4)
+-- from_json 'k BIGINT' null-on-mismatch semantics (code-review r4).
+-- json_valid guard: DuckDB json_extract ERRORS on malformed props where
+-- Spark's from_json nulls the row (round-5 fuzz gate)
+WITH parsed AS (
+  SELECT event_id, event_type, value,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract(props, '$.k') END AS BIGINT) AS k
+  FROM events
+)
 SELECT event_id,
-       CAST(TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT DISTINCT FROM 1 AS INT) AS k_is_1,
+       CAST(k IS NOT DISTINCT FROM 1 AS INT) AS k_is_1,
        NULLIF(event_type, 'view') AS type_not_view,
-       CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL THEN 'has_k' ELSE 'no_k' END AS k_state,
-       value / NULLIF(TRY_CAST(json_extract(props, '$.k') AS BIGINT), 0) AS value_per_k,
-       GREATEST(value, CAST(TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE)) AS hi,
+       CASE WHEN k IS NOT NULL THEN 'has_k' ELSE 'no_k' END AS k_state,
+       value / NULLIF(k, 0) AS value_per_k,
+       GREATEST(value, CAST(k AS DOUBLE)) AS hi,
        md5(event_type) AS type_md5,
        sha256(event_type) AS type_sha256
-FROM events
+FROM parsed
 """
 
 

@@ -827,7 +827,10 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LANG_HITS_SQL = {
-    lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+    # COALESCE: NULL text must count ZERO marker hits, not NULL — the NULL
+    # counts skipped every CASE comparison and fell through to the ELSE
+    # branch ('zh') where the engine says 'und' (round-5 fuzz gate)
+    lang: f"COALESCE(len(regexp_extract_all(lower(text), '{pat}')), 0)"
     for lang, pat in LANG_MARKERS.items()
 }
 
@@ -867,8 +870,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", fp.alias("__fp"))
         .select(
             "doc_id",
-            F.size(fpc).cast("bigint").alias("n_fp"),
-            (fpc == F.array_sort(fpc)).cast("bigint").alias("fp_sorted"),
+            # NULL text -> empty fingerprint (0 minima, vacuously sorted):
+            # the oracle's list_distinct drops the NULL shingle to [] and
+            # its fp_sorted literal is 1 — lockstep via coalesce (fuzz gate)
+            F.coalesce(F.size(fpc).cast("bigint"), F.lit(0)).alias("n_fp"),
+            F.coalesce(
+                (fpc == F.array_sort(fpc)).cast("bigint"), F.lit(1)
+            ).alias("fp_sorted"),
         )
         .orderBy("doc_id")
     )
@@ -898,7 +906,10 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", stats).select(
         "vec_id",
         F.round("s.l2_norm", 6).alias("l2_norm"),
-        F.round("s.mean", 6).alias("vec_mean"),
+        # + 0.0 normalizes IEEE signed zero: a tiny-negative mean rounds
+        # to -0.0 in one engine and +0.0 in the other (denormal vectors,
+        # round-5 fuzz gate); -0.0 + 0.0 = +0.0 by IEEE-754 in both
+        (F.round("s.mean", 6) + F.lit(0.0)).alias("vec_mean"),
         F.round("s.absmax", 6).alias("vec_absmax"),
     )
 
@@ -907,7 +918,7 @@ ORACLE_EMBEDDING_STATS = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
-       ROUND(list_sum(e) / len(e), 6) AS vec_mean,
+       ROUND(list_sum(e) / len(e), 6) + 0.0 AS vec_mean,
        ROUND(list_max(list_transform(e, x -> abs(x))), 6) AS vec_absmax
 FROM v
 """
@@ -926,7 +937,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a code point), so parity is only defined where byte == char — an
     unfiltered run depended on the other langs' fixtures happening to be
     pure ASCII (code-review r4)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # NULL payloads are a documented hard error in the media ops
+        # (_reject_null_payloads) — the query honors the contract by
+        # filtering them at the source.  The octet_length==length
+        # guard pins the byte==char domain EXPLICITLY instead of
+        # trusting lang=en to imply ASCII — the fuzz fixture plants
+        # unicode text on en rows and the fake checksum mixes BYTES
+        # while the oracle addresses CHARACTERS (round-5 fuzz gate)
+        (F.col("lang") == "en")
+        & F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
     media = documents_as_media(docs)
     return extract_media_features(media, fake=True)
 
@@ -940,7 +962,7 @@ SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text))
             + ascii(substr(text, 1, 1)) * 31
             + ascii(substr(text, length(text), 1)) AS BIGINT) AS checksum
-FROM documents WHERE lang = 'en'
+FROM documents WHERE lang = 'en' AND text IS NOT NULL AND octet_length(encode(text)) = length(text)
 """
 
 
@@ -953,7 +975,18 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # NULL payloads are a documented hard error in the media ops
+        # (_reject_null_payloads) — the query honors the contract by
+        # filtering them at the source.  The octet_length==length
+        # guard pins the byte==char domain EXPLICITLY instead of
+        # trusting lang=en to imply ASCII — the fuzz fixture plants
+        # unicode text on en rows and the fake checksum mixes BYTES
+        # while the oracle addresses CHARACTERS (round-5 fuzz gate)
+        (F.col("lang") == "en")
+        & F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
     media = documents_as_media(docs)
     return sample_frames(media, frame_size=64, every=2, fake=True).orderBy(
         "asset_id", "frame_no"
@@ -962,7 +995,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_FRAMES = """
 WITH en AS (
-  SELECT doc_id, text FROM documents WHERE lang = 'en'
+  SELECT doc_id, text FROM documents WHERE lang = 'en' AND text IS NOT NULL AND octet_length(encode(text)) = length(text)
 ), idx AS (
   -- no GREATEST floor: an empty payload has ZERO frames, lockstep with
   -- sample_frames (code-review r4, operators pass)
@@ -987,20 +1020,34 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # NULL payloads are a documented hard error in the media ops
+        # (_reject_null_payloads) — the query honors the contract by
+        # filtering them at the source.  The octet_length==length
+        # guard pins the byte==char domain EXPLICITLY instead of
+        # trusting lang=en to imply ASCII — the fuzz fixture plants
+        # unicode text on en rows and the fake checksum mixes BYTES
+        # while the oracle addresses CHARACTERS (round-5 fuzz gate)
+        (F.col("lang") == "en")
+        & F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
     media = documents_as_media(docs)
     return resize_media(media, target_bytes=256, fake=True).orderBy("asset_id")
 
 
 ORACLE_MEDIA_RESIZE = """
 WITH en AS (
-  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en'
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE lang = 'en' AND text IS NOT NULL AND octet_length(encode(text)) = length(text)
 ), r AS (
   SELECT doc_id, n, GREATEST(1, CAST(CEIL(n / 256.0) AS BIGINT)) AS step, text FROM en
 ), strided AS (
   SELECT doc_id, n,
-         array_to_string([substr(text, CAST(i AS INT), 1)
-                          FOR i IN range(1, CAST(n AS INT) + 1, CAST(step AS INT))], '') AS out
+         -- COALESCE: DuckDB's comprehension-with-substr over an EMPTY
+         -- range yields NULL, not []; an empty payload strides to an
+         -- empty payload (round-5 fuzz gate)
+         COALESCE(array_to_string([substr(text, CAST(i AS INT), 1)
+                          FOR i IN range(1, CAST(n AS INT) + 1, CAST(step AS INT))], ''), '') AS out
   FROM r
 )
 SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_in,
@@ -1162,6 +1209,8 @@ def q_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="sent_no: long, n_words: long")
     class SentenceSplit:
         def eval(self, text: str):
+            if text is None:  # NULL doc -> no sentences (the oracle's
+                return  # unnest(NULL) emits zero rows too; fuzz gate)
             sents = (s.strip(" ") for s in text.split("."))
             for i, s in enumerate(s for s in sents if s != ""):
                 yield i + 1, len(s.split())
@@ -2294,8 +2343,15 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_c").cast("long").alias("useful_tokens"),
             F.sum(F.col("bucket_len") - F.col("_c")).cast("long").alias("pad_bucketed"),
             F.sum(128 - F.col("_c")).cast("long").alias("pad_fixed"),
+            # try_divide: the all-empty-docs bucket has bucket_len=0 and
+            # ANSI / raises DIVIDE_BY_ZERO; DuckDB's double 0/0 is NULL, so
+            # NULL pad_pct is the lockstep answer (round-5 fuzz gate)
             F.round(
-                100.0 * F.sum(F.col("bucket_len") - F.col("_c")) / F.sum("bucket_len"), 2
+                F.try_divide(
+                    100.0 * F.sum(F.col("bucket_len") - F.col("_c")),
+                    F.sum("bucket_len"),
+                ),
+                2,
             ).alias("pad_pct"),
         )
         .orderBy("bucket_len")
@@ -2584,7 +2640,10 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-id-ordered exchange — scan-bound at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.lower(F.trim(F.col("text")))
-    words = F.size(F.split(t, r"\s+"))
+    # empty tokens filtered: Spark trim strips only SPACES, so a
+    # tab/newline-only doc split into ['', ''] and counted 2 phantom words
+    # where the oracle's t <> '' filter counted 0 (round-5 fuzz gate)
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
     sentences = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
     )
@@ -2594,10 +2653,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(t, r"\s+"), lambda w: ~w.rlike("[aeiouy]"))
     )
     syllables = vowel_groups + novowel_words
-    grade = (
+    # word-less docs have no defined grade: Spark's double 2.0/0.0 is
+    # Infinity while DuckDB's is NULL — the when() guard makes NULL the
+    # lockstep answer (round-5 fuzz gate)
+    grade = F.when(
+        words > 0,
         F.lit(0.39) * (words.cast("double") / sentences)
         + F.lit(11.8) * (syllables.cast("double") / words)
-        - F.lit(15.59)
+        - F.lit(15.59),
     )
     return docs.select(
         "doc_id",
