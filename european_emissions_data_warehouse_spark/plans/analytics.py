@@ -1115,12 +1115,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PERCENTILE_CONT semantics; Spark's sort-based exact percentile — the
     approx_percentile sketch is the 100 TB swap-in, same call shape)."""
     cust = load_table(spark, sf_dir, "customer")
+
+    # lockstep FLOOR rounding, not ROUND: interpolated percentiles are
+    # QUOTIENTS (midpoints of cent values), which land exactly on .xx5
+    # boundaries where Spark's shortest-repr ROUND and DuckDB's binary
+    # ROUND diverge — the _q6 rationale at 2 decimals (round-5 fuzz gate,
+    # seed 2: a segment median hit 4702.605)
+    def _f2(col):  # noqa: ANN001
+        return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
     return (
         cust.groupBy("c_mktsegment")
         .agg(
-            _r2(F.percentile("c_acctbal", F.lit(0.25))).alias("p25"),
-            _r2(F.percentile("c_acctbal", F.lit(0.5))).alias("p50"),
-            _r2(F.percentile("c_acctbal", F.lit(0.75))).alias("p75"),
+            _f2(F.percentile("c_acctbal", F.lit(0.25))).alias("p25"),
+            _f2(F.percentile("c_acctbal", F.lit(0.5))).alias("p50"),
+            _f2(F.percentile("c_acctbal", F.lit(0.75))).alias("p75"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1128,9 +1137,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PERCENTILES = """
 SELECT c_mktsegment,
-       ROUND(quantile_cont(c_acctbal, 0.25), 2) AS p25,
-       ROUND(quantile_cont(c_acctbal, 0.50), 2) AS p50,
-       ROUND(quantile_cont(c_acctbal, 0.75), 2) AS p75
+       FLOOR(quantile_cont(c_acctbal, 0.25) * 100 + 0.5) / 100 AS p25,
+       FLOOR(quantile_cont(c_acctbal, 0.50) * 100 + 0.5) / 100 AS p50,
+       FLOOR(quantile_cont(c_acctbal, 0.75) * 100 + 0.5) / 100 AS p75
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
