@@ -309,7 +309,7 @@ WITH q AS (
 ), scored AS (
   SELECT qid AS query_id, nid AS neighbor_id,
          list_dot_product(qv, cv)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+           / (GREATEST(sqrt(list_dot_product(qv, qv)), 1e-150) * GREATEST(sqrt(list_dot_product(cv, cv)), 1e-150)) AS sim
   FROM c, q WHERE nid != qid
 )
 SELECT query_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, ROUND(sim, 4) AS sim
@@ -383,7 +383,7 @@ WITH q AS (
 ), scored AS (
   SELECT qid AS query_id, nid AS neighbor_id,
          list_dot_product(qv, cv)
-           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+           / (GREATEST(sqrt(list_dot_product(qv, qv)), 1e-150) * GREATEST(sqrt(list_dot_product(cv, cv)), 1e-150)) AS sim
   FROM c, q WHERE nid != qid
 ), r1 AS (
   SELECT query_id, sim,
@@ -485,11 +485,11 @@ ORACLE_COSINE_PAIRS = """
 WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.v, b.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+         / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-150) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-150)), 4) AS sim
 FROM s a, s b
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-150) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-150)) >= 0.3
 """
 
 
@@ -1422,7 +1422,7 @@ _KMEANS_CTES = """vecs AS (
 ), s0 AS (
   SELECT vecs.id, c0.cid,
          list_dot_product(vecs.v, c0.c)
-           / (sqrt(list_dot_product(vecs.v, vecs.v)) * sqrt(list_dot_product(c0.c, c0.c))) AS sim
+           / (GREATEST(sqrt(list_dot_product(vecs.v, vecs.v)), 1e-150) * GREATEST(sqrt(list_dot_product(c0.c, c0.c)), 1e-150)) AS sim
   FROM vecs, c0
 ), a0 AS (
   SELECT id, cid FROM (
@@ -1441,7 +1441,7 @@ _KMEANS_CTES = """vecs AS (
 ), s1 AS (
   SELECT vecs.id, c1.cid,
          list_dot_product(vecs.v, c1.c)
-           / (sqrt(list_dot_product(vecs.v, vecs.v)) * sqrt(list_dot_product(c1.c, c1.c))) AS sim
+           / (GREATEST(sqrt(list_dot_product(vecs.v, vecs.v)), 1e-150) * GREATEST(sqrt(list_dot_product(c1.c, c1.c)), 1e-150)) AS sim
   FROM vecs, c1
 ), a1 AS (
   SELECT id, cid FROM (
@@ -1484,7 +1484,7 @@ WITH {_KMEANS_CTES}, members AS (
   FROM members a JOIN members b
     ON a.cid = b.cid AND a.id < b.id
   WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+          / (GREATEST(sqrt(list_dot_product(a.v, a.v)), 1e-150) * GREATEST(sqrt(list_dot_product(b.v, b.v)), 1e-150)) >= 0.3
 )
 SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_pairs,
        CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
@@ -2561,7 +2561,7 @@ WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
 scored AS (
   SELECT id_a, id_b,
          list_dot_product(va, vb)
-           / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+           / (GREATEST(sqrt(list_dot_product(va, va)), 1e-150) * GREATEST(sqrt(list_dot_product(vb, vb)), 1e-150))
            AS sim
   FROM a, b
 ), ranked AS (
