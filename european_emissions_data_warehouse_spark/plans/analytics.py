@@ -588,7 +588,9 @@ ORACLE_JSON_EXTRACT = """
 -- semantics for invalid/empty/NULL props (round-5 fuzz gate)
 WITH parsed AS (
   SELECT event_type,
-         CAST(CASE WHEN json_valid(props)
+         TRY_CAST(CASE WHEN json_valid(props)
+                        AND json_type(json_extract(props, '$.k'))
+                            IN ('UBIGINT', 'BIGINT')
                    THEN json_extract(props, '$.k') END AS BIGINT) AS k
   FROM events
 )
@@ -611,9 +613,22 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrade-to-NULL claim — caught by the round-5 fuzz gate."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select("event_type", F.try_parse_json("props").alias("v"))
-    # bigint extraction, same overflow rationale as q_json_extract
-    k = F.try_variant_get("v", "$.k", "bigint").cast("long")
-    missing = F.try_variant_get("v", "$.absent", "bigint").cast("long")
+
+    # STRICT integral extraction: bare try_variant_get(..., 'bigint')
+    # COERCES (2.5 -> 2, "12" -> 12) with engine-specific rounding no
+    # portable SQL replicates — the schema_of_variant == 'BIGINT' guard
+    # admits exactly the in-range integral JSON numbers, the same set the
+    # oracle's json_type IN ('UBIGINT','BIGINT') + TRY_CAST admits
+    # (round-5 code review; from_json in q_json_extract is strict already)
+    def strict_bigint(path: str):
+        kv = F.try_variant_get("v", path, "variant")
+        return F.when(
+            F.schema_of_variant(kv) == "BIGINT",
+            F.try_variant_get("v", path, "bigint"),
+        ).cast("long")
+
+    k = strict_bigint("$.k")
+    missing = strict_bigint("$.absent")
     return (
         v.select("event_type", k.alias("k"), missing.alias("m"))
         .groupBy("event_type")
@@ -631,10 +646,14 @@ ORACLE_VARIANT_EXTRACT = """
 -- json_valid guard mirrors try_parse_json's degrade-to-NULL (fuzz gate)
 WITH parsed AS (
   SELECT event_type,
-         CAST(CASE WHEN json_valid(props)
+         TRY_CAST(CASE WHEN json_valid(props)
+                        AND json_type(json_extract(props, '$.k'))
+                            IN ('UBIGINT', 'BIGINT')
                    THEN json_extract(props, '$.k') END AS BIGINT) AS k,
-         CAST(CASE WHEN json_valid(props)
-                   THEN json_extract(props, '$.absent') END AS BIGINT) AS m
+         TRY_CAST(CASE WHEN json_valid(props)
+                            AND json_type(json_extract(props, '$.absent'))
+                                IN ('UBIGINT', 'BIGINT')
+                       THEN json_extract(props, '$.absent') END AS BIGINT) AS m
   FROM events
 )
 SELECT event_type, COUNT(*) AS n,
@@ -953,24 +972,33 @@ def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature).  Cent prices are NOT dyadic rationals (0.67 has no finite
     binary form), so each product carries an ulp of rounding and the
     parallel sum is order-dependent: at sf0.01 the UDAF's partial-sum
-    order diverges from DuckDB's sequential sum by ~1e-11 relative, enough
-    to break a full-precision value hash depending on partition count (the
-    r1 green driver row was partition-order luck — caught by the round-5
-    window-rotation drive).  _q6 lockstep rounding absorbs it."""
+    order diverges from DuckDB's sequential sum by ~1e-11 relative —
+    ~5e-7 ABSOLUTE at the ~5e4 price magnitude — enough to break a
+    full-precision value hash depending on partition count (the r1 green
+    driver row was partition-order luck, caught by the round-5
+    window-rotation drive).  Lockstep FLOOR rounding at 2 decimals: the
+    0.01 grid is ~20,000x the measured divergence, so no partitioning can
+    move the quotient across a boundary (a 1e-6 grid left only 2x margin
+    — round-5 code review)."""
     from european_emissions_data_warehouse_spark.functions.udafs import weighted_avg
 
     li = load_table(spark, sf_dir, "lineitem")
+    wavg = weighted_avg("l_extendedprice", "l_quantity")
     return (
         li.groupBy("l_returnflag")
-        .agg(_q6(weighted_avg("l_extendedprice", "l_quantity")).alias("wavg_price"))
+        .agg(
+            (F.floor(wavg * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "wavg_price"
+            )
+        )
         .orderBy("l_returnflag")
     )
 
 
 ORACLE_WEIGHTED_AVG = """
 SELECT l_returnflag,
-       FLOOR(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) * 1000000 + 0.5)
-         / 1000000 AS wavg_price
+       FLOOR(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) * 100 + 0.5)
+         / 100 AS wavg_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -2250,6 +2278,8 @@ ORACLE_NULL_HANDLING = """
 WITH parsed AS (
   SELECT event_id, event_type, value,
          TRY_CAST(CASE WHEN json_valid(props)
+                            AND json_type(json_extract(props, '$.k'))
+                                IN ('UBIGINT', 'BIGINT')
                        THEN json_extract(props, '$.k') END AS BIGINT) AS k
   FROM events
 )

@@ -38,5 +38,10 @@ def run_pass(master, sp):
 a = run_pass("local[3]", 3)
 b = run_pass("local[16]", 17)
 diff = [k for k in a if a[k] != b[k]]
+# a query that throws in BOTH passes compares equal ("ERR:X" == "ERR:X")
+# and would read as deterministic-and-green — report errors separately
+# and fail on them too (round-5 code review)
+errs = sorted(k for k in a if str(a[k]).startswith("ERR") or str(b[k]).startswith("ERR"))
 print(f"\nnondeterministic under partitioning: {diff}")
-sys.exit(1 if diff else 0)
+print(f"errored in at least one pass: {errs}")
+sys.exit(1 if (diff or errs) else 0)

@@ -101,6 +101,14 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
             rows[i]["props"] = None
         for i in sample(0.01):
             rows[i]["props"] = rng.choice(["not json", "{", '{"k": }', ""])
+        # VALID JSON with non-integral / string / overflow / null k: the
+        # coercion-vs-strict divergence class (DuckDB CAST coerces 2.5->2
+        # and "12"->12 where from_json nulls; round-5 code review)
+        for i in sample(0.01):
+            rows[i]["props"] = rng.choice(
+                ['{"k": 2.5}', '{"k": "12"}', '{"k": "x"}',
+                 '{"k": 18446744073709551615}', '{"k": null}', '{"k": -3}']
+            )
     elif table == "orders":
         for i in sample(0.02):
             rows[i]["o_totalprice"] = None
