@@ -431,3 +431,30 @@ def test_scalar_total_queries_scan_fact_once(spark, sf_dir):
             ln for ln in plan.splitlines() if "FileScan" in ln and fact in ln
         ]
         assert len(scans) <= 1, f"{name}: {len(scans)} {fact} scans"
+
+
+def test_round5_lockstep_filters_reach_the_scan(spark, sf_dir):
+    """The round-5 fuzz-gate fixes added source-level predicates whose
+    placement is load-bearing: cheapest_supplier's NULL-offer exclusion
+    and the media queries' parity-domain filter must evaluate AT THE SCAN
+    (DataFilters), not post-join/post-shuffle — at 100 TB a misplaced
+    lockstep filter re-reads the fact or ships excluded rows through an
+    exchange."""
+    plan = _formatted(entry_mod.queries()["cheapest_supplier"](spark, sf_dir))
+    scan_block = plan[plan.index("Scan parquet"):]
+    filters_line = [l for l in scan_block.splitlines() if "PushedFilters" in l][0]
+    assert "IsNotNull(l_extendedprice)" in filters_line
+    assert "IsNotNull(l_quantity)" in filters_line
+
+    plan = _formatted(entry_mod.queries()["media_features"](spark, sf_dir))
+    scan_block = plan[plan.index("Scan parquet"):]
+    pushed = [l for l in scan_block.splitlines() if "PushedFilters" in l][0]
+    # lang and NULL-text prune at the parquet footer level...
+    assert "EqualTo(lang,en)" in pushed and "IsNotNull(text)" in pushed
+    # ...and the computed byte==char predicate evaluates in the scan stage
+    # (DataFilters), before any exchange
+    data_line = [l for l in scan_block.splitlines() if "DataFilters" in l]
+    if data_line:  # formatted mode folds DataFilters into the scan node
+        assert "octet_length" in data_line[0]
+    else:
+        assert "octet_length" in scan_block.split("Exchange")[0]
