@@ -1573,11 +1573,17 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_corpus")))
         .select(
-            (
-                (F.col("n_assigned") == F.col("n_corpus"))
-                & (F.col("n_ids") == F.col("n_corpus"))
-                & (F.col("cmin") >= 0)
-                & (F.col("cmax") < k1 * k2)
+            # vacuously complete on an EMPTY corpus: min/max over zero
+            # rows are NULL and the conjunction went NULL, failing the
+            # pinned 1 before first ingest (round-5 empty-fixture gate)
+            F.when(F.col("n_corpus") == 0, F.lit(1))
+            .otherwise(
+                (
+                    (F.col("n_assigned") == F.col("n_corpus"))
+                    & (F.col("n_ids") == F.col("n_corpus"))
+                    & (F.col("cmin") >= 0)
+                    & (F.col("cmax") < k1 * k2)
+                ).cast("long")
             )
             .cast("long")
             .alias("coverage_ok")
@@ -2130,7 +2136,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
             F.lit(4).cast("bigint").alias("m_subspaces"),
             F.lit(16).cast("bigint").alias("k_codes"),
-            (F.col("pq_mse") < F.col("base_mse")).cast("bigint").alias("mse_improved"),
+            # vacuously true on an EMPTY corpus: avg over zero rows is
+            # NULL and NULL < NULL is NULL, failing the pinned 1 before
+            # first ingest (round-5 empty-fixture gate)
+            F.when(F.col("n_vectors") == 0, F.lit(1))
+            .otherwise((F.col("pq_mse") < F.col("base_mse")).cast("bigint"))
+            .cast("bigint")
+            .alias("mse_improved"),
             # vacuously true when the probe set is empty (every low-id
             # vector degenerate): 0 > 0 would fail the oracle's pinned 1
             # with correct PQ code (round-5 code review)
@@ -2489,19 +2501,22 @@ WITH words AS (
 ), rule AS (
   SELECT pair FROM pairs GROUP BY pair ORDER BY SUM(wfreq) DESC, pair ASC LIMIT 1
 )
-SELECT r.pair AS merge_pair,
+SELECT (SELECT pair FROM rule) AS merge_pair,
        -- wfreq-weighted: corpus occurrences touched, consistent with the
-       -- sibling measures (code-review r4, operators pass)
-       CAST(SUM(CASE WHEN contains(w.word, r.pair) THEN w.wfreq ELSE 0 END) AS BIGINT)
+       -- sibling measures (code-review r4, operators pass).  Global agg
+       -- over a LEFT JOIN + COALESCE, not GROUP BY r.pair: the engine's
+       -- contract promises ONE zero-effect summary row (NULL pair) for a
+       -- corpus with no learnable rule, and the grouped form emitted zero
+       -- rows there (round-5 empty-fixture gate)
+       CAST(COALESCE(SUM(CASE WHEN contains(w.word, r.pair) THEN w.wfreq ELSE 0 END), 0) AS BIGINT)
          AS words_touched,
-       CAST(SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2)
+       CAST(COALESCE(SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2), 0)
          AS BIGINT) AS merges_applied,
-       CAST(SUM(w.wfreq * length(w.word)) AS BIGINT) AS symbols_before,
-       CAST(SUM(w.wfreq * length(w.word))
-            - SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2)
+       CAST(COALESCE(SUM(w.wfreq * length(w.word)), 0) AS BIGINT) AS symbols_before,
+       CAST(COALESCE(SUM(w.wfreq * length(w.word)), 0)
+            - COALESCE(SUM(w.wfreq * (length(w.word) - length(replace(w.word, r.pair, ''))) / 2), 0)
          AS BIGINT) AS symbols_after
-FROM words w, rule r
-GROUP BY r.pair
+FROM words w LEFT JOIN rule r ON true
 """
 
 

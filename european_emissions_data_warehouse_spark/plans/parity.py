@@ -133,6 +133,13 @@ def _nation_map_expr(spark: SparkSession, sf_dir: str):
     # dimension scale, documented as such.
     rows = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
     pairs = dict(sorted((r.n_nationkey, r.n_name) for r in rows))
+    if not pairs:
+        # zero-arg create_map is an AnalysisException; an empty dim decodes
+        # everything to NULL, same as the join form's unmatched left rows
+        # (round-5 empty-fixture gate)
+        return F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<string>")
+        )
     return F.create_map([F.lit(x) for x in chain(*pairs.items())])
 
 
