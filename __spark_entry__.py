@@ -29,72 +29,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_etl_flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the FIRST 50 queries in registration order.  As of
-# round 4 all 164 registered queries hold a green driver row, so round 5
+# The driver grades the FIRST 50 queries in registration order.  All 164
+# registered queries hold a green driver row (cumulative r1-r5), so round 6
 # rotates the window to the 50 queries with the OLDEST green rows (VERDICT
-# r4 item #1): the 37 r1-vintage rows plus the 13 alphabetically-first
-# r2-vintage rows.  The engine under those rows was reworked heavily in
-# rounds 3-4 (ANSI mode, null semantics, oracle hardening, the size-based
-# broadcast policy) — the replica gate says they still pass, but the
-# driver row is the hard signal, and re-grading a green query is free
-# insurance under the driver's own protocol.
+# r5 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
+# the 16 remaining r2-vintage rows plus the 34 alphabetically-first
+# r3-vintage rows.  The driver row is the hard signal; re-grading a green
+# query under the current engine is free insurance.
 _GRADE_FIRST = [
-    # --- r1-vintage driver rows (graded round 1, never since) ---
-    "anti_join",
-    "case_when",
-    "conditional_agg",
-    "correlated_above_avg",
-    "cube_status",
-    "dim_decode_map",
-    "distinct_segments",
-    "events_hourly",
-    "events_sliding",
-    "exists_late_orders",
-    "filter_pred",
-    "full_outer_nation",
-    "grouping_sets",
-    "having_groups",
-    "in_subquery_big_orders",
-    "lag_lead",
-    "null_drop",
-    "percentiles",
-    "pivot_status",
-    "projection",
-    "range_frame_spend",
-    "ranking_funcs",
-    "region_revenue",
-    "rename",
-    "rollup_region",
-    "running_total",
-    "salted_distinct",
-    "scalar_funcs",
-    "scalar_subquery",
-    "semi_join",
-    "session_window",
-    "set_ops",
-    "string_agg_nations",
-    "top3_per_segment",
-    "top_building_orders",
-    "topk_orders",
-    "weighted_avg_udaf",
-    # --- r2-vintage driver rows (alphabetically first 13 of 29) ---
-    "approx_distinct",
-    "array_hof",
-    "bucketed_join",
-    "cheapest_supplier",
-    "cosine_pairs",
-    "disjunct_revenue",
-    "doc_chunks",
-    "embedding_stats",
-    "explode_outer",
-    "json_extract",
-    "label_centroids",
-    "map_funcs",
-    "media_features",
+    # --- r2-vintage driver rows (graded round 2, never since) ---
+    "media_frames",
+    "name_similarity",
+    "ngram_jaccard",
+    "ngram_jaccard_capped",
+    "null_handling",
+    "percent_of_total",
+    "promo_revenue",
+    "quality_weighted_sample",
+    "returned_revenue_top",
+    "revenue_filter",
+    "sentence_udtf",
+    "sequence_pack",
+    "stratified_sample",
+    "token_positions",
+    "user_streaks",
+    "window_nav",
+    # --- r3-vintage driver rows (alphabetically first 34 of 48) ---
+    "ann_ivfpq",
+    "ann_pq",
+    "approx_percentile",
+    "bigram_logprob",
+    "date_spine",
+    "decontaminate",
+    "dedup_components_star",
+    "dominant_suppliers",
+    "dq_report",
+    "dsir_weights",
+    "event_transitions",
+    "idle_rich_customers",
+    "incremental_agg",
+    "large_orders",
+    "lateral_top_orders",
+    "length_deciles",
+    "local_supplier_revenue",
+    "market_share",
+    "media_resize",
+    "median_by_segment",
+    "mixture_temperature",
+    "monthly_growth",
+    "nation_trade_volume",
+    "order_count_histogram",
+    "order_gap_stats",
+    "orphan_audit",
+    "pipe_syntax_summary",
+    "pmi_pairs",
+    "price_histogram",
+    "price_regression",
+    "priority_by_status",
+    "product_profit",
+    "quantize_int8",
+    "recursive_ancestry",
 ]
-# (The remaining 16 r2-vintage rows are the stalest after this window and
-# should lead round 6: media_frames, name_similarity, ngram_jaccard,
-# ngram_jaccard_capped, null_handling, ... — recompute from the
+# (The remaining 14 r3-vintage rows are the stalest after this window and
+# should lead round 7: repeat_buyer_share, repetition_signals, rolling_wau,
+# small_qty_parts, source_mixture, stats_summary, time_weighted_value,
+# token_rarity, top_supplier_revenue, unigram_logprob, unpivot_status,
+# variant_extract, vocab_coverage, waiting_suppliers — recompute from the
 # CORRECTNESS_r*.json latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as

@@ -2695,18 +2695,19 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-id-ordered exchange — scan-bound at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.lower(F.trim(F.col("text")))
-    # empty tokens filtered: Spark trim strips only SPACES, so a
-    # tab/newline-only doc split into ['', ''] and counted 2 phantom words
-    # where the oracle's t <> '' filter counted 0 (round-5 fuzz gate)
-    words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    # one regex scan yields exactly the non-empty tokens: \S+ extraction is
+    # tab/newline-safe (Spark trim strips only SPACES — round-5 fuzz gate)
+    # without the split-then-filter-empty double pass, and reusing the same
+    # token array for the vowel-less count drops the phantom empty-token
+    # "words" the old split form fed into the syllable heuristic
+    toks = F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+    words = F.size(toks)
     sentences = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
     )
     # vowel groups across the doc + one per vowel-less word
     vowel_groups = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
-    novowel_words = F.size(
-        F.filter(F.split(t, r"\s+"), lambda w: ~w.rlike("[aeiouy]"))
-    )
+    novowel_words = F.size(F.filter(toks, lambda w: ~w.rlike("[aeiouy]")))
     syllables = vowel_groups + novowel_words
     # word-less docs have no defined grade: Spark's double 2.0/0.0 is
     # Infinity while DuckDB's is NULL — the when() guard makes NULL the
@@ -2728,21 +2729,21 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_READABILITY = r"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT)
+       CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT)
          AS n_words,
        CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
          AS n_sentences,
        CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
-            + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            + len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
                               w -> NOT regexp_matches(w, '[aeiouy]')))
          AS BIGINT) AS n_syllables,
-       ROUND(0.39 * (len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
+       ROUND(0.39 * (len(regexp_extract_all(lower(trim(text)), '\S+'))
                      / CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
                             AS DOUBLE))
              + 11.8 * ((len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
-                        + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        + len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
                                           w -> NOT regexp_matches(w, '[aeiouy]'))))
-                       / CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> ''))
+                       / CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
                               AS DOUBLE))
              - 15.59, 4) AS fk_grade
 FROM documents
