@@ -1,8 +1,11 @@
 """Benchmark harness — times the engine's headline queries at one scale factor.
 
-Prints exactly ONE JSON line:
+Prints the full JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <sf>}
+followed by ONE compact summary line re-stating the scalars (total, sf,
+ann_fixed) so a tail-truncated artifact still carries the round's numbers
+(VERDICT r5 item #2 — BENCH_r05's 2000-char tail lost the headline total).
 
 Env knobs:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
@@ -195,10 +198,22 @@ def main() -> None:
                 spreads[name] = sp
 
     # Fixed-size ANN side table (VERDICT r3 item #7): the embeddings table
-    # is NOT sf-proportional, so ann_pq/ann_ivfpq/mutual_nn stay out of the
+    # is NOT sf-proportional, so the ANN/bitext operators stay out of the
     # sf-scaling headline — but their index build/serve path still needs a
     # round-over-round regression signal.  Benched once at the same fixed
     # embedding size every round, reported separately from the suite total.
+    #
+    # VERDICT r5 item #3: the q_ann_pq / q_ann_ivfpq *verdict queries* are
+    # correctness instruments — they run three extra brute-force top-k arms
+    # (exact truth, ADC recon, global-mean baseline), so timing them tracked
+    # the verification harness, not the index, and an index regression could
+    # hide under the arms.  The tracked numbers are now the operators
+    # themselves: pq_encode (pq_reconstruct), ivfpq_build (ivfpq_build_index
+    # forced to the searchable state), and ivfpq_search (serve-only over an
+    # index persisted OUTSIDE the timer — the production build-once/
+    # serve-many split, same params as the verdict query: k=5, n_probe=3,
+    # rerank=100).  The verdict queries remain driver-graded for
+    # correctness; they are just no longer the perf tracker.
     def mutual_nn_ann_plan(spark, sf_dir):
         # the IVF-candidate bitext miner is an operator, not a queries()
         # entry (its query twin is the exact baseline `mutual_nn`) — bench
@@ -211,9 +226,51 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         return mutual_nn_pairs_ann(emb, group_a=0, group_b=1, n_probe=2)
 
+    def pq_encode_plan(spark, sf_dir):
+        from european_emissions_data_warehouse_spark.operators.similarity import (
+            pq_reconstruct,
+        )
+        from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return pq_reconstruct(emb, dim=64, m=4, k=16)
+
+    def ivfpq_build_plan(spark, sf_dir):
+        from european_emissions_data_warehouse_spark.operators.similarity import (
+            ivfpq_build_index,
+        )
+        from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        index, _coarse = ivfpq_build_index(
+            emb, dim=64, n_centroids=8, m=4, pq_k=16
+        )
+        return index
+
+    def make_ivfpq_search_plan(index_path: str):
+        def ivfpq_search_plan(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from european_emissions_data_warehouse_spark.operators.similarity import (
+                ivfpq_load_index,
+                ivfpq_search,
+            )
+            from european_emissions_data_warehouse_spark.sources.readers import (
+                load_table,
+            )
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            index, coarse = ivfpq_load_index(spark, index_path)
+            return ivfpq_search(
+                emb.filter(F.col("vec_id") < 10), index, coarse,
+                k=5, n_probe=3, rerank=100, raw_vectors=emb,
+            )
+        return ivfpq_search_plan
+
     ann_fixed_entries = [
-        ("ann_ivfpq", qs.get("ann_ivfpq")),
-        ("ann_pq", qs.get("ann_pq")),
+        ("pq_encode", pq_encode_plan),
+        ("ivfpq_build", ivfpq_build_plan),
+        # ivfpq_search appended below once the index is persisted
         ("mutual_nn", qs.get("mutual_nn")),
         ("mutual_nn_ann", mutual_nn_ann_plan),
         # two-level-clustered SemDeDup: embedding-family, fixed-size like
@@ -229,6 +286,24 @@ def main() -> None:
     # wasted wall-clock (code-review r4, instruments pass)
     if only or os.environ.get("SPARK_GRAFT_SKIP_ANN"):
         ann_fixed_entries = []
+    else:
+        # persist the searchable state OUTSIDE the timers so ivfpq_search
+        # times ONLY the serve path (probe-pruned scan + ADC + rerank)
+        import tempfile
+
+        from european_emissions_data_warehouse_spark.operators.similarity import (
+            ivfpq_build_index,
+            ivfpq_save_index,
+        )
+        from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+        idx_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        _index, _coarse = ivfpq_build_index(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=64, n_centroids=8, m=4, pq_k=16,
+        )
+        ivfpq_save_index(_index, _coarse, idx_dir)
+        ann_fixed_entries.insert(2, ("ivfpq_search", make_ivfpq_search_plan(idx_dir)))
     for name, fn in ann_fixed_entries:
         if fn is not None:
             ann_fixed[name], sp = bench_one(name, fn)
@@ -251,6 +326,26 @@ def main() -> None:
                 "ann_spread": ann_spreads,
                 "sf": sf,
                 "repeats": repeats,
+            }
+        )
+    )
+    # Truncation-proof tail (VERDICT r5 item #2): BENCH_r05's recorded
+    # artifact kept only the last ~2000 chars, losing the headline total
+    # behind the spread section.  A final compact line re-states the
+    # scalars (total + the ann index-path trackers), so ANY tail of the
+    # output still parses to the round's numbers.  Consumers that parse
+    # the full big line are unaffected — this line is strictly additive.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "repeats": repeats,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "ann_fixed": ann_fixed,
             }
         )
     )
