@@ -433,6 +433,31 @@ def test_scalar_total_queries_scan_fact_once(spark, sf_dir):
         assert len(scans) <= 1, f"{name}: {len(scans)} {fact} scans"
 
 
+def _table_scan_block(plan: str, table: str) -> str:
+    """The formatted-plan details section for the named table's parquet
+    scan node.  Selected by table name (the Location line carries the
+    parquet path), NOT by first occurrence, and guarded with readable
+    assertions — plan.index()/[0] raised bare ValueError/IndexError when
+    the formatted layout shifted across Spark versions, and silently
+    grabbed the WRONG table when another scan came first (ADVICE r5)."""
+    assert "Scan parquet" in plan, f"no parquet scan node in plan:\n{plan[:800]}"
+    blocks = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and f"{table}.parquet" in b
+    ]
+    assert blocks, (
+        f"no 'Scan parquet' details block for table {table!r} — "
+        f"plan format changed or the scan was eliminated:\n{plan[:800]}"
+    )
+    return blocks[0]
+
+
+def _pushed_filters_line(scan_block: str) -> str:
+    lines = [l for l in scan_block.splitlines() if "PushedFilters" in l]
+    assert lines, f"no PushedFilters line in scan block:\n{scan_block}"
+    return lines[0]
+
+
 def test_round5_lockstep_filters_reach_the_scan(spark, sf_dir):
     """The round-5 fuzz-gate fixes added source-level predicates whose
     placement is load-bearing: cheapest_supplier's NULL-offer exclusion
@@ -441,14 +466,13 @@ def test_round5_lockstep_filters_reach_the_scan(spark, sf_dir):
     lockstep filter re-reads the fact or ships excluded rows through an
     exchange."""
     plan = _formatted(entry_mod.queries()["cheapest_supplier"](spark, sf_dir))
-    scan_block = plan[plan.index("Scan parquet"):]
-    filters_line = [l for l in scan_block.splitlines() if "PushedFilters" in l][0]
+    filters_line = _pushed_filters_line(_table_scan_block(plan, "lineitem"))
     assert "IsNotNull(l_extendedprice)" in filters_line
     assert "IsNotNull(l_quantity)" in filters_line
 
     plan = _formatted(entry_mod.queries()["media_features"](spark, sf_dir))
-    scan_block = plan[plan.index("Scan parquet"):]
-    pushed = [l for l in scan_block.splitlines() if "PushedFilters" in l][0]
+    scan_block = _table_scan_block(plan, "documents")
+    pushed = _pushed_filters_line(scan_block)
     # lang and NULL-text prune at the parquet footer level...
     assert "EqualTo(lang,en)" in pushed and "IsNotNull(text)" in pushed
     # ...and the computed byte==char predicate evaluates in the scan stage
@@ -457,4 +481,9 @@ def test_round5_lockstep_filters_reach_the_scan(spark, sf_dir):
     if data_line:  # formatted mode folds DataFilters into the scan node
         assert "octet_length" in data_line[0]
     else:
-        assert "octet_length" in scan_block.split("Exchange")[0]
+        # detail paragraphs come in node order: the predicate must sit
+        # between the documents scan node and the first Exchange
+        pre_exchange = plan[plan.index(scan_block):].split("Exchange")[0]
+        assert "octet_length" in pre_exchange, (
+            f"octet_length predicate not in the scan stage:\n{pre_exchange}"
+        )

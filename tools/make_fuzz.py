@@ -59,6 +59,17 @@ def _ts(s: str):
     return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
 
 
+# ADVICE r5 adjudication: the advisor flagged o_orderdate/l_shipdate as
+# date-typed columns where the DST wall-time datetimes would lose their
+# time component.  Checked against the actual fixtures: BOTH columns are
+# timestamp[us] in /root/testdata/sf*/{orders,lineitem}.parquet (pyarrow
+# schema probe, round 6), so the wall-time edges land intact and the
+# documented edge classes DO reach those tables.  (A .date() assignment
+# is what actually breaks: ArrowTypeError, date not convertible to
+# timestamp int.)  No change needed; _ts stays correct for all three
+# timestamp columns.
+
+
 def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
     n = len(rows)
 
