@@ -70,6 +70,14 @@ def main() -> None:
     if with_embeddings:
         shift["embeddings"] = ["vec_id"]
         fixed.remove("embeddings")
+    # --embeddings-only: materialize JUST the scaled embeddings table —
+    # the 2M-vector decade (x1000) needs no x1000 relational tables, and
+    # the embedding-family operators read nothing else (round 6)
+    if "--embeddings-only" in sys.argv[3:]:
+        if not with_embeddings:
+            raise SystemExit("--embeddings-only requires --with-embeddings")
+        shift = {"embeddings": shift["embeddings"]}
+        fixed = []
     src = "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession
