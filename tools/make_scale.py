@@ -139,7 +139,14 @@ def main() -> None:
             # r4, instruments pass)
             df = df.withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_copy")
-        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        # 32 files, not whatever the crossJoin's lineage leaves: the x1000
+        # embeddings run came out as ONE 110 MB file — under the engine's
+        # 128 MB maxPartitionBytes that is a single scan split, so every
+        # pre-shuffle stage of the measured operators ran on ONE core and
+        # the "decade" measured file layout, not operator scaling.  A real
+        # corpus at any scale is many files; the rig now writes the
+        # realistic layout (round 6).
+        df.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
         # count the WRITTEN parquet: df.count() re-executed the whole
         # cross-join + transform pipeline a second time just to print a
         # number (code-review r4, instruments pass)
