@@ -608,22 +608,29 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         h1.alias("_h1"),
         h2.alias("_h2"),
     )
-    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
-    deduped = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .withColumn("_lmin", F.min("_len").over(Window.partitionBy("_h1", "_h2")))
-        .withColumn("_lmax", F.max("_len").over(Window.partitionBy("_h1", "_h2")))
-        .filter(F.col("rn") == 1)
+    # one groupBy aggregate, not row_number + min + max windows over the
+    # same hash partitioning: the window trio shuffled AND SORTED every
+    # surviving row to keep one per group (the max_df lesson, round 6),
+    # while min_by + min/max partial-aggregate map-side — the exchange
+    # carries one row per distinct content hash per task and nothing is
+    # ever sorted.  doc_id is unique, so min_by is deterministic; output
+    # rows are identical to the window form.
+    deduped = hashed.groupBy("_h1", "_h2").agg(
+        F.min_by(F.struct("doc_id", "bpe_tokens", "quality"), "doc_id").alias(
+            "_keep"
+        ),
+        F.min("_len").alias("_lmin"),
+        F.max("_len").alias("_lmax"),
     )
     return deduped.select(
         # the collision check feeds doc_id so the optimizer cannot prune it
-        F.when(F.col("_lmin") == F.col("_lmax"), F.col("doc_id"))
+        F.when(F.col("_lmin") == F.col("_lmax"), F.col("_keep.doc_id"))
         .otherwise(
             F.raise_error(F.lit("corpus_prep: 128-bit content-hash collision")).cast("long")
         )
         .alias("doc_id"),
-        "bpe_tokens",
-        F.round("quality", 6).alias("quality"),
+        F.col("_keep.bpe_tokens").alias("bpe_tokens"),
+        F.round(F.col("_keep.quality"), 6).alias("quality"),
     )
 
 
