@@ -202,6 +202,21 @@ def shingle_index(
     ).select("id", "n_shingles", "shingle")
 
 
+def _cap_shingles(idx: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — as a
+    groupBy-df + left-anti join, never a count-over-window (the window
+    form sorts every occurrence row; see :func:`ngram_jaccard_pairs`).
+    Factored out so the plan shape is test-pinned on the exact code path
+    the operators use (tests/test_plan_quality.py)."""
+    hot = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return idx.join(hot, "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -236,13 +251,7 @@ def ngram_jaccard_pairs(
     and the occurrence stream is never sorted.  Same rows out."""
     idx = shingle_index(docs, id_col, text_col, k, unit)
     if max_df is not None:
-        hot = (
-            idx.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
-        )
-        idx = idx.join(hot, "shingle", "left_anti")
+        idx = _cap_shingles(idx, max_df)
     # one materialization of the inverted index — the self-join would
     # otherwise rebuild it (explode + rolling-gram windows) per side
     idx = idx.localCheckpoint(eager=False)

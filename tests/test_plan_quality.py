@@ -487,3 +487,33 @@ def test_round5_lockstep_filters_reach_the_scan(spark, sf_dir):
         assert "octet_length" in pre_exchange, (
             f"octet_length predicate not in the scan stage:\n{pre_exchange}"
         )
+
+
+def test_round6_no_window_in_cap_or_corpus_dedup(spark, sf_dir):
+    """Round-6 shapes, pinned: (a) the max_df stop-shingle cap is a
+    groupBy-df + left-anti join, not a count-over-window — the window form
+    shuffled AND SORTED every shingle occurrence row and measured slower
+    than the uncapped query once the scan parallelized; (b) corpus_prep's
+    exact-dedup stage is one min_by aggregate, not row_number+min+max
+    windows — partial aggregation reaches the exchange as one row per
+    distinct content hash, nothing sorted."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        _cap_shingles,
+        shingle_index,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the exact pre-checkpoint dataflow ngram_jaccard_pairs builds
+    capped = _cap_shingles(shingle_index(docs, "doc_id", "text", 5, "word"), 20)
+    plan = _formatted(capped)
+    assert "LeftAnti" in plan, f"cap is not an anti-join:\n{plan[:600]}"
+    # the only Window allowed is shingle_index's per-doc rolling-gram LEAD
+    # window (partition key: id); none may partition on the shingle
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, "expected the per-doc rolling-gram window to remain"
+    assert not [l for l in win_lines if "shingle" in l], win_lines
+
+    plan2 = _formatted(entry_mod.queries()["corpus_prep"](spark, sf_dir))
+    assert "min_by" in plan2, f"corpus_prep dedup lost the min_by aggregate:\n{plan2[:600]}"
+    assert "row_number" not in plan2
