@@ -588,8 +588,6 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange, so the shuffle moves a handful of numeric columns and no
     document bodies at all (VERDICT r2 item #2, tightened: previously the
     cleaned text rode the exchange to feed the post-dedup token count)."""
-    from pyspark.sql import Window
-
     from european_emissions_data_warehouse_spark.operators.dedup import content_keys
 
     docs = load_table(spark, sf_dir, "documents")
