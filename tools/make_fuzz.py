@@ -94,6 +94,18 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
             j = rng.randrange(n)
             if rows[j]["text"] is not None:
                 rows[i]["text"] = rows[j]["text"]
+        # shingle-boundary lengths (round 6): docs with exactly k-1, k, and
+        # k+1 whitespace tokens for the engine's k=5/k=8 gram sizes — the
+        # pos==0 zero-padded-gram fallback and the "shorter than k" branch
+        # of shingle_index/_rolling_grams, plus a single GIANT token (no
+        # whitespace at all: one token, char shingles still form)
+        for i in sample(0.02):
+            k_edge = rng.choice([4, 5, 6, 7, 8, 9])
+            rows[i]["text"] = " ".join(
+                f"tok{rng.randint(0, 9)}" for _ in range(k_edge)
+            )
+        for i in sample(0.004):
+            rows[i]["text"] = "x" * rng.randint(10_000, 50_000)  # one token
         for r in rows:
             r["n_chars"] = None if r["text"] is None else len(r["text"])
     elif table == "events":
@@ -104,6 +116,13 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
         for a, b in zip(idx[::2], idx[1::2]):
             rows[b]["ts"] = rows[a]["ts"]
             rows[b]["user_id"] = rows[a]["user_id"]
+        # FULL-row duplicates except the PK (round 6): every non-key
+        # column copied, so even tie-break orderings tie — value-hashes
+        # must still agree because the tied rows are value-identical
+        idx2 = sample(0.02)
+        for a, b in zip(idx2[::2], idx2[1::2]):
+            for col in ("ts", "user_id", "event_type", "value", "props"):
+                rows[b][col] = rows[a][col]
         for i in sample(0.03):
             rows[i]["value"] = None
         for i in sample(0.01):
