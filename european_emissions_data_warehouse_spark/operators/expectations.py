@@ -111,6 +111,75 @@ def foreign_key_check(
     )
 
 
+def vector_expectations(
+    df: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    min_norm: float | None = None,
+) -> DataFrame:
+    """Ingest gate for embedding columns — the vector-typed complement of
+    :func:`table_expectations`, motivated directly by what the fuzz gate
+    kept finding downstream: zero/denormal vectors turn every cosine into
+    a 0/0 and NaN components poison whole aggregates, and production ANN
+    stacks reject both AT INGEST rather than teaching every query to
+    special-case them (the engine's ANN verdict queries currently filter
+    degenerate probes ad hoc; this is the upstream contract that makes
+    those filters dead code on gated data).
+
+    Rules, each a (check, violations) row like table_expectations — NULL
+    vectors pass every rule but not_null (nullability is stated once):
+    - ``not_null``  — NULL embeddings;
+    - ``finite``    — any NaN or ±Inf component;
+    - ``dim``       — wrong component count (when ``dim`` given);
+    - ``min_norm``  — |v| below ``min_norm`` (when given): zero and
+      denormal vectors have no usable direction; 1e-6 matches the probe
+      filter the ANN verdict queries use.
+
+    One aggregation, map-side partial, unpivoted — same scan cost as any
+    other expectation at 100 TB."""
+    from european_emissions_data_warehouse_spark.functions.vectors import norm
+
+    v = F.col(vec_col).cast("array<double>")
+    is_finite = F.forall(
+        v, lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf")))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias(f"{table}.{vec_col}.row_count"),
+        _violations(F.col(vec_col).isNotNull()).alias(
+            f"{table}.{vec_col}.not_null"
+        ),
+        _violations(F.col(vec_col).isNull() | is_finite).alias(
+            f"{table}.{vec_col}.finite"
+        ),
+    ]
+    if dim is not None:
+        aggs.append(
+            _violations(F.col(vec_col).isNull() | (F.size(v) == dim)).alias(
+                f"{table}.{vec_col}.dim"
+            )
+        )
+    if min_norm is not None:
+        # NaN guard: norm(NaN-vector) is NaN and NaN >= x is true under
+        # Spark's total float ordering, so a non-finite vector would PASS
+        # min_norm while failing finite — confusing double-report; gate
+        # min_norm on finiteness so each defect trips exactly one rule
+        aggs.append(
+            _violations(
+                F.col(vec_col).isNull()
+                | ~is_finite
+                | (norm(v) >= F.lit(min_norm))
+            ).alias(f"{table}.{vec_col}.min_norm")
+        )
+    wide = df.agg(*aggs)
+    return wide.unpivot(
+        ids=[],
+        values=[f"`{c}`" for c in wide.columns],
+        variableColumnName="check",
+        valueColumnName="violations",
+    ).select("check", F.col("violations").cast("long").alias("violations"))
+
+
 def expectations_report(parts: list[DataFrame]) -> DataFrame:
     """Union the per-table/per-FK pieces into one tidy, ordered report."""
     out = parts[0]

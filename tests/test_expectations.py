@@ -86,3 +86,57 @@ def test_expectations_empty_table_reports_zero_not_null(spark):
     assert rows["t.n.in_range"] == 0
     ka = k_anonymity_check(empty, ["c"], k=2).first()
     assert ka["is_k_anonymous"] == 1 and ka["n_violating_groups"] == 0
+
+
+def test_vector_expectations_gates_each_defect_once(spark):
+    """Every defect class trips exactly ONE rule: NULL -> not_null only,
+    NaN/Inf -> finite only (min_norm must not double-report a NaN norm),
+    wrong length -> dim only, zero/denormal -> min_norm only; a clean
+    vector trips nothing."""
+    from european_emissions_data_warehouse_spark.operators.expectations import (
+        vector_expectations,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),            # clean
+        (2, None),                  # not_null
+        (3, [float("nan"), 1.0]),   # finite
+        (4, [float("inf"), 1.0]),   # finite
+        (5, [1.0, 2.0, 3.0]),       # dim
+        (6, [0.0, 0.0]),            # min_norm (zero norm)
+        (7, [1e-30, 0.0]),          # min_norm (denormal)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = {
+        r["check"]: r["violations"]
+        for r in vector_expectations(
+            df, "emb", dim=2, min_norm=1e-6
+        ).collect()
+    }
+    assert rep["emb.embedding.row_count"] == 7
+    assert rep["emb.embedding.not_null"] == 1
+    assert rep["emb.embedding.finite"] == 2
+    assert rep["emb.embedding.dim"] == 1
+    assert rep["emb.embedding.min_norm"] == 2
+
+    # empty table: every rule coalesces to zero violations, not NULL
+    empty = df.limit(0)
+    rep0 = {
+        r["check"]: r["violations"]
+        for r in vector_expectations(empty, "emb", dim=2, min_norm=1e-6).collect()
+    }
+    assert rep0["emb.embedding.row_count"] == 0
+    assert all(v == 0 for k, v in rep0.items() if not k.endswith("row_count"))
+
+    # the real fixture passes the gate it would ship with (finite + dim);
+    # min_norm is intentionally omitted: the driver fixture's low-norm
+    # vectors are a documented probe-filter case, not an ingest defect
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    repf = {
+        r["check"]: r["violations"]
+        for r in vector_expectations(emb, "embeddings", dim=64).collect()
+    }
+    assert repf["embeddings.embedding.finite"] == 0
+    assert repf["embeddings.embedding.dim"] == 0
