@@ -21,6 +21,11 @@ in:
   div-by-zero class); duplicate vectors are deliberately NOT planted
   (exact ANN ties flip verdict booleans — a fixture property, not a bug).
 - region/nation: untouched (dimension literals mirror them).
+- EXTREME SKEW (round 6): one hot key absorbs 40-50% of fact rows
+  (events.user_id/event_type, orders.o_custkey, lineitem.l_suppkey+
+  l_partkey, customer.c_mktsegment, documents.source+lang) — giant
+  window partitions, hot groupBy keys, and skewed join sides; answers
+  must be key-shape-independent.
 - PKs stay unique and FKs stay in-domain: key-uniqueness guards are a
   documented contract, not a fuzz target.
 
@@ -77,7 +82,25 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
         k = max(1, int(n * frac))
         return rng.sample(range(n), min(k, n))
 
+    def skew_to_hot(frac: float, cols: list[str]) -> None:
+        # EXTREME-SKEW class (round 6): one hot key absorbs `frac` of the
+        # fact rows — the shape AQE skew-join splitting and salting exist
+        # for.  Values are copied from an existing row, so FKs stay
+        # in-domain and enum domains are preserved; PKs are untouched.
+        # Correctness must be key-shape-independent: a hot key changes
+        # partition sizes, partial-agg fan-in, and tie populations — never
+        # answers (both engines see the same skewed data).
+        donor = rows[rng.randrange(n)]
+        if any(donor[c] is None for c in cols):
+            donor = next(
+                (r for r in rows if all(r[c] is not None for c in cols)), donor
+            )
+        for i in sample(frac):
+            for c in cols:
+                rows[i][c] = donor[c]
+
     if table == "documents":
+        skew_to_hot(0.5, ["source", "lang"])
         for i in sample(0.04):
             rows[i]["text"] = None
             rows[i]["n_chars"] = None
@@ -109,6 +132,8 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
         for r in rows:
             r["n_chars"] = None if r["text"] is None else len(r["text"])
     elif table == "events":
+        skew_to_hot(0.5, ["user_id"])
+        skew_to_hot(0.4, ["event_type"])
         for i in sample(0.02):
             rows[i]["ts"] = _ts(rng.choice(DST_EDGES))
         # exact-ts ties within one user (session/window tie-break class)
@@ -140,6 +165,7 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
                  '{"k": 18446744073709551615}', '{"k": null}', '{"k": -3}']
             )
     elif table == "orders":
+        skew_to_hot(0.4, ["o_custkey"])
         for i in sample(0.02):
             rows[i]["o_totalprice"] = None
         for i in sample(0.01):
@@ -151,6 +177,7 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
         for i in sample(0.01):
             rows[i]["o_orderpriority"] = None
     elif table == "lineitem":
+        skew_to_hot(0.4, ["l_suppkey", "l_partkey"])
         for i in sample(0.01):
             rows[i]["l_quantity"] = None
         for i in sample(0.01):
@@ -162,6 +189,7 @@ def perturb(table: str, rows: list[dict], rng: random.Random) -> list[dict]:
         for i in sample(0.01):
             rows[i]["l_shipdate"] = _ts(rng.choice(DST_EDGES))
     elif table == "customer":
+        skew_to_hot(0.5, ["c_mktsegment"])
         for i in sample(0.02):
             rows[i]["c_acctbal"] = None
         for i in sample(0.01):
