@@ -11,6 +11,9 @@ Env knobs:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] threads (default 32)
     SPARK_GRAFT_REPEATS  runs per query, min reported (default 3)
+    SPARK_GRAFT_SHUFFLE_PARTITIONS
+                         shuffle.partitions override (default = CPUS); the
+                         higher-decade probes size this to the data
     SPARK_GRAFT_ONLY     comma-separated subset of HEADLINE to run (used by
                          tools/make_scale.py's higher-decade measurement,
                          where only the relational tables are scaled); the
@@ -118,7 +121,12 @@ def main() -> None:
     spark = get_session(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        # sized to the data, not the box: on a cluster shuffle.partitions
+        # (or AQE's advisory size) scales with input — the higher-decade
+        # probes (SCALING.md) override this; default stays one per core
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        ),
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
             "spark.ui.enabled": "false",
