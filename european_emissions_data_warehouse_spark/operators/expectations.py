@@ -92,14 +92,22 @@ def table_expectations(
 
 def foreign_key_check(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str,
-    broadcast_parent: bool = True,
+    broadcast_parent: bool = False,
 ) -> DataFrame:
     """Orphan count: NON-NULL child keys with no parent.  SQL FK
     constraints pass NULL child rows (MATCH SIMPLE), so counting them as
     orphans diverged from the semantics this module claims parity with
     and double-reported nullable FKs against their not_null rule
-    (code-review r4).  ``broadcast_parent`` for dimension parents; flip
-    off to shuffle-join two fact-scale tables."""
+    (code-review r4).
+
+    ``broadcast_parent`` defaults to PLANNER-DECIDED (False): most FK
+    parents are themselves fact-scale (orders under lineitem, customer
+    under orders), and a forced broadcast of the parent key set is the
+    hint that dies at scale — the sf100 probe measured lineitem->orders
+    at a 12 GiB key broadcast, over Spark's 8 GiB ceiling, where the
+    un-hinted plan lets AQE broadcast genuinely small sides and
+    shuffle-join the rest.  Pass True only for parents bounded by
+    schema (enum-like dims such as nation/region)."""
     keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)

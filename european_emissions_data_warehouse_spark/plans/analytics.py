@@ -2894,7 +2894,7 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations report: null / unique / accepted-value /
     range rules compile to ONE conditional-aggregation scan per table,
-    referential rules to broadcast anti-join counts — a tidy
+    referential rules to planner-decided anti-join counts — a tidy
     (check, violations) relation proving warehouse invariants hold
     (operators/expectations.py)."""
     from european_emissions_data_warehouse_spark.operators.expectations import (
@@ -2923,6 +2923,8 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
             ),
             table_expectations(cu, "customer", unique=["c_custkey"]),
+            # both parents are fact-scale: planner-decided joins (the
+            # default) — a forced parent-key broadcast was 12 GiB at sf100
             foreign_key_check(o, cu, "o_custkey", "c_custkey", "orders.o_custkey.fk_customer"),
             foreign_key_check(li, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey.fk_orders"),
         ]

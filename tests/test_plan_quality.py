@@ -517,3 +517,30 @@ def test_round6_no_window_in_cap_or_corpus_dedup(spark, sf_dir):
     plan2 = _formatted(entry_mod.queries()["corpus_prep"](spark, sf_dir))
     assert "min_by" in plan2, f"corpus_prep dedup lost the min_by aggregate:\n{plan2[:600]}"
     assert "row_number" not in plan2
+
+
+def test_round6_fk_checks_carry_no_forced_parent_broadcast(spark, sf_dir):
+    """sf100 probe finding: dq_report's lineitem->orders FK check forced a
+    broadcast of the parent KEY SET — 12 GiB at sf100, over Spark's 8 GiB
+    broadcast ceiling, a hard failure the small fixtures never see.  FK
+    parents are themselves fact-scale here, so the join strategy must be
+    planner-decided (AQE broadcasts genuinely small sides on its own); no
+    ResolvedHint may appear anywhere in the analyzed plan."""
+    df = entry_mod.queries()["dq_report"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "dq_report carries a forced join hint — fact-scale FK parents must "
+        f"stay planner-decided:\n{analyzed[:800]}"
+    )
+
+
+def test_round6_recursion_row_brake_disabled(spark, sf_dir):
+    """sf100 probe finding: Spark's 1M-row recursive-CTE brake failed the
+    ancestry walk (legitimately ~600M chain rows at sf100) — and because
+    bench records a failed query as -1 and the ratio tables skip
+    non-positive entries, a decade probe can silently lose such a query
+    instead of flagging it.  The engine
+    session disables the ROW brake (rows scale with data) and keeps the
+    LEVEL brake (depth is algorithmic) as the infinite-recursion guard."""
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == "-1"
+    assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == "100"
