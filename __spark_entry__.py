@@ -30,71 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  All 164
-# registered queries hold a green driver row (cumulative r1-r5), so round 6
+# registered queries hold a green driver row (cumulative r1-r6), so round 7
 # rotates the window to the 50 queries with the OLDEST green rows (VERDICT
-# r5 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
-# the 16 remaining r2-vintage rows plus the 34 alphabetically-first
-# r3-vintage rows.  The driver row is the hard signal; re-grading a green
+# r6 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
+# the 14 remaining r3-vintage rows plus the 36 alphabetically-first
+# r4-vintage rows.  The driver row is the hard signal; re-grading a green
 # query under the current engine is free insurance.
 _GRADE_FIRST = [
-    # --- r2-vintage driver rows (graded round 2, never since) ---
-    "media_frames",
-    "name_similarity",
-    "ngram_jaccard",
-    "ngram_jaccard_capped",
-    "null_handling",
-    "percent_of_total",
-    "promo_revenue",
-    "quality_weighted_sample",
-    "returned_revenue_top",
-    "revenue_filter",
-    "sentence_udtf",
-    "sequence_pack",
-    "stratified_sample",
-    "token_positions",
-    "user_streaks",
-    "window_nav",
-    # --- r3-vintage driver rows (alphabetically first 34 of 48) ---
-    "ann_ivfpq",
-    "ann_pq",
-    "approx_percentile",
-    "bigram_logprob",
-    "date_spine",
-    "decontaminate",
-    "dedup_components_star",
-    "dominant_suppliers",
-    "dq_report",
-    "dsir_weights",
-    "event_transitions",
-    "idle_rich_customers",
-    "incremental_agg",
-    "large_orders",
-    "lateral_top_orders",
-    "length_deciles",
-    "local_supplier_revenue",
-    "market_share",
-    "media_resize",
-    "median_by_segment",
-    "mixture_temperature",
-    "monthly_growth",
-    "nation_trade_volume",
-    "order_count_histogram",
-    "order_gap_stats",
-    "orphan_audit",
-    "pipe_syntax_summary",
-    "pmi_pairs",
-    "price_histogram",
-    "price_regression",
-    "priority_by_status",
-    "product_profit",
-    "quantize_int8",
-    "recursive_ancestry",
+    # --- r3-vintage driver rows (graded round 3, never since) ---
+    "repeat_buyer_share",
+    "repetition_signals",
+    "rolling_wau",
+    "small_qty_parts",
+    "source_mixture",
+    "stats_summary",
+    "time_weighted_value",
+    "token_rarity",
+    "top_supplier_revenue",
+    "unigram_logprob",
+    "unpivot_status",
+    "variant_extract",
+    "vocab_coverage",
+    "waiting_suppliers",
+    # --- r4-vintage driver rows (alphabetically first 36 of 50) ---
+    "ann_ivf",
+    "ann_lsh",
+    "ann_topk",
+    "asof_join",
+    "bm25_search",
+    "bpe_apply_merge",
+    "bpe_pair_counts",
+    "chunk_dedup",
+    "cohort_retention",
+    "corpus_prep",
+    "corpus_shuffle",
+    "csv_roundtrip",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_rate_by_source",
+    "dedupe_last",
+    "dim_decode_join",
+    "doc_fingerprint",
+    "etl_flagship",
+    "funnel_conversion",
+    "heavy_hitters_cms",
+    "hll_distinct",
+    "important_parts",
+    "k_anonymity",
+    "kmeans_clusters",
+    "lang_predict",
+    "lateness_profile",
+    "minhash_neardup",
+    "mutual_nn",
+    "nb_quality",
+    "padding_efficiency",
+    "pricing_summary",
+    "range_join_peak",
+    "readability",
+    "salted_join_hot",
+    "scd2_dim",
 ]
-# (The remaining 14 r3-vintage rows are the stalest after this window and
-# should lead round 7: repeat_buyer_share, repetition_signals, rolling_wau,
-# small_qty_parts, source_mixture, stats_summary, time_weighted_value,
-# token_rarity, top_supplier_revenue, unigram_logprob, unpivot_status,
-# variant_extract, vocab_coverage, waiting_suppliers — recompute from the
+# (The remaining 14 r4-vintage rows are the stalest after this window and
+# should lead round 8: semdedup, semdedup_scaled, sessionize,
+# simhash_neardup, skew_profile, supplier_part_variety, surrogate_key,
+# text_clean, text_stats, tfidf_terms, token_topk, train_test_split,
+# try_cast_import, upsert_lww — recompute from the
 # CORRECTNESS_r*.json latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as

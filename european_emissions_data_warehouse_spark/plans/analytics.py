@@ -3607,7 +3607,19 @@ def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the implicit binary-tree hierarchy (parent = key DIV 2) to the root,
     then profile the population by depth.  Iteration count is the tree
     height (log2 of the max key), each step one self-join — the same
-    fixpoint pattern as connected_components, but expressed declaratively."""
+    fixpoint pattern as connected_components, but expressed declaratively.
+
+    Row-brake scoping (ADVICE r6): this walk's output scales with the
+    DATA (~600M chain rows at sf100), so Spark's 1M-row recursive-CTE
+    brake fails a correct fact-scale run — but unbraking it GLOBALLY
+    (-1 in the session factory) would also unbrake any exploding
+    fan-out recursion that stays under the 100-level guard.  The
+    ceiling is therefore raised only here, to the largest finite value
+    the IntConf accepts (2e9, ~3.3x the measured sf100 walk): fact
+    scale passes, a quadratic fan-out still fails fast engine-wide.
+    The 100-level brake stays untouched — depth is algorithmic
+    (log-bounded), not data-proportional."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
     return spark.sql(
         """

@@ -48,13 +48,13 @@ def get_session(
         # Python DataSources (sources/synthetic.py) declare pushFilters;
         # Spark 4 refuses to plan them unless pushdown is explicitly on.
         "spark.sql.python.filterPushdown.enabled": "true",
-        # Recursive CTEs: rows produced scale with the DATA (the sf100
-        # probe's ancestry walk legitimately emits ~600M rows), so the
-        # 1M-row default brake breaks correct fact-scale queries; the
-        # LEVEL limit (default 100) stays as the infinite-recursion guard
-        # since iteration depth is algorithmic (log-bounded), not
-        # data-proportional.
-        "spark.sql.cteRecursionRowLimit": "-1",
+        # Recursive-CTE brakes stay at Spark defaults HERE: the 1M-row
+        # brake is a fail-fast guard against exploding per-level fan-out,
+        # and removing it globally would trade that away for every
+        # recursive query.  The one query whose row count legitimately
+        # scales with the data (recursive_ancestry, ~600M chain rows at
+        # sf100) raises the ceiling AT THE CALL SITE to a large finite
+        # value — see plans/analytics.py::q_recursive_ancestry.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:

@@ -534,13 +534,27 @@ def test_round6_fk_checks_carry_no_forced_parent_broadcast(spark, sf_dir):
     )
 
 
-def test_round6_recursion_row_brake_disabled(spark, sf_dir):
-    """sf100 probe finding: Spark's 1M-row recursive-CTE brake failed the
-    ancestry walk (legitimately ~600M chain rows at sf100) — and because
-    bench records a failed query as -1 and the ratio tables skip
-    non-positive entries, a decade probe can silently lose such a query
-    instead of flagging it.  The engine
-    session disables the ROW brake (rows scale with data) and keeps the
-    LEVEL brake (depth is algorithmic) as the infinite-recursion guard."""
-    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == "-1"
-    assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == "100"
+def test_round7_recursion_row_brake_scoped_to_call_site(spark, sf_dir):
+    """sf100 probe finding (r6): Spark's 1M-row recursive-CTE brake failed
+    the ancestry walk (legitimately ~600M chain rows at sf100).  ADVICE r6
+    downgraded the r6 fix (global -1) because it also unbraked exploding
+    fan-out recursions; round 7 scopes the override to the one query whose
+    row count is data-proportional.  Pinned here: (a) the session factory
+    itself no longer overrides the row brake (fresh sessions keep Spark's
+    finite fail-fast default), (b) running recursive_ancestry raises the
+    ceiling to the large FINITE call-site value, never -1, and (c) the
+    LEVEL brake (infinite-recursion guard) is a positive finite value —
+    not pinned to the literal default, which a Spark upgrade may change."""
+    import inspect
+
+    from european_emissions_data_warehouse_spark.session import get_session
+
+    factory_src = inspect.getsource(get_session)
+    assert '"spark.sql.cteRecursionRowLimit"' not in factory_src, (
+        "session factory overrides the recursive-CTE row brake globally"
+    )
+    df = entry_mod.queries()["recursive_ancestry"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == "2000000000"
+    df.limit(1).collect()  # the scoped ceiling must hold through execution
+    level = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
+    assert level > 0, "level brake disabled — infinite recursion unguarded"
