@@ -1,0 +1,144 @@
+"""File-layout fuzz gate (VERDICT r6 item #5) — converts the round-6
+single-file-fixture lesson into a permanent per-round check.
+
+Round 6 found that file layout gated operators harder than any plan
+property: an sf's worth of data in ONE parquet file serializes every
+pre-exchange stage onto one core (a scan split is at most a file), and no
+optimizer setting recovers it.  Two regression classes follow:
+
+1. PARITY — results must be layout-independent.  Every registered query
+   runs on a 1-file-per-table and a 256-file-per-table variant of the SAME
+   data; order-insensitive value hashes must match.  A mismatch means some
+   query's output depends on file/partition layout (zipWithIndex-style
+   ordering, first-file wins, etc.) and its oracle greens are layout luck.
+
+2. WALL-TIME — the engine must actually EXTRACT the parallelism a
+   multi-file layout offers.  A scan-bound composite (corpus_prep) runs on
+   1-file and 32-file variants of a 50k-doc perturbed corpus; the
+   single-file run must be >= RATIO_FLOOR x slower.  If the ratio collapses
+   toward 1x, a plan change has serialized the multi-file scan path (a
+   stray coalesce(1), a single-split source) — exactly the defect class
+   the round-6 probes kept finding after the fact.
+
+Usage:
+    python tools/layout_fuzz.py [SRC_SF_DIR] [WORK_DIR]
+        SRC_SF_DIR  default /root/testdata/sf0.01 (parity arm)
+        WORK_DIR    default /tmp/layout_fuzz (variants + scaled corpus)
+
+Exit 0 = both arms clean; 1 = any parity mismatch, query error, or
+wall-time ratio under the floor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+RATIO_FLOOR = 2.0  # measured ~3-5x at 50k docs; 2x is a noise-robust floor
+
+
+def vhash(df) -> str:
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(r) for r in df.collect()]
+    lines = sorted("\x01".join(repr(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def write_variant(spark, src: str, out: str, n_files: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        part = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
+        part.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/layout_fuzz"
+
+    import __spark_entry__ as mod
+    from european_emissions_data_warehouse_spark.session import get_session
+
+    spark = get_session(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lay1, lay256 = f"{work}/files1", f"{work}/files256"
+    write_variant(spark, src, lay1, 1)
+    write_variant(spark, src, lay256, 256)
+    print(f"variants written under {work}", flush=True)
+
+    failed = False
+
+    # --- arm 1: parity across layouts, every registered query ---
+    hashes: dict[str, dict[str, str]] = {lay1: {}, lay256: {}}
+    for lay in (lay1, lay256):
+        for k, fn in mod.queries().items():
+            try:
+                hashes[lay][k] = vhash(fn(spark, lay))
+            except Exception as ex:  # noqa: BLE001
+                hashes[lay][k] = f"ERR:{type(ex).__name__}"
+    diff = sorted(k for k in hashes[lay1] if hashes[lay1][k] != hashes[lay256][k])
+    errs = sorted(
+        k for k in hashes[lay1]
+        if str(hashes[lay1][k]).startswith("ERR")
+        or str(hashes[lay256][k]).startswith("ERR")
+    )
+    print(f"layout-dependent results: {diff}")
+    print(f"errored in at least one layout: {errs}")
+    failed |= bool(diff or errs)
+
+    # --- arm 2: wall-time — multi-file scan parallelism must be real ---
+    corpus = f"{work}/docs50k"
+    if not os.path.isdir(corpus):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "make_scale.py"),
+             corpus, "10", "--perturb-docs"],
+            check=True,
+        )
+    docs = spark.read.parquet(f"{corpus}/documents.parquet")
+    c1, c32 = f"{work}/docs50k_1f", f"{work}/docs50k_32f"
+    for out, n in ((c1, 1), (c32, 32)):
+        os.makedirs(out, exist_ok=True)
+        part = docs.coalesce(1) if n == 1 else docs.repartition(n)
+        part.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        # corpus_prep reads only documents; dims stay symlink-cheap copies
+        for t in TABLES:
+            if t != "documents" and not os.path.exists(f"{out}/{t}.parquet"):
+                os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+    def time_corpus_prep(sf_dir: str) -> float:
+        fn = mod.queries()["corpus_prep"]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t32 = time_corpus_prep(c32)  # multi-file first: warmup charges to it
+    t1 = time_corpus_prep(c1)
+    ratio = t1 / t32 if t32 > 0 else float("inf")
+    print(f"corpus_prep 50k docs: 1-file {t1:.2f}s vs 32-file {t32:.2f}s "
+          f"-> ratio {ratio:.1f}x (floor {RATIO_FLOOR}x)")
+    if ratio < RATIO_FLOOR:
+        print("WALL-TIME GATE FAILED: multi-file layout no longer buys "
+              "scan parallelism — a plan change serialized the scan path")
+        failed = True
+
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
