@@ -30,72 +30,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  All 164
-# registered queries hold a green driver row (cumulative r1-r6), so round 7
+# registered queries hold a green driver row (cumulative r1-r7), so round 8
 # rotates the window to the 50 queries with the OLDEST green rows (VERDICT
-# r6 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
-# the 14 remaining r3-vintage rows plus the 36 alphabetically-first
-# r4-vintage rows.  The driver row is the hard signal; re-grading a green
+# r7 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
+# the 14 remaining r4-vintage rows plus the 36 alphabetically-first
+# r5-vintage rows.  The driver row is the hard signal; re-grading a green
 # query under the current engine is free insurance.
 _GRADE_FIRST = [
-    # --- r3-vintage driver rows (graded round 3, never since) ---
-    "repeat_buyer_share",
-    "repetition_signals",
-    "rolling_wau",
-    "small_qty_parts",
-    "source_mixture",
-    "stats_summary",
-    "time_weighted_value",
-    "token_rarity",
-    "top_supplier_revenue",
-    "unigram_logprob",
-    "unpivot_status",
-    "variant_extract",
-    "vocab_coverage",
-    "waiting_suppliers",
-    # --- r4-vintage driver rows (alphabetically first 36 of 50) ---
-    "ann_ivf",
-    "ann_lsh",
-    "ann_topk",
-    "asof_join",
-    "bm25_search",
-    "bpe_apply_merge",
-    "bpe_pair_counts",
-    "chunk_dedup",
-    "cohort_retention",
-    "corpus_prep",
-    "corpus_shuffle",
-    "csv_roundtrip",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_rate_by_source",
-    "dedupe_last",
-    "dim_decode_join",
-    "doc_fingerprint",
-    "etl_flagship",
-    "funnel_conversion",
-    "heavy_hitters_cms",
-    "hll_distinct",
-    "important_parts",
-    "k_anonymity",
-    "kmeans_clusters",
-    "lang_predict",
-    "lateness_profile",
-    "minhash_neardup",
-    "mutual_nn",
-    "nb_quality",
-    "padding_efficiency",
-    "pricing_summary",
-    "range_join_peak",
-    "readability",
-    "salted_join_hot",
-    "scd2_dim",
+    # --- r4-vintage driver rows (graded round 4, never since) ---
+    "semdedup",
+    "semdedup_scaled",
+    "sessionize",
+    "simhash_neardup",
+    "skew_profile",
+    "supplier_part_variety",
+    "surrogate_key",
+    "text_clean",
+    "text_stats",
+    "tfidf_terms",
+    "token_topk",
+    "train_test_split",
+    "try_cast_import",
+    "upsert_lww",
+    # --- r5-vintage driver rows (alphabetically first 36 of 50) ---
+    "anti_join",
+    "approx_distinct",
+    "array_hof",
+    "bucketed_join",
+    "case_when",
+    "cheapest_supplier",
+    "conditional_agg",
+    "correlated_above_avg",
+    "cosine_pairs",
+    "cube_status",
+    "dim_decode_map",
+    "disjunct_revenue",
+    "distinct_segments",
+    "doc_chunks",
+    "embedding_stats",
+    "events_hourly",
+    "events_sliding",
+    "exists_late_orders",
+    "explode_outer",
+    "filter_pred",
+    "full_outer_nation",
+    "grouping_sets",
+    "having_groups",
+    "in_subquery_big_orders",
+    "json_extract",
+    "label_centroids",
+    "lag_lead",
+    "map_funcs",
+    "media_features",
+    "null_drop",
+    "percentiles",
+    "pivot_status",
+    "projection",
+    "range_frame_spend",
+    "ranking_funcs",
+    "region_revenue",
 ]
-# (The remaining 14 r4-vintage rows are the stalest after this window and
-# should lead round 8: semdedup, semdedup_scaled, sessionize,
-# simhash_neardup, skew_profile, supplier_part_variety, surrogate_key,
-# text_clean, text_stats, tfidf_terms, token_topk, train_test_split,
-# try_cast_import, upsert_lww — recompute from the
-# CORRECTNESS_r*.json latest-green map at rotation time.)
+# (The remaining 14 r5-vintage rows are the stalest after this window and
+# should lead round 9: rename, rollup_region, running_total,
+# salted_distinct, scalar_funcs, scalar_subquery, semi_join,
+# session_window, set_ops, string_agg_nations, top3_per_segment,
+# top_building_orders, topk_orders, weighted_avg_udaf — recompute from
+# the CORRECTNESS_r*.json latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
 # of round 4: every registered query either holds a driver CORRECTNESS row

@@ -116,7 +116,10 @@ def main() -> None:
     # EXACT defaults the engine ships (skew-join, maxPartitionBytes, UTC
     # timezone included — the old hand-built session silently dropped
     # them; code-review r4); bench-only knobs ride extra_conf
-    from european_emissions_data_warehouse_spark.session import get_session
+    from european_emissions_data_warehouse_spark.session import (
+        get_session,
+        restore_scoped_confs,
+    )
 
     spark = get_session(
         app_name="bench",
@@ -183,6 +186,9 @@ def main() -> None:
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 break
             runs.append(time.perf_counter() - t0)
+        # a call-site conf override (recursive_ancestry's row-brake ceiling)
+        # must not leak into the next query's timing run (ADVICE r7)
+        restore_scoped_confs(spark)
         if not runs:
             return -1.0, {}
         runs.sort()

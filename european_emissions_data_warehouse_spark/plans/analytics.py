@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from european_emissions_data_warehouse_spark.session import set_scoped_conf
 from european_emissions_data_warehouse_spark.sources.readers import load_table
 
 
@@ -3618,8 +3619,17 @@ def q_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IntConf accepts (2e9, ~3.3x the measured sf100 walk): fact
     scale passes, a quadratic fan-out still fails fast engine-wide.
     The 100-level brake stays untouched — depth is algorithmic
-    (log-bounded), not data-proportional."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+    (log-bounded), not data-proportional.
+
+    Scoping (ADVICE r7): a raw conf.set here is session-sticky — every
+    query built after this one in a shared-session harness would keep
+    the 2e9 ceiling.  Spark reads the conf at EXECUTION time (after this
+    function returns), so a try/finally around the build alone cannot
+    restore it; instead the override is recorded via set_scoped_conf and
+    every shared-session harness (bench.py, the pytest fixture,
+    tools/layout_fuzz.py, tools/determinism_sweep.py) restores the prior
+    value with restore_scoped_confs once the query has executed."""
+    set_scoped_conf(spark, "spark.sql.cteRecursionRowLimit", "2000000000")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
     return spark.sql(
         """

@@ -62,3 +62,50 @@ def get_session(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --- call-site-scoped session conf overrides (ADVICE r7) -------------------
+#
+# ``spark.conf.set`` at plan-build time is session-sticky: in shared-session
+# runs (bench.py, the pytest spark fixture, tools/layout_fuzz.py's parity
+# loop, tools/determinism_sweep.py) every query built AFTER an overriding
+# one inherits the override, silently negating engine-wide defaults the
+# override was scoped away from (the recursive-CTE 1M-row fail-fast brake).
+# A try/finally around build alone cannot fix this — Spark reads the conf at
+# EXECUTION, which happens after the query function returns — so the scoping
+# contract is split: the query records-and-sets via ``set_scoped_conf``, and
+# every shared-session harness calls ``restore_scoped_confs`` after it has
+# EXECUTED the query.  Prior values are remembered once per key (first set
+# wins), so repeated builds before a restore stay correct.
+
+_UNSET = object()
+
+
+def set_scoped_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf a single query's build+execute legitimately needs,
+    remembering the prior value so ``restore_scoped_confs`` can return the
+    session to its defaults once that query has executed."""
+    prior = getattr(spark, "_graft_scoped_conf_prior", None)
+    if prior is None:
+        prior = {}
+        spark._graft_scoped_conf_prior = prior
+    if key not in prior:
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:  # key has no value and no retrievable default
+            prior[key] = _UNSET
+    spark.conf.set(key, value)
+
+
+def restore_scoped_confs(spark: SparkSession) -> None:
+    """Undo every ``set_scoped_conf`` on this session (no-op when none are
+    pending).  Harness loops call this after each query's execution."""
+    prior = getattr(spark, "_graft_scoped_conf_prior", None)
+    if not prior:
+        return
+    for key, val in prior.items():
+        if val is _UNSET:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, val)
+    prior.clear()

@@ -4,7 +4,10 @@ import os
 
 import pytest
 
-from european_emissions_data_warehouse_spark.session import get_session
+from european_emissions_data_warehouse_spark.session import (
+    get_session,
+    restore_scoped_confs,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -18,6 +21,19 @@ def spark():
     )
     yield session
     session.stop()
+
+
+@pytest.fixture(autouse=True)
+def _restore_scoped_confs(request):
+    """Any test that builds a query with a call-site conf override
+    (recursive_ancestry's row-brake ceiling) must not leak it into later
+    tests through the session-scoped spark fixture (ADVICE r7) — restore
+    after every test, even a failing one.  Touches the session only when
+    it already exists: requesting the fixture here would force a Spark
+    start for pure-Python tests."""
+    yield
+    if "spark" in request.fixturenames:
+        restore_scoped_confs(request.getfixturevalue("spark"))
 
 
 @pytest.fixture(scope="session")

@@ -553,8 +553,26 @@ def test_round7_recursion_row_brake_scoped_to_call_site(spark, sf_dir):
     assert '"spark.sql.cteRecursionRowLimit"' not in factory_src, (
         "session factory overrides the recursive-CTE row brake globally"
     )
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit")
     df = entry_mod.queries()["recursive_ancestry"](spark, sf_dir)
     assert spark.conf.get("spark.sql.cteRecursionRowLimit") == "2000000000"
     df.limit(1).collect()  # the scoped ceiling must hold through execution
     level = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
     assert level > 0, "level brake disabled — infinite recursion unguarded"
+    # (d) ADVICE r7: the override must be RESTORABLE — restore_scoped_confs
+    # returns the session to its prior brake, so shared-session harnesses
+    # (bench.py, layout_fuzz, determinism_sweep, this very fixture via the
+    # autouse conftest restore) don't leak the 2e9 ceiling into queries
+    # built after recursive_ancestry.
+    from european_emissions_data_warehouse_spark.session import (
+        restore_scoped_confs,
+    )
+
+    restore_scoped_confs(spark)
+    restored = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    assert restored == prior, (
+        f"scoped override leaked: {restored!r} != prior {prior!r}"
+    )
+    assert int(restored) < 2_000_000_000, (
+        "prior value was already the raised ceiling — fixture polluted"
+    )

@@ -1,5 +1,6 @@
-#!/bin/sh
+#!/bin/bash
 # Relational decade probe (SCALING.md "higher decades" sections).
+# bash, not sh: `set -o pipefail` below is not POSIX.
 #
 # Usage:
 #   tools/decade_probe.sh SF_DIR SHUFFLE_PARTITIONS OUT_JSONL [insession]
@@ -22,7 +23,12 @@
 # checked — a crash BEFORE the JSON line prints a loud MISSING warning and
 # sets a nonzero exit, instead of silently contributing nothing to OUT.
 # (In-process query failures are still visible as -1 entries in the JSON.)
+# pipefail (ADVICE r7): without it, rc=$? after `bench.py | grep` captured
+# grep's status, so a bench crash AFTER the JSON line printed passed
+# silently — rc must reflect bench.py's own exit.
 REL="etl_flagship upsert_lww pricing_summary top_building_orders region_revenue topk_orders top3_per_segment running_total events_hourly sessionize asof_join range_join_peak revenue_filter scd2_dim local_supplier_revenue large_orders dq_report incremental_agg nation_trade_volume event_transitions lateral_top_orders recursive_ancestry time_weighted_value important_parts supplier_part_variety hll_distinct skew_profile cohort_retention"
+
+set -o pipefail
 
 SF_DIR=${1:?usage: decade_probe.sh SF_DIR SHUFFLE_PARTITIONS OUT_JSONL [insession]}
 SP=${2:?shuffle partitions (size to the decade: 64 at sf10, 512 at sf100)}

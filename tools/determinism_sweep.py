@@ -11,7 +11,10 @@ sys.path.insert(0, "/root/repo")
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 import __spark_entry__ as mod  # noqa: E402
-from european_emissions_data_warehouse_spark.session import get_session  # noqa: E402
+from european_emissions_data_warehouse_spark.session import (  # noqa: E402
+    get_session,
+    restore_scoped_confs,
+)
 
 
 def vhash(df):
@@ -30,6 +33,10 @@ def run_pass(master, sp):
             out[k] = vhash(fn(spark, SF))
         except Exception as ex:  # noqa: BLE001
             out[k] = f"ERR:{type(ex).__name__}"
+        finally:
+            # a call-site conf override (recursive_ancestry's row-brake
+            # ceiling) must not leak into later queries (ADVICE r7)
+            restore_scoped_confs(spark)
         print(f"  [{sp}] {k}: {out[k]}", flush=True)
     spark.stop()
     return out

@@ -20,6 +20,16 @@ optimizer setting recovers it.  Two regression classes follow:
    stray coalesce(1), a single-split source) — exactly the defect class
    the round-6 probes kept finding after the fact.
 
+3. WALL-TIME, embedding family (round 8, VERDICT r7 item #4) — the same
+   ratio floor on kmeans_two_level over a 200k-vector scaled embeddings
+   table: the embedding operators were the worst victims of the round-6
+   single-file artifact (72.4 -> 9.2 s), so the corpus_prep row alone
+   does not cover their scan path.
+
+Parity hashes quantize FLOATS to 9 significant digits (ADVICE r7): float
+aggregation order differs across layouts, so last-ulp drift is benign;
+non-float values compare exactly.
+
 Usage:
     python tools/layout_fuzz.py [SRC_SF_DIR] [WORK_DIR]
         SRC_SF_DIR  default /root/testdata/sf0.01 (parity arm)
@@ -46,11 +56,27 @@ TABLES = [
 RATIO_FLOOR = 2.0  # measured ~3-5x at 50k docs; 2x is a noise-robust floor
 
 
+def _cell(v) -> str:
+    """repr with floats quantized to 9 significant digits (ADVICE r7):
+    aggregation order differs across file layouts / partitionings, so float
+    sums can drift in the last ulps — a benign property of float addition,
+    not layout-dependence.  Non-float types stay exact.  Nested arrays /
+    maps (embedding columns, map_funcs) are normalized element-wise."""
+    if isinstance(v, float):
+        return f"f:{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: str(kv[0]))
+        return "{" + ",".join(f"{_cell(k)}:{_cell(x)}" for k, x in items) + "}"
+    return repr(v)
+
+
 def vhash(df) -> str:
     cols = df.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(r) for r in df.collect()]
-    lines = sorted("\x01".join(repr(r[i]) for i in order) for r in rows)
+    lines = sorted("\x01".join(_cell(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
@@ -67,7 +93,10 @@ def main() -> None:
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/layout_fuzz"
 
     import __spark_entry__ as mod
-    from european_emissions_data_warehouse_spark.session import get_session
+    from european_emissions_data_warehouse_spark.session import (
+        get_session,
+        restore_scoped_confs,
+    )
 
     spark = get_session(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,6 +116,10 @@ def main() -> None:
                 hashes[lay][k] = vhash(fn(spark, lay))
             except Exception as ex:  # noqa: BLE001
                 hashes[lay][k] = f"ERR:{type(ex).__name__}"
+            finally:
+                # recursive_ancestry's row-brake ceiling must not leak into
+                # the rest of the parity loop (ADVICE r7)
+                restore_scoped_confs(spark)
     diff = sorted(k for k in hashes[lay1] if hashes[lay1][k] != hashes[lay256][k])
     errs = sorted(
         k for k in hashes[lay1]
@@ -134,6 +167,51 @@ def main() -> None:
     if ratio < RATIO_FLOOR:
         print("WALL-TIME GATE FAILED: multi-file layout no longer buys "
               "scan parallelism — a plan change serialized the scan path")
+        failed = True
+
+    # --- arm 3: embedding-family wall-time (VERDICT r7 item #4) ---
+    # The embedding family was the worst victim of the round-6 single-file
+    # artifact (kmeans_two_level 72.4 -> 9.2 s at 200k vectors once the
+    # fixture stopped being one 110 MB file), so it gets its own ratio row:
+    # two-level k-means over a 200k-vector sign-flip-scaled embeddings
+    # table, 1-file vs 32-file.  Scan + per-partition assignment must
+    # parallelize across files; a serialized scan path collapses the ratio.
+    embsrc = f"{work}/emb200k"
+    if not os.path.isdir(embsrc):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "make_scale.py"),
+             embsrc, "100", "--with-embeddings", "--embeddings-only"],
+            check=True,
+        )
+    emb_all = spark.read.parquet(f"{embsrc}/embeddings.parquet")
+    e1, e32 = f"{embsrc}_1f", f"{embsrc}_32f"
+    for out, n in ((e1, 1), (e32, 32)):
+        part = emb_all.coalesce(1) if n == 1 else emb_all.repartition(n)
+        part.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    def time_kmeans(path: str) -> float:
+        from european_emissions_data_warehouse_spark.operators.similarity import (
+            kmeans_two_level,
+        )
+
+        emb = spark.read.parquet(f"{path}/embeddings.parquet")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = kmeans_two_level(emb, "vec_id", "embedding", k=64, n_iters=1)
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    et32 = time_kmeans(e32)  # multi-file first: warmup charges to it
+    et1 = time_kmeans(e1)
+    eratio = et1 / et32 if et32 > 0 else float("inf")
+    print(f"kmeans_two_level 200k vecs: 1-file {et1:.2f}s vs 32-file "
+          f"{et32:.2f}s -> ratio {eratio:.1f}x (floor {RATIO_FLOOR}x)")
+    if eratio < RATIO_FLOOR:
+        print("WALL-TIME GATE FAILED (embedding arm): multi-file layout no "
+              "longer buys scan parallelism for the embedding family")
         failed = True
 
     spark.stop()
