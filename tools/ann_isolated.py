@@ -1,0 +1,169 @@
+"""Process-isolated protocol for the fixed-size ANN bench trackers
+(VERDICT r7 item #2).
+
+The in-session ann_fixed trackers (bench.py) drifted +13-20% between
+BENCH_r06 and BENCH_r07 with `operators/similarity.py` untouched — session
+carry-over (JIT state, shuffle-file GC from earlier queries, page cache)
+swamps the signal, so round-over-round diffs were not attributable.  The
+round-7 embedding rig (tools/embedding_probe.py) showed isolated min-of-N
+kills exactly this noise class; this tool applies the same protocol to the
+trackers: each (tracker, repeat) pair runs in its OWN fresh python+JVM
+process, executing the IDENTICAL plan builders bench.py uses (imported from
+bench.py — no duplicated plan definitions), and the parent records
+min/med/max across the isolated runs.
+
+    python tools/ann_isolated.py [--sf-dir DIR] [--repeats N] [--out PATH]
+    python tools/ann_isolated.py --one OP --sf-dir DIR    (child mode)
+
+Writes ANN_ISOLATED.json at the repo root (committed); bench.py embeds it
+into BENCH_DETAIL.json / BENCH_r{N} as "ann_isolated" so the authoritative
+per-round artifact carries both protocols side by side.
+
+Expected stability band: the isolated min-of-3 should reproduce round-over-
+round within ±8% with untouched operator code (the r8 back-to-back
+calibration run showed <5% spread between full protocol invocations);
+drift beyond that band on unchanged code means the box itself shifted —
+check the in-session numbers for the same shift before reading it as a
+regression.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# registration order mirrors bench.py's ann_fixed table
+TRACKERS = [
+    "pq_encode",
+    "ivfpq_build",
+    "ivfpq_search",
+    "mutual_nn",
+    "mutual_nn_ann",
+    "semdedup_scaled",
+]
+
+
+def _resolve_plan(op: str, spark, sf_dir: str):
+    """Return the exact plan callable bench.py times for `op` — operator
+    trackers come from bench.py's module-level builders, query trackers
+    from the registered queries() table."""
+    import bench
+
+    if op == "pq_encode":
+        return bench.pq_encode_plan
+    if op == "ivfpq_build":
+        return bench.ivfpq_build_plan
+    if op == "ivfpq_search":
+        # build + persist OUTSIDE the timer: serve-only, like bench.py
+        idx_dir = bench.persist_ivfpq_index(spark, sf_dir)
+        return bench.make_ivfpq_search_plan(idx_dir)
+    if op in ("mutual_nn", "semdedup_scaled"):
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()[op]
+    if op == "mutual_nn_ann":
+        return bench.mutual_nn_ann_plan
+    raise SystemExit(f"unknown tracker {op!r}")
+
+
+def run_one(op: str, sf_dir: str) -> None:
+    """Child mode: fresh session, one timed run, one JSON line."""
+    from european_emissions_data_warehouse_spark.session import get_session
+
+    spark = get_session(
+        app_name=f"ann-isolated-{op}",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+        ),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("FATAL")
+    # same trivial-plan JVM/codegen warmup as bench.py, so the timed run
+    # is charged the operator, not session startup
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    fn = _resolve_plan(op, spark, sf_dir)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    print(json.dumps({"op": op, "sec": round(sec, 3)}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(_REPO, "ANN_ISOLATED.json"))
+    ap.add_argument("--one", help="child mode: run ONE tracker once")
+    args = ap.parse_args()
+
+    if args.one:
+        run_one(args.one, args.sf_dir)
+        return
+
+    trackers: dict[str, dict] = {}
+    for op in TRACKERS:
+        runs: list[float] = []
+        for i in range(args.repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", op, "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, cwd=_REPO,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith('{"op"')), None,
+            )
+            if proc.returncode != 0 or line is None:
+                print(f"WARNING: {op} run {i} failed (exit={proc.returncode})\n"
+                      f"{proc.stderr[-2000:]}", file=sys.stderr)
+                continue
+            runs.append(json.loads(line)["sec"])
+            print(f"{op} run {i}: {runs[-1]:.3f}s", flush=True)
+        if not runs:
+            trackers[op] = {"error": "no successful isolated run"}
+            continue
+        runs.sort()
+        med = runs[len(runs) // 2] if len(runs) % 2 else (
+            (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]) / 2
+        )
+        trackers[op] = {
+            "min": runs[0], "med": round(med, 3), "max": runs[-1],
+            "runs": runs,
+        }
+
+    out = {
+        "protocol": "one fresh python+JVM process per (tracker, repeat); "
+                    "plans imported from bench.py; min over isolated runs",
+        "sf_dir": args.sf_dir,
+        "repeats": args.repeats,
+        "band_pct": 8,
+        "trackers": trackers,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"ann_isolated": {k: v.get("min") for k, v in trackers.items()}}))
+    failed = [k for k, v in trackers.items() if "error" in v]
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
