@@ -58,3 +58,39 @@ def test_bench_emits_full_line_plus_truncation_proof_summary():
     # regression-tracker contract: a subset run skips the fixed-size ANN
     # table (nothing to compare round-over-round on a partial run)
     assert compact["ann_fixed"] == {}
+
+
+def test_ann_isolated_trackers_cover_the_bench_table():
+    """tools/ann_isolated.py exists to make the fixed-size ANN tracker
+    numbers attributable (VERDICT r7 item #2) — its TRACKERS list must
+    stay in lockstep with the trackers bench.py actually times, or a
+    tracker added to one protocol silently drops out of the other.  The
+    bench table is built dynamically inside main(), so the names are
+    pinned here literally; if this fails, update BOTH tables."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_isolated", "/root/repo/tools/ann_isolated.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    bench_table = [
+        "pq_encode",
+        "ivfpq_build",
+        "ivfpq_search",
+        "mutual_nn",
+        "mutual_nn_ann",
+        "semdedup_scaled",
+    ]
+    assert mod.TRACKERS == bench_table
+
+    # every operator-backed tracker resolves to a module-level bench
+    # builder (the isolated rig imports these, so a rename breaks it)
+    import bench
+
+    assert callable(bench.pq_encode_plan)
+    assert callable(bench.ivfpq_build_plan)
+    assert callable(bench.mutual_nn_ann_plan)
+    assert callable(bench.persist_ivfpq_index)
+    assert callable(bench.make_ivfpq_search_plan("/tmp/nonexistent"))
