@@ -19,12 +19,17 @@ Writes ANN_ISOLATED.json at the repo root (committed); bench.py embeds it
 into BENCH_DETAIL.json / BENCH_r{N} as "ann_isolated" so the authoritative
 per-round artifact carries both protocols side by side.
 
-Expected stability band: the isolated min-of-3 should reproduce round-over-
-round within ±8% with untouched operator code (the r8 back-to-back
-calibration run showed <5% spread between full protocol invocations);
-drift beyond that band on unchanged code means the box itself shifted —
-check the in-session numbers for the same shift before reading it as a
-regression.
+Protocol detail from the r8 calibration: a back-to-back pair of full
+min-of-3 COLD passes still disagreed by up to ±22% on the short (1.5-13 s)
+trackers — cold-process JIT variance is proportionally huge there — so
+each child process times the plan TWICE and the headline is the min over
+the WARM (second) runs: constant context (nothing else ever ran in the
+process) plus warmed JIT is the tightest repeatable floor.  Expected
+round-over-round band on unchanged code: ±10% on the warm headline (the
+r8 calibration pair of warm passes, recorded in COVERAGE.md); drift beyond
+that means the box itself shifted — check the in-session ann_fixed numbers
+for the same shift before reading it as a regression.  Cold stats stay in
+the artifact alongside.
 """
 
 from __future__ import annotations
@@ -98,10 +103,18 @@ def run_one(op: str, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     fn = _resolve_plan(op, spark, sf_dir)
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    sec = time.perf_counter() - t0
-    print(json.dumps({"op": op, "sec": round(sec, 3)}))
+    # cold = first execution in the fresh process (includes the tracker's
+    # own codegen/JIT); warm = second execution of the same plan in the
+    # same process.  The warm number is the attribution headline: constant
+    # context (nothing else ever ran here) + warmed JIT is the tightest
+    # repeatable floor for 1.5-13 s operators, where cold-process JIT
+    # variance alone spans +-20% (r8 calibration pair).
+    secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        secs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"op": op, "cold_sec": secs[0], "warm_sec": secs[1]}))
     spark.stop()
 
 
@@ -118,9 +131,18 @@ def main() -> None:
         run_one(args.one, args.sf_dir)
         return
 
+    def stats(vals: list[float]) -> dict:
+        vals = sorted(vals)
+        med = vals[len(vals) // 2] if len(vals) % 2 else (
+            (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+        )
+        return {"min": vals[0], "med": round(med, 3), "max": vals[-1],
+                "runs": vals}
+
     trackers: dict[str, dict] = {}
     for op in TRACKERS:
-        runs: list[float] = []
+        cold: list[float] = []
+        warm: list[float] = []
         for i in range(args.repeats):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -135,26 +157,25 @@ def main() -> None:
                 print(f"WARNING: {op} run {i} failed (exit={proc.returncode})\n"
                       f"{proc.stderr[-2000:]}", file=sys.stderr)
                 continue
-            runs.append(json.loads(line)["sec"])
-            print(f"{op} run {i}: {runs[-1]:.3f}s", flush=True)
-        if not runs:
+            rec = json.loads(line)
+            cold.append(rec["cold_sec"])
+            warm.append(rec["warm_sec"])
+            print(f"{op} run {i}: cold {cold[-1]:.3f}s warm {warm[-1]:.3f}s",
+                  flush=True)
+        if not warm:
             trackers[op] = {"error": "no successful isolated run"}
             continue
-        runs.sort()
-        med = runs[len(runs) // 2] if len(runs) % 2 else (
-            (runs[len(runs) // 2 - 1] + runs[len(runs) // 2]) / 2
-        )
-        trackers[op] = {
-            "min": runs[0], "med": round(med, 3), "max": runs[-1],
-            "runs": runs,
-        }
+        trackers[op] = {"cold": stats(cold), "warm": stats(warm),
+                        # headline for round-over-round diffs
+                        "min": min(warm)}
 
     out = {
         "protocol": "one fresh python+JVM process per (tracker, repeat); "
-                    "plans imported from bench.py; min over isolated runs",
+                    "plans imported from bench.py; per process, the plan "
+                    "runs twice — cold (includes the tracker's own JIT) "
+                    "and warm; headline min is over the WARM runs",
         "sf_dir": args.sf_dir,
         "repeats": args.repeats,
-        "band_pct": 8,
         "trackers": trackers,
     }
     with open(args.out, "w") as f:
