@@ -106,6 +106,21 @@ HEADLINE = [
 ]
 
 
+# The one tracker name table BOTH protocols read (in-session ann_fixed
+# below, process-isolated tools/ann_isolated.py): a tracker added here and
+# not given a plan fails main()'s coverage assert; ann_isolated.TRACKERS
+# aliases this list, so neither protocol can silently drop a tracker
+# (code-review r8).
+ANN_TRACKER_NAMES = [
+    "pq_encode",
+    "ivfpq_build",
+    "ivfpq_search",
+    "mutual_nn",
+    "mutual_nn_ann",
+    "semdedup_scaled",
+]
+
+
 # --- fixed-size ANN tracker plans (VERDICT r3 item #7 / r5 item #3) --------
 #
 # The embeddings table is NOT sf-proportional, so the ANN/bitext operators
@@ -302,17 +317,6 @@ def main() -> None:
             if sp:
                 spreads[name] = sp
 
-    ann_fixed_entries = [
-        ("pq_encode", pq_encode_plan),
-        ("ivfpq_build", ivfpq_build_plan),
-        # ivfpq_search appended below once the index is persisted
-        ("mutual_nn", qs.get("mutual_nn")),
-        ("mutual_nn_ann", mutual_nn_ann_plan),
-        # two-level-clustered SemDeDup: embedding-family, fixed-size like
-        # the rest of this table — tracked here so index/clustering-path
-        # regressions show round-over-round
-        ("semdedup_scaled", qs.get("semdedup_scaled")),
-    ]
     ann_fixed: dict[str, float] = {}
     ann_spreads: dict[str, dict[str, float]] = {}
     # skipped when a subset is requested (only) or explicitly disabled —
@@ -320,12 +324,28 @@ def main() -> None:
     # ann_fixed, so re-timing the fixed-size index builds there was pure
     # wasted wall-clock (code-review r4, instruments pass)
     if only or os.environ.get("SPARK_GRAFT_SKIP_ANN"):
-        ann_fixed_entries = []
+        ann_fixed_entries: list[tuple[str, object]] = []
     else:
         # persist the searchable state OUTSIDE the timers so ivfpq_search
         # times ONLY the serve path (probe-pruned scan + ADC + rerank)
         idx_dir = persist_ivfpq_index(spark, sf_dir)
-        ann_fixed_entries.insert(2, ("ivfpq_search", make_ivfpq_search_plan(idx_dir)))
+        plans = {
+            "pq_encode": pq_encode_plan,
+            "ivfpq_build": ivfpq_build_plan,
+            "ivfpq_search": make_ivfpq_search_plan(idx_dir),
+            # exact bitext baseline / two-level-clustered SemDeDup: the
+            # registered queries themselves — embedding-family, fixed-size
+            # like the rest of this table
+            "mutual_nn": qs.get("mutual_nn"),
+            "mutual_nn_ann": mutual_nn_ann_plan,
+            "semdedup_scaled": qs.get("semdedup_scaled"),
+        }
+        missing = [n for n in ANN_TRACKER_NAMES if plans.get(n) is None]
+        assert not missing, f"ANN trackers without a plan: {missing}"
+        assert set(plans) == set(ANN_TRACKER_NAMES), (
+            "plan table out of sync with ANN_TRACKER_NAMES"
+        )
+        ann_fixed_entries = [(n, plans[n]) for n in ANN_TRACKER_NAMES]
     for name, fn in ann_fixed_entries:
         if fn is not None:
             ann_fixed[name], sp = bench_one(name, fn)

@@ -33,7 +33,15 @@ def _restore_scoped_confs(request):
     start for pure-Python tests."""
     yield
     if "spark" in request.fixturenames:
-        restore_scoped_confs(request.getfixturevalue("spark"))
+        try:
+            session = request.getfixturevalue("spark")
+        except Exception:
+            # the session fixture itself failed setup — re-raising its
+            # cached error here would add a teardown ERROR to every
+            # spark-requesting test (code-review r8); there is no session
+            # to restore, so nothing to do
+            return
+        restore_scoped_confs(session)
 
 
 @pytest.fixture(scope="session")

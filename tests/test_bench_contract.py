@@ -64,10 +64,14 @@ def test_ann_isolated_trackers_cover_the_bench_table():
     """tools/ann_isolated.py exists to make the fixed-size ANN tracker
     numbers attributable (VERDICT r7 item #2) — its TRACKERS list must
     stay in lockstep with the trackers bench.py actually times, or a
-    tracker added to one protocol silently drops out of the other.  The
-    bench table is built dynamically inside main(), so the names are
-    pinned here literally; if this fails, update BOTH tables."""
+    tracker added to one protocol silently drops out of the other.  Both
+    sides read bench.ANN_TRACKER_NAMES (code-review r8: the first version
+    pinned a hardcoded copy here, which a bench-only addition would have
+    satisfied while drifting); this asserts the aliasing holds AND that
+    every name resolves to a plan in the isolated rig."""
     import importlib.util
+
+    import bench
 
     spec = importlib.util.spec_from_file_location(
         "ann_isolated", "/root/repo/tools/ann_isolated.py"
@@ -75,20 +79,21 @@ def test_ann_isolated_trackers_cover_the_bench_table():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    bench_table = [
-        "pq_encode",
-        "ivfpq_build",
-        "ivfpq_search",
-        "mutual_nn",
-        "mutual_nn_ann",
-        "semdedup_scaled",
-    ]
-    assert mod.TRACKERS == bench_table
+    assert mod.TRACKERS == bench.ANN_TRACKER_NAMES
+    assert len(set(bench.ANN_TRACKER_NAMES)) == len(bench.ANN_TRACKER_NAMES)
 
-    # every operator-backed tracker resolves to a module-level bench
-    # builder (the isolated rig imports these, so a rename breaks it)
-    import bench
+    # every tracker must resolve in the isolated rig without a Spark
+    # session (operator trackers -> bench builders; query trackers are
+    # resolved lazily but their names must be registered queries)
+    import __spark_entry__ as entry_mod
 
+    qs = set(entry_mod.queries())
+    for name in bench.ANN_TRACKER_NAMES:
+        assert hasattr(bench, f"{name}_plan") or name in qs or name == (
+            "ivfpq_search"
+        ), f"tracker {name} resolves nowhere"
+
+    # the builders the isolated rig imports by attribute name
     assert callable(bench.pq_encode_plan)
     assert callable(bench.ivfpq_build_plan)
     assert callable(bench.mutual_nn_ann_plan)

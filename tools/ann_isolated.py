@@ -13,7 +13,12 @@ bench.py — no duplicated plan definitions), and the parent records
 min/med/max across the isolated runs.
 
     python tools/ann_isolated.py [--sf-dir DIR] [--repeats N] [--out PATH]
+                                 [--merge-with PATH]
     python tools/ann_isolated.py --one OP --sf-dir DIR    (child mode)
+
+The committed r8 artifact is two 3-repeat passes merged (min-of-6):
+    python tools/ann_isolated.py --repeats 3
+    python tools/ann_isolated.py --repeats 3 --merge-with ANN_ISOLATED.json
 
 Writes ANN_ISOLATED.json at the repo root (committed); bench.py embeds it
 into BENCH_DETAIL.json / BENCH_r{N} as "ann_isolated" so the authoritative
@@ -44,15 +49,12 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-# registration order mirrors bench.py's ann_fixed table
-TRACKERS = [
-    "pq_encode",
-    "ivfpq_build",
-    "ivfpq_search",
-    "mutual_nn",
-    "mutual_nn_ann",
-    "semdedup_scaled",
-]
+# THE tracker name table is bench.py's (code-review r8: a hardcoded copy
+# here let a tracker added only to bench silently drop out of the isolated
+# protocol) — both protocols and the contract test read the same list.
+import bench  # noqa: E402  (needs the sys.path insert above)
+
+TRACKERS = list(bench.ANN_TRACKER_NAMES)
 
 
 def _resolve_plan(op: str, spark, sf_dir: str):
@@ -125,6 +127,10 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(_REPO, "ANN_ISOLATED.json"))
     ap.add_argument("--one", help="child mode: run ONE tracker once")
+    ap.add_argument("--merge-with", default=None,
+                    help="existing artifact whose runs are merged into this "
+                         "pass (the committed min-of-6 = two 3-repeat passes "
+                         "merged; this flag makes that reproducible)")
     args = ap.parse_args()
 
     if args.one:
@@ -144,11 +150,19 @@ def main() -> None:
         cold: list[float] = []
         warm: list[float] = []
         for i in range(args.repeats):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--one", op, "--sf-dir", args.sf_dir],
-                capture_output=True, text=True, cwd=_REPO,
-            )
+            try:
+                # a hung child JVM must become the failed-run branch, not
+                # stall the sweep forever (code-review r8); 600 s is ~20x
+                # the slowest tracker's cold run + session startup
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--one", op, "--sf-dir", args.sf_dir],
+                    capture_output=True, text=True, cwd=_REPO, timeout=600,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"WARNING: {op} run {i} timed out after 600s",
+                      file=sys.stderr)
+                continue
             line = next(
                 (ln for ln in proc.stdout.splitlines()
                  if ln.startswith('{"op"')), None,
@@ -169,13 +183,30 @@ def main() -> None:
                         # headline for round-over-round diffs
                         "min": min(warm)}
 
+    total_repeats = args.repeats
+    if args.merge_with and os.path.exists(args.merge_with):
+        prior = json.load(open(args.merge_with))
+        total_repeats += prior.get("repeats", 0)
+        for op, rec in prior.get("trackers", {}).items():
+            if "error" in rec or op not in trackers or "error" in trackers[op]:
+                continue
+            merged_cold = trackers[op]["cold"]["runs"] + rec["cold"]["runs"]
+            merged_warm = trackers[op]["warm"]["runs"] + rec["warm"]["runs"]
+            trackers[op] = {"cold": stats(merged_cold),
+                            "warm": stats(merged_warm),
+                            "min": min(merged_warm)}
+
     out = {
         "protocol": "one fresh python+JVM process per (tracker, repeat); "
                     "plans imported from bench.py; per process, the plan "
                     "runs twice — cold (includes the tracker's own JIT) "
                     "and warm; headline min is over the WARM runs",
+        "band": "calibration pair of full passes (r8): |warm-min delta| "
+                "<= 10% on every tracker with >= 2s of warm compute; the "
+                "~1s mutual_nn swung 22% — treat sub-1.5s tracker drift "
+                "under 25% as noise",
         "sf_dir": args.sf_dir,
-        "repeats": args.repeats,
+        "repeats": total_repeats,
         "trackers": trackers,
     }
     with open(args.out, "w") as f:

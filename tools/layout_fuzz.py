@@ -26,9 +26,12 @@ optimizer setting recovers it.  Two regression classes follow:
    single-file artifact (72.4 -> 9.2 s), so the corpus_prep row alone
    does not cover their scan path.
 
-Parity hashes quantize FLOATS to 9 significant digits (ADVICE r7): float
-aggregation order differs across layouts, so last-ulp drift is benign;
-non-float values compare exactly.
+Parity hashes quantize FLOATS (ADVICE r7): float aggregation order differs
+across layouts, so last-ulp drift is benign; non-float values compare
+exactly.  Each query hashes at TWO precisions (9 and 8 significant digits)
+and is flagged only when both disagree — rounding alone is not a tolerance,
+since benign drift straddling one precision's rounding boundary cannot also
+straddle the other's (code-review r8); -0.0 folds into +0.0.
 
 Usage:
     python tools/layout_fuzz.py [SRC_SF_DIR] [WORK_DIR]
@@ -56,28 +59,44 @@ TABLES = [
 RATIO_FLOOR = 2.0  # measured ~3-5x at 50k docs; 2x is a noise-robust floor
 
 
-def _cell(v) -> str:
-    """repr with floats quantized to 9 significant digits (ADVICE r7):
+def _cell(v, sig: int) -> str:
+    """repr with floats quantized to `sig` significant digits (ADVICE r7):
     aggregation order differs across file layouts / partitionings, so float
     sums can drift in the last ulps — a benign property of float addition,
-    not layout-dependence.  Non-float types stay exact.  Nested arrays /
-    maps (embedding columns, map_funcs) are normalized element-wise."""
+    not layout-dependence.  `v + 0.0` folds -0.0 into +0.0 (an order-
+    dependent sum can legitimately produce either zero).  Non-float types
+    stay exact.  Nested arrays / maps (embedding columns, map_funcs) are
+    normalized element-wise."""
     if isinstance(v, float):
-        return f"f:{v:.9g}"
+        return f"f:{v + 0.0:.{sig}g}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_cell(x) for x in v) + "]"
+        return "[" + ",".join(_cell(x, sig) for x in v) + "]"
     if isinstance(v, dict):
         items = sorted(v.items(), key=lambda kv: str(kv[0]))
-        return "{" + ",".join(f"{_cell(k)}:{_cell(x)}" for k, x in items) + "}"
+        return "{" + ",".join(
+            f"{_cell(k, sig)}:{_cell(x, sig)}" for k, x in items
+        ) + "}"
     return repr(v)
 
 
-def vhash(df) -> str:
+def vhash(df) -> tuple[str, str]:
+    """Hash pair at two float precisions (9 and 8 significant digits).
+    Quantization is rounding, not a tolerance: benign sub-ulp drift that
+    happens to straddle a 9-digit rounding boundary would still flip one
+    hash (code-review r8), but the same drift cannot also straddle the
+    DIFFERENT 8-digit boundary — so the parity arm flags a query only when
+    BOTH precisions disagree.  Real layout-dependence (different rows,
+    different keys, value changes above 1e-8 relative) differs at both."""
     cols = df.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(r) for r in df.collect()]
-    lines = sorted("\x01".join(_cell(r[i]) for i in order) for r in rows)
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    out = []
+    for sig in (9, 8):
+        lines = sorted(
+            "\x01".join(_cell(r[i], sig) for i in order) for r in rows
+        )
+        out.append(hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16])
+    return (out[0], out[1])
 
 
 def write_variant(spark, src: str, out: str, n_files: int) -> None:
@@ -120,7 +139,16 @@ def main() -> None:
                 # recursive_ancestry's row-brake ceiling must not leak into
                 # the rest of the parity loop (ADVICE r7)
                 restore_scoped_confs(spark)
-    diff = sorted(k for k in hashes[lay1] if hashes[lay1][k] != hashes[lay256][k])
+    def _layout_dependent(a, b) -> bool:
+        if isinstance(a, str) or isinstance(b, str):  # ERR:* sentinel
+            return a != b
+        # flag only when BOTH precisions disagree (see vhash docstring)
+        return a[0] != b[0] and a[1] != b[1]
+
+    diff = sorted(
+        k for k in hashes[lay1]
+        if _layout_dependent(hashes[lay1][k], hashes[lay256][k])
+    )
     errs = sorted(
         k for k in hashes[lay1]
         if str(hashes[lay1][k]).startswith("ERR")

@@ -57,11 +57,23 @@ SHIFT = {
 FIXED = ["region", "nation", "documents", "embeddings"]
 
 
+def _int_flag(name: str, default: int | None) -> int | None:
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
 def main() -> None:
     out_dir, n_copies = sys.argv[1], int(sys.argv[2])
     with_docs = "--with-docs" in sys.argv[3:]
     perturb_docs = "--perturb-docs" in sys.argv[3:]
     with_embeddings = "--with-embeddings" in sys.argv[3:]
+    # --first-copy N / --rows N (code-review r8, for tools/streaming_probe):
+    # offset the copy-index space so independently generated slices never
+    # share ids or perturbation tags, and cap the scaled table's row count.
+    # Defaults preserve every existing call site exactly.
+    first_copy = _int_flag("--first-copy", 0)
+    rows_cap = _int_flag("--rows", None)
     shift = dict(SHIFT)
     fixed = list(FIXED)
     if with_docs or perturb_docs:
@@ -77,6 +89,19 @@ def main() -> None:
         if not with_embeddings:
             raise SystemExit("--embeddings-only requires --with-embeddings")
         shift = {"embeddings": shift["embeddings"]}
+        fixed = []
+    # --events-only / --docs-only: materialize just the one scaled table —
+    # tools/streaming_probe.py's sources need no scaled relational tables,
+    # same rationale as --embeddings-only (code-review r8: the probe
+    # previously re-implemented this file's copy-stacking semantics inline,
+    # leaving two copies of the corpus growth model to drift apart)
+    if "--events-only" in sys.argv[3:]:
+        shift = {"events": shift["events"]}
+        fixed = []
+    if "--docs-only" in sys.argv[3:]:
+        if "documents" not in shift:
+            raise SystemExit("--docs-only requires --with-docs or --perturb-docs")
+        shift = {"documents": shift["documents"]}
         fixed = []
     src = "/root/testdata/sf0.1"
 
@@ -101,7 +126,9 @@ def main() -> None:
         )
         print(f"{t}: copied")
 
-    copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
+    copies = spark.range(first_copy, first_copy + n_copies).select(
+        F.col("id").alias("_copy")
+    )
     for t, keys in shift.items():
         df = spark.read.parquet(f"{src}/{t}.parquet").crossJoin(copies)
         for k in keys:
@@ -139,6 +166,8 @@ def main() -> None:
             # r4, instruments pass)
             df = df.withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_copy")
+        if rows_cap is not None:
+            df = df.limit(rows_cap)
         # 32 files, not whatever the crossJoin's lineage leaves: the x1000
         # embeddings run came out as ONE 110 MB file — under the engine's
         # 128 MB maxPartitionBytes that is a single scan split, so every

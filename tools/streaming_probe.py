@@ -46,68 +46,42 @@ import argparse
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-STRIDE = 10**9  # id shift per copy, same convention as tools/make_scale.py
 PROBE_REPEATS = 3
 
 
-def _scaled_events(spark, out: str, n_rows: int, first_copy: int, n_files: int):
-    """Stack key-shifted copies of sf0.1 events (100k rows each) up to
-    n_rows — make_scale.py's events semantics, inlined so the probe needs
-    no cross-tool fixture contract.  first_copy offsets the id space so
-    probe batches never collide with bootstrap ids."""
-    from pyspark.sql import functions as F
+def _per_copy_rows(table: str) -> int:
+    """Rows per copy in the sf0.1 source (parquet footer read, no Spark)."""
+    import pyarrow.parquet as pq
 
-    src = spark.read.parquet(f"{SRC}/events.parquet")
-    per_copy = src.count()
-    n_copies = max(1, (n_rows + per_copy - 1) // per_copy)
-    copies = spark.range(first_copy, first_copy + n_copies).select(
-        F.col("id").alias("_copy")
+    return pq.read_metadata(f"{SRC}/{table}.parquet").num_rows
+
+
+def _make_source(table: str, out: str, n_rows: int, first_copy: int) -> None:
+    """Materialize a scaled slice via tools/make_scale.py — the ONE corpus
+    growth model every SCALING.md measurement uses (code-review r8: the
+    first version of this probe re-implemented the copy-stacking and
+    perturbed-docs semantics inline, leaving two copies to drift).
+    `--first-copy` keeps independently generated slices disjoint in id and
+    perturbation-tag space; `--rows` caps the slice."""
+    n_copies = max(1, (n_rows + _per_copy_rows(table) - 1) // _per_copy_rows(table))
+    flags = {
+        "events": ["--events-only"],
+        "documents": ["--perturb-docs", "--docs-only"],
+    }[table]
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)), "make_scale.py"),
+         out, str(n_copies), *flags,
+         "--first-copy", str(first_copy), "--rows", str(n_rows)],
+        check=True,
     )
-    df = src.crossJoin(copies)
-    for k in ("event_id", "user_id"):
-        df = df.withColumn(k, F.col(k) + F.col("_copy") * F.lit(STRIDE))
-    df = df.drop("_copy").limit(n_rows)
-    df.repartition(n_files).write.mode("overwrite").parquet(out)
-
-
-def _scaled_docs(spark, out: str, n_rows: int, first_copy: int, n_files: int):
-    """Perturbed-copy documents (make_scale.py --perturb-docs semantics,
-    inlined): every token is suffixed with the copy index, so cross-copy
-    jaccard is ~0 while each copy keeps the source's internal near-dup
-    structure — candidate volume grows linearly with copies, the honest
-    growth model for the pair-forming family."""
-    from pyspark.sql import functions as F
-
-    src = spark.read.parquet(f"{SRC}/documents.parquet")
-    per_copy = src.count()
-    n_copies = max(1, (n_rows + per_copy - 1) // per_copy)
-    copies = spark.range(first_copy, first_copy + n_copies).select(
-        F.col("id").alias("_copy")
-    )
-    df = (
-        src.crossJoin(copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * F.lit(STRIDE))
-        .withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit("x"), F.col("_copy").cast("string")),
-                ),
-                " ",
-            ),
-        )
-        .withColumn("n_chars", F.length("text").cast("long"))
-        .drop("_copy")
-        .limit(n_rows)
-    )
-    df.repartition(n_files).write.mode("overwrite").parquet(out)
 
 
 def main() -> None:
@@ -137,23 +111,28 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("FATAL")
 
-    make = _scaled_docs if args.arm == "neardup" else _scaled_events
-    kind = "docs" if args.arm == "neardup" else "events"
+    table = "documents" if args.arm == "neardup" else "events"
 
-    # sources are cached per (kind, rows, copy-offset); stream dirs are
-    # always fresh per invocation
-    def source(tag: str, n_rows: int, first_copy: int, n_files: int) -> str:
-        path = f"{args.work}/src_{kind}_{tag}_{n_rows}"
+    # sources are cached per (table, rows, tag); stream dirs are always
+    # fresh per invocation
+    def source(tag: str, n_rows: int, first_copy: int) -> str:
+        path = f"{args.work}/src_{table}_{tag}_{n_rows}"
         if not os.path.isdir(path):
-            make(spark, path, n_rows, first_copy, n_files)
-        return path
+            _make_source(table, path, n_rows, first_copy)
+        return f"{path}/{table}.parquet"
 
-    boot_src = source("boot", args.scale, 0, 32)
+    # probe copy offsets start far above any bootstrap copy range and are
+    # spaced by the copies a probe batch consumes (code-review r8: +i
+    # spacing overlapped whenever a probe spanned >1 copy, making
+    # consecutive probe batches mostly identical), so probe ids/tokens are
+    # fresh and neardup probes measure probing cost, not a pathological
+    # all-duplicates batch
+    probe_copies = max(
+        1, (probe_rows + _per_copy_rows(table) - 1) // _per_copy_rows(table)
+    )
+    boot_src = source("boot", args.scale, 0)
     probe_srcs = [
-        # copy offsets far above the bootstrap range: probe ids/tokens are
-        # fresh, so neardup probes measure probing cost, not a pathological
-        # all-duplicates batch
-        source(f"probe{i}", probe_rows, 100_000 + i, 4)
+        source(f"probe{i}", probe_rows, 100_000 + i * probe_copies)
         for i in range(PROBE_REPEATS)
     ]
 
@@ -195,6 +174,30 @@ def main() -> None:
         else:
             run_neardup_dedup_stream(stream, state, out, ckpt)
         return time.perf_counter() - t0
+
+    # Warm the streaming machinery (micro-batch planner, file-source
+    # listing, foreachBatch JIT) on a throwaway 25-row stream with its own
+    # checkpoint/sink BEFORE the timed bootstrap drain: invocations that
+    # happen to rebuild a source in-process otherwise arrive at the drain
+    # with a warmer JVM than cache-hit invocations, skewing bootstrap
+    # walls by 2x at the small scales where startup dominates.
+    warm = f"{run}/warmup"
+    os.makedirs(f"{warm}/landing")
+    spark.read.parquet(f"{SRC}/nation.parquet").write.mode("overwrite").parquet(
+        f"{warm}/landing"
+    )
+    (
+        spark.readStream.schema(
+            spark.read.parquet(f"{warm}/landing").schema
+        )
+        .format("parquet")
+        .load(f"{warm}/landing")
+        .writeStream.foreachBatch(lambda b, i: b.count())
+        .option("checkpointLocation", f"{warm}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
     land(boot_src, "b0")
     bootstrap_sec = drain()
