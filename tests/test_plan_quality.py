@@ -576,3 +576,86 @@ def test_round7_recursion_row_brake_scoped_to_call_site(spark, sf_dir):
     assert int(restored) < 2_000_000_000, (
         "prior value was already the raised ceiling — fixture polluted"
     )
+
+
+def test_round8_incremental_store_probe_broadcasts_batch_not_store(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The streaming decade's (SCALING.md round 8) structural claim: the
+    incremental MinHash probe touches the persisted LSH store through a
+    bucket-equality join that BROADCASTS the micro-batch's band table and
+    STREAMS the store scan — the store is never shuffled per batch, so
+    per-batch cost stays O(new x bands + one store scan), not O(store)
+    exchange traffic.  Planner-decided on purpose (the dq_report r6
+    lesson): a giant bootstrap batch exceeding the broadcast ceiling must
+    degrade to SMJ rather than abort, so this pin uses a steady-state
+    SMALL batch, the shape every post-bootstrap trigger has.
+
+    minhash_dedup_incremental eagerly localCheckpoints its result, which
+    erases the plan — the test no-ops localCheckpoint (a materialization
+    barrier, not a semantic node) to expose the REAL join the operator
+    builds (operators/dedup.py vs_old), rather than pinning a hand-mirrored
+    copy that could drift."""
+    from pyspark.sql import DataFrame
+
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_store_init,
+    )
+
+    # Spark 4: pyspark.sql.DataFrame is the abstract facade; the runtime
+    # instances are pyspark.sql.classic.dataframe.DataFrame, whose own
+    # localCheckpoint would shadow a patch on the facade
+    targets = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+        targets.append(ClassicDF)
+    except ImportError:
+        pass
+    for t in targets:
+        monkeypatch.setattr(
+            t, "localCheckpoint", lambda self, eager=True: self
+        )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "lsh_store")
+    minhash_store_init(docs.filter("doc_id % 2 = 0"), store)
+    pairs = minhash_dedup_incremental(
+        docs.filter("doc_id % 2 = 1").limit(40), store, update_store=False
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # walk the tree string: the STORE's parquet scan line must not sit
+    # under any shuffle Exchange on its path to the probe join — only the
+    # batch side (an ExistingRDD from the band build) may exchange, and
+    # only as a BroadcastExchange
+    lines = plan.splitlines()
+    # identify the store scan by its ReadSchema (only the persisted band
+    # table scans sig directly from parquet) — the Location path string is
+    # unreliable here because toString truncates long field lists
+    store_lines = [
+        i for i, ln in enumerate(lines)
+        if "Scan parquet" in ln and "sig:array<bigint>" in ln
+    ]
+    assert store_lines, f"store scan not found in plan:\n{plan[:1500]}"
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    for i in store_lines:
+        d = indent(lines[i])
+        j = i - 1
+        while j >= 0:
+            dj = indent(lines[j])
+            if dj < d:  # an ancestor of the store scan
+                assert "Exchange hashpartitioning" not in lines[j], (
+                    f"store scan shuffled per batch:\n{lines[j]}"
+                )
+                if "Join" in lines[j]:
+                    assert "BroadcastHashJoin" in lines[j], (
+                        f"store joined without broadcast:\n{lines[j]}"
+                    )
+                    break  # reached the probe join — path is clean
+                d = dj
+            j -= 1
