@@ -30,72 +30,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  All 164
-# registered queries hold a green driver row (cumulative r1-r7), so round 8
+# registered queries hold a green driver row (cumulative r1-r8), so round 9
 # rotates the window to the 50 queries with the OLDEST green rows (VERDICT
-# r7 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
-# the 14 remaining r4-vintage rows plus the 36 alphabetically-first
-# r5-vintage rows.  The driver row is the hard signal; re-grading a green
+# r8 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
+# the 14 remaining r5-vintage rows plus the 36 alphabetically-first
+# r6-vintage rows.  The driver row is the hard signal; re-grading a green
 # query under the current engine is free insurance.
 _GRADE_FIRST = [
-    # --- r4-vintage driver rows (graded round 4, never since) ---
-    "semdedup",
-    "semdedup_scaled",
-    "sessionize",
-    "simhash_neardup",
-    "skew_profile",
-    "supplier_part_variety",
-    "surrogate_key",
-    "text_clean",
-    "text_stats",
-    "tfidf_terms",
-    "token_topk",
-    "train_test_split",
-    "try_cast_import",
-    "upsert_lww",
-    # --- r5-vintage driver rows (alphabetically first 36 of 50) ---
-    "anti_join",
-    "approx_distinct",
-    "array_hof",
-    "bucketed_join",
-    "case_when",
-    "cheapest_supplier",
-    "conditional_agg",
-    "correlated_above_avg",
-    "cosine_pairs",
-    "cube_status",
-    "dim_decode_map",
-    "disjunct_revenue",
-    "distinct_segments",
-    "doc_chunks",
-    "embedding_stats",
-    "events_hourly",
-    "events_sliding",
-    "exists_late_orders",
-    "explode_outer",
-    "filter_pred",
-    "full_outer_nation",
-    "grouping_sets",
-    "having_groups",
-    "in_subquery_big_orders",
-    "json_extract",
-    "label_centroids",
-    "lag_lead",
-    "map_funcs",
-    "media_features",
-    "null_drop",
-    "percentiles",
-    "pivot_status",
-    "projection",
-    "range_frame_spend",
-    "ranking_funcs",
-    "region_revenue",
+    # --- r5-vintage driver rows (graded round 5, never since) ---
+    "rename",
+    "rollup_region",
+    "running_total",
+    "salted_distinct",
+    "scalar_funcs",
+    "scalar_subquery",
+    "semi_join",
+    "session_window",
+    "set_ops",
+    "string_agg_nations",
+    "top3_per_segment",
+    "top_building_orders",
+    "topk_orders",
+    "weighted_avg_udaf",
+    # --- r6-vintage driver rows (alphabetically first 36 of 50) ---
+    "ann_ivfpq",
+    "ann_pq",
+    "approx_percentile",
+    "bigram_logprob",
+    "date_spine",
+    "decontaminate",
+    "dedup_components_star",
+    "dominant_suppliers",
+    "dq_report",
+    "dsir_weights",
+    "event_transitions",
+    "idle_rich_customers",
+    "incremental_agg",
+    "large_orders",
+    "lateral_top_orders",
+    "length_deciles",
+    "local_supplier_revenue",
+    "market_share",
+    "media_frames",
+    "media_resize",
+    "median_by_segment",
+    "mixture_temperature",
+    "monthly_growth",
+    "name_similarity",
+    "nation_trade_volume",
+    "ngram_jaccard",
+    "ngram_jaccard_capped",
+    "null_handling",
+    "order_count_histogram",
+    "order_gap_stats",
+    "orphan_audit",
+    "percent_of_total",
+    "pipe_syntax_summary",
+    "pmi_pairs",
+    "price_histogram",
+    "price_regression",
 ]
-# (The remaining 14 r5-vintage rows are the stalest after this window and
-# should lead round 9: rename, rollup_region, running_total,
-# salted_distinct, scalar_funcs, scalar_subquery, semi_join,
-# session_window, set_ops, string_agg_nations, top3_per_segment,
-# top_building_orders, topk_orders, weighted_avg_udaf — recompute from
-# the CORRECTNESS_r*.json latest-green map at rotation time.)
+# (The remaining 14 r6-vintage rows are the stalest after this window and
+# should lead round 10: priority_by_status, product_profit, promo_revenue,
+# quality_weighted_sample, quantize_int8, recursive_ancestry,
+# returned_revenue_top, revenue_filter, sentence_udtf, sequence_pack,
+# stratified_sample, token_positions, user_streaks, window_nav — recompute
+# from the CORRECTNESS_r*.json latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
 # of round 4: every registered query either holds a driver CORRECTNESS row
