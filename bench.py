@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -133,6 +134,30 @@ ANN_TRACKER_NAMES = [
 # — the production build-once/serve-many split; k=5, n_probe=3, rerank=100),
 # and the IVF-candidate bitext miner.  Module-level so tools/ann_isolated.py
 # runs the IDENTICAL plans process-isolated (VERDICT r7 item #2).
+
+
+def _ann_isolated_staleness(artifact_sha: str | None) -> str | None:
+    """None when the committed ANN_ISOLATED.json still describes the code
+    in the working tree; otherwise a short reason string (ADVICE r8).
+    'Describes' = no diff between the artifact's stamped sha and the
+    working tree across the tracker-relevant paths."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not artifact_sha:
+        return "no git_sha stamp (pre-r9 artifact)"
+    try:
+        r = subprocess.run(
+            ["git", "diff", "--quiet", artifact_sha, "--",
+             "european_emissions_data_warehouse_spark", "bench.py",
+             "tools/ann_isolated.py"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError) as exc:
+        return f"provenance check failed: {exc}"
+    if r.returncode == 0:
+        return None
+    if r.returncode == 1:
+        return f"tracker-relevant code changed since {artifact_sha[:12]}"
+    return f"git diff failed (exit {r.returncode}): {r.stderr.strip()[:200]}"
 
 
 def mutual_nn_ann_plan(spark, sf_dir):
@@ -369,6 +394,23 @@ def main() -> None:
                 ann_isolated = json.load(f)
         except (OSError, ValueError) as exc:
             print(f"bench: ANN_ISOLATED.json unreadable: {exc}", file=sys.stderr)
+        # Provenance gate (ADVICE r8): an artifact produced at an earlier
+        # code revision must not be silently presented as part of this
+        # run's authoritative record.  The artifact carries the sha it was
+        # produced at; it counts as current iff no tracker-relevant code
+        # (package, bench.py, the rig itself) differs between that sha and
+        # the working tree — plain sha equality would false-alarm on the
+        # routine artifact-commit -> bench sequence within a round.
+        if ann_isolated is not None:
+            stale_reason = _ann_isolated_staleness(ann_isolated.get("git_sha"))
+            if stale_reason:
+                print(f"bench: ANN_ISOLATED.json is stale ({stale_reason}); "
+                      f"embedding provenance stub only — regenerate with "
+                      f"tools/ann_isolated.py", file=sys.stderr)
+                ann_isolated = {
+                    "stale_artifact": stale_reason,
+                    "git_sha": ann_isolated.get("git_sha"),
+                }
     full = {
         "metric": "headline_suite_total",
         "value": total,

@@ -99,3 +99,32 @@ def test_ann_isolated_trackers_cover_the_bench_table():
     assert callable(bench.mutual_nn_ann_plan)
     assert callable(bench.persist_ivfpq_index)
     assert callable(bench.make_ivfpq_search_plan("/tmp/nonexistent"))
+
+
+def test_ann_isolated_provenance_gate():
+    """bench.py must not embed a stale ANN_ISOLATED.json as current
+    (ADVICE r8): unstamped artifacts and unknown shas read as stale; a
+    stamp is current only when no tracker-relevant code differs between
+    it and the working tree."""
+    import subprocess
+
+    import bench
+
+    assert bench._ann_isolated_staleness(None) is not None
+    assert bench._ann_isolated_staleness("0" * 40) is not None
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        cwd="/root/repo", timeout=10,
+    ).stdout.strip()
+    tree_clean = subprocess.run(
+        ["git", "diff", "--quiet", "HEAD", "--",
+         "european_emissions_data_warehouse_spark", "bench.py",
+         "tools/ann_isolated.py"],
+        cwd="/root/repo", capture_output=True, timeout=30,
+    ).returncode == 0
+    verdict = bench._ann_isolated_staleness(head)
+    if tree_clean:
+        assert verdict is None, verdict
+    else:
+        assert verdict is not None

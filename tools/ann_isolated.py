@@ -42,6 +42,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -120,6 +121,17 @@ def run_one(op: str, sf_dir: str) -> None:
     spark.stop()
 
 
+def _git_head() -> str | None:
+    """Working-tree HEAD sha for the provenance stamp (ADVICE r8: bench.py
+    must be able to tell a stale artifact from one produced at this code)."""
+    try:
+        r = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                           text=True, cwd=_REPO, timeout=10)
+        return r.stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -150,26 +162,37 @@ def main() -> None:
         cold: list[float] = []
         warm: list[float] = []
         for i in range(args.repeats):
+            # a hung child JVM must become the failed-run branch, not
+            # stall the sweep forever (code-review r8); 600 s is ~20x
+            # the slowest tracker's cold run + session startup.  The
+            # child gets its own process group (start_new_session) so a
+            # timeout kills the Spark JVM it spawned too — a plain child
+            # kill leaves a ~48g orphan JVM skewing every later run in
+            # the sweep (ADVICE r8).
+            child = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", op, "--sf-dir", args.sf_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=_REPO, start_new_session=True,
+            )
             try:
-                # a hung child JVM must become the failed-run branch, not
-                # stall the sweep forever (code-review r8); 600 s is ~20x
-                # the slowest tracker's cold run + session startup
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--one", op, "--sf-dir", args.sf_dir],
-                    capture_output=True, text=True, cwd=_REPO, timeout=600,
-                )
+                out_text, err_text = child.communicate(timeout=600)
             except subprocess.TimeoutExpired:
-                print(f"WARNING: {op} run {i} timed out after 600s",
-                      file=sys.stderr)
+                try:
+                    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    child.kill()
+                child.wait()
+                print(f"WARNING: {op} run {i} timed out after 600s "
+                      f"(process group killed)", file=sys.stderr)
                 continue
             line = next(
-                (ln for ln in proc.stdout.splitlines()
+                (ln for ln in out_text.splitlines()
                  if ln.startswith('{"op"')), None,
             )
-            if proc.returncode != 0 or line is None:
-                print(f"WARNING: {op} run {i} failed (exit={proc.returncode})\n"
-                      f"{proc.stderr[-2000:]}", file=sys.stderr)
+            if child.returncode != 0 or line is None:
+                print(f"WARNING: {op} run {i} failed (exit={child.returncode})\n"
+                      f"{err_text[-2000:]}", file=sys.stderr)
                 continue
             rec = json.loads(line)
             cold.append(rec["cold_sec"])
@@ -184,9 +207,11 @@ def main() -> None:
                         "min": min(warm)}
 
     total_repeats = args.repeats
+    merged_from_sha = None
     if args.merge_with and os.path.exists(args.merge_with):
         prior = json.load(open(args.merge_with))
         total_repeats += prior.get("repeats", 0)
+        merged_from_sha = prior.get("git_sha")
         for op, rec in prior.get("trackers", {}).items():
             if "error" in rec or op not in trackers or "error" in trackers[op]:
                 continue
@@ -207,8 +232,17 @@ def main() -> None:
                 "under 25% as noise",
         "sf_dir": args.sf_dir,
         "repeats": total_repeats,
+        # provenance stamp: bench.py refuses to embed this artifact as
+        # current when engine/bench code has changed since this sha
+        # (ADVICE r8 — a stale artifact silently presented as part of the
+        # round's authoritative record)
+        "git_sha": _git_head(),
         "trackers": trackers,
     }
+    if merged_from_sha and merged_from_sha != out["git_sha"]:
+        out["merged_from_sha"] = merged_from_sha
+        print(f"WARNING: merged pass was produced at {merged_from_sha[:12]}, "
+              f"this pass at {str(out['git_sha'])[:12]}", file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")

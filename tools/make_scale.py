@@ -167,7 +167,14 @@ def main() -> None:
             df = df.withColumn("n_chars", F.length("text").cast("long"))
         df = df.drop("_copy")
         if rows_cap is not None:
-            df = df.limit(rows_cap)
+            # deterministic cap (ADVICE r8): bare limit() picks whichever
+            # rows arrive first, so a regenerated cache (other machine,
+            # cleared /tmp) could hold a different subset and break
+            # round-over-round probe comparability.  The first shift key is
+            # globally unique after the stride shift (unique in base +
+            # copy*STRIDE), so order-by-key + limit selects the same rows
+            # every time; the extra sort is generation-only cost.
+            df = df.orderBy(F.col(keys[0])).limit(rows_cap)
         # 32 files, not whatever the crossJoin's lineage leaves: the x1000
         # embeddings run came out as ONE 110 MB file — under the engine's
         # 128 MB maxPartitionBytes that is a single scan split, so every
