@@ -160,6 +160,49 @@ def _ann_isolated_staleness(artifact_sha: str | None) -> str | None:
     return f"git diff failed (exit {r.returncode}): {r.stderr.strip()[:200]}"
 
 
+# Tracker-only workload scale for mutual_nn (VERDICT r8 item #3): the
+# registered query crosses ~199x182 vectors — its warm isolated runtime
+# (~1.0-1.5 s) sat below the protocol's noise floor, where cold-JIT
+# variance forced a "sub-1.5 s drift under 25% is noise" carve-out.  The
+# tracker now runs the SAME operator on the embeddings table stacked
+# this many times (shifted ids, per-copy deterministic sign flips so
+# cross-copy cosines decorrelate — the make_scale.py recipe inline), which
+# lifts warm compute above the ~2 s threshold where the +-10% band holds.
+# The registered query and its oracle are untouched.
+MUTUAL_NN_SCALE_COPIES = 4
+
+
+def mutual_nn_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        mutual_nn_pairs,
+    )
+    from european_emissions_data_warehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = spark.range(MUTUAL_NN_SCALE_COPIES).select(
+        F.col("id").alias("_copy")
+    )
+    scaled = (
+        emb.crossJoin(F.broadcast(copies))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * F.lit(1_000_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (
+                    F.lit(1)
+                    - F.lit(2) * F.pmod(F.hash(F.col("_copy"), i), F.lit(2))
+                ).cast("float"),
+            ),
+        )
+        .drop("_copy")
+    )
+    return mutual_nn_pairs(scaled, group_a=0, group_b=1)
+
+
 def mutual_nn_ann_plan(spark, sf_dir):
     # the IVF-candidate bitext miner is an operator, not a queries()
     # entry (its query twin is the exact baseline `mutual_nn`) — bench
@@ -358,10 +401,11 @@ def main() -> None:
             "pq_encode": pq_encode_plan,
             "ivfpq_build": ivfpq_build_plan,
             "ivfpq_search": make_ivfpq_search_plan(idx_dir),
-            # exact bitext baseline / two-level-clustered SemDeDup: the
-            # registered queries themselves — embedding-family, fixed-size
-            # like the rest of this table
-            "mutual_nn": qs.get("mutual_nn"),
+            # exact bitext baseline on the 4x-stacked workload (see
+            # mutual_nn_plan — the registered query was below the isolated
+            # protocol's noise floor); semdedup_scaled stays the registered
+            # query itself — embedding-family, fixed-size like the rest
+            "mutual_nn": mutual_nn_plan,
             "mutual_nn_ann": mutual_nn_ann_plan,
             "semdedup_scaled": qs.get("semdedup_scaled"),
         }

@@ -35,6 +35,11 @@ r8 calibration pair of warm passes, recorded in COVERAGE.md); drift beyond
 that means the box itself shifted — check the in-session ann_fixed numbers
 for the same shift before reading it as a regression.  Cold stats stay in
 the artifact alongside.
+
+Since r9 the mutual_nn tracker times bench.mutual_nn_plan — the same
+operator on a 4x-stacked embeddings workload — because the registered
+query's ~1 s warm compute sat below the floor where the ±10% band holds
+(VERDICT r8 item #3).  All six trackers now clear ~2 s warm.
 """
 
 from __future__ import annotations
@@ -72,7 +77,11 @@ def _resolve_plan(op: str, spark, sf_dir: str):
         # build + persist OUTSIDE the timer: serve-only, like bench.py
         idx_dir = bench.persist_ivfpq_index(spark, sf_dir)
         return bench.make_ivfpq_search_plan(idx_dir)
-    if op in ("mutual_nn", "semdedup_scaled"):
+    if op == "mutual_nn":
+        # the 6x-stacked tracker workload (VERDICT r8 item #3) — the
+        # registered query's ~1 s warm compute sat below the noise floor
+        return bench.mutual_nn_plan
+    if op == "semdedup_scaled":
         import __spark_entry__ as entrymod
 
         return entrymod.queries()[op]
@@ -226,10 +235,10 @@ def main() -> None:
                     "plans imported from bench.py; per process, the plan "
                     "runs twice — cold (includes the tracker's own JIT) "
                     "and warm; headline min is over the WARM runs",
-        "band": "calibration pair of full passes (r8): |warm-min delta| "
-                "<= 10% on every tracker with >= 2s of warm compute; the "
-                "~1s mutual_nn swung 22% — treat sub-1.5s tracker drift "
-                "under 25% as noise",
+        "band": "|warm-min delta| <= 10% on every tracker (r8 calibration "
+                "pair on the >=2s trackers; mutual_nn runs the 4x-stacked "
+                "workload since r9 so all six trackers clear the ~2s floor "
+                "where that band holds)",
         "sf_dir": args.sf_dir,
         "repeats": total_repeats,
         # provenance stamp: bench.py refuses to embed this artifact as
