@@ -273,8 +273,12 @@ def make_ivfpq_search_plan(index_path: str):
 
         emb = load_table(spark, sf_dir, "embeddings")
         index, coarse = ivfpq_load_index(spark, index_path)
+        # 400 query vectors since r9 (was 10): the 10-query serve wall was
+        # ~1 s warm in a fresh process — below the floor where the isolated
+        # protocol's +-10% band holds, same defect VERDICT r8 item #3
+        # called on mutual_nn.  Serve path and parameters are unchanged.
         return ivfpq_search(
-            emb.filter(F.col("vec_id") < 10), index, coarse,
+            emb.filter(F.col("vec_id") < 400), index, coarse,
             k=5, n_probe=3, rerank=100, raw_vectors=emb,
         )
     return ivfpq_search_plan

@@ -249,3 +249,212 @@ def cluster_zorder(
         )
 
     return _rewrite(spark, path, "__zorder", shape, target_file_mb)
+
+
+# --- batch-partitioned store compaction (streaming ingest layout) -----------
+#
+# streaming/ingest.run_neardup_dedup_stream lays its LSH store and output
+# corpus out as one `batch_id=N/` partition directory per trigger, written
+# with per-partition OVERWRITE so a crash-replayed batch rewrites its own
+# slice (the replay-safe layout).  The cost of that layout grows with
+# COMMIT COUNT, not data: after thousands of triggers every probe pays
+# O(n_batches) partition discovery and opens thousands of tiny files.
+# compact_batch_store is the retention lever: it folds FULLY-COMMITTED
+# partitions (ids <= a caller-supplied high-water mark, strictly below the
+# newest partition, which must stay replay-overwritable) into the lowest
+# folded id as right-sized files.  New triggers keep appending fresh
+# batch_id partitions above the mark; ids never collide.
+#
+# Crash safety mirrors this module's swap protocol, extended to the
+# multi-directory case with a root-level manifest so every window is
+# resumable (roll forward once sources start moving, roll back before):
+#   1. write the folded data to `_compact_stage/` (underscore-prefixed —
+#      invisible to partition discovery), copy the store's `_minhash_params`
+#      convention file in if present;
+#   2. write `_compact_manifest` (the folded ids + target) at the root —
+#      the commit point: no source directory moves before it exists;
+#   3. rename each folded `batch_id=N/` into `_compact_trash/`;
+#   4. rename the stage over `batch_id=<lo>/`;
+#   5. delete the trash, then the manifest.
+# recover_interrupted_compaction heals any window at the next entry.  Like
+# compact_parquet's swap, a reader racing steps 3-4 can see missing rows
+# for an instant — this is a single-writer maintenance op, run between
+# triggers.
+
+_COMPACT_STAGE = "_compact_stage"
+_COMPACT_TRASH = "_compact_trash"
+_COMPACT_MANIFEST = "_compact_manifest"
+
+
+def _store_fs(spark: SparkSession, store_path: str):
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, path_cls, fs
+
+
+def _batch_partitions(path_cls, fs, store_path: str) -> dict[int, object]:
+    """{batch_id: Path} for every `batch_id=N` directory under the store."""
+    root = path_cls(store_path)
+    out: dict[int, object] = {}
+    if not fs.exists(root):
+        return out
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            out[int(name.split("=", 1)[1])] = st.getPath()
+    return out
+
+
+def recover_interrupted_compaction(spark: SparkSession, store_path: str) -> None:
+    """Heal a crashed compact_batch_store at any protocol window; no-op on
+    a clean store.  Called at compact entry; safe to call any time the
+    store is quiescent (e.g. before restarting the stream)."""
+    import json as _json
+
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        read_small_text,
+    )
+
+    _jvm, path_cls, fs = _store_fs(spark, store_path)
+    root = store_path.rstrip("/")
+    stage_p = path_cls(f"{root}/{_COMPACT_STAGE}")
+    trash_p = path_cls(f"{root}/{_COMPACT_TRASH}")
+    manifest = read_small_text(spark, f"{root}/{_COMPACT_MANIFEST}")
+    if manifest is None:
+        # crash before the commit point: sources untouched, discard stage
+        if fs.exists(stage_p):
+            fs.delete(stage_p, True)
+        # trash without a manifest cannot be left by this protocol (the
+        # manifest outlives the trash); nothing else to do
+        return
+    meta = _json.loads(manifest)
+    lo, ids = int(meta["lo"]), [int(i) for i in meta["ids"]]
+    if fs.exists(stage_p):
+        # crash mid-roll-forward: finish moving sources, publish the stage
+        fs.mkdirs(trash_p)
+        for n in ids:
+            src = path_cls(f"{root}/batch_id={n}")
+            if fs.exists(src) and not fs.rename(
+                src, path_cls(f"{root}/{_COMPACT_TRASH}/batch_id={n}")
+            ):
+                raise IOError(f"compact recover: rename batch_id={n} failed")
+        if not fs.rename(stage_p, path_cls(f"{root}/batch_id={lo}")):
+            raise IOError(f"compact recover: publish batch_id={lo} failed")
+    # stage published (just now or before the crash): clear trash + manifest
+    if fs.exists(trash_p):
+        fs.delete(trash_p, True)
+    fs.delete(path_cls(f"{root}/{_COMPACT_MANIFEST}"), False)
+
+
+def compact_batch_store(
+    spark: SparkSession,
+    store_path: str,
+    upto_batch_id: int,
+    target_file_mb: int = 128,
+) -> dict:
+    """Fold the store's `batch_id=N` partitions with N <= upto_batch_id
+    into one right-sized `batch_id=<lowest folded>` partition.
+
+    ``upto_batch_id`` must be strictly below the newest partition id: the
+    newest batch is the only one a crash-restarted stream can re-deliver
+    (earlier ids are committed in the checkpoint), and its partition must
+    remain individually overwritable.  Enforced here from the layout alone.
+
+    Returns {"partitions_before", "partitions_after", "files_before",
+    "files_after", "folded"}; a no-op (fewer than two foldable partitions)
+    returns with folded == 0.
+    """
+    import json as _json
+
+    recover_interrupted_compaction(spark, store_path)
+    _jvm, path_cls, fs = _store_fs(spark, store_path)
+    root = store_path.rstrip("/")
+    parts = _batch_partitions(path_cls, fs, root)
+    if not parts:
+        raise FileNotFoundError(f"compact: no batch_id partitions at {root}")
+    max_id = max(parts)
+    if upto_batch_id >= max_id:
+        raise ValueError(
+            f"compact: upto_batch_id={upto_batch_id} must be < the newest "
+            f"partition ({max_id}) — the newest batch must stay "
+            "replay-overwritable"
+        )
+    fold = sorted(n for n in parts if n <= upto_batch_id)
+
+    def _count_files(paths) -> int:
+        return sum(
+            1
+            for p in paths
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    files_before = _count_files(parts.values())
+    if len(fold) < 2:
+        return {
+            "partitions_before": len(parts), "partitions_after": len(parts),
+            "files_before": files_before, "files_after": files_before,
+            "folded": 0,
+        }
+    lo = fold[0]
+    fold_bytes = sum(
+        st.getLen()
+        for n in fold
+        for st in fs.listStatus(parts[n])
+        if st.getPath().getName().endswith(".parquet")
+    )
+    n_target = max(1, round(fold_bytes / (target_file_mb * 1024 * 1024)))
+
+    # 1. stage: one read over exactly the folded partition dirs (no
+    # batch_id column in the data files, so the fold is schema-neutral)
+    stage = f"{root}/{_COMPACT_STAGE}"
+    spark.read.parquet(*[f"{root}/batch_id={n}" for n in fold]).repartition(
+        n_target
+    ).write.mode("overwrite").parquet(stage)
+    # preserve the store's recorded MinHash convention (underscore file,
+    # consulted by _read_minhash_params one level down): the folded lo
+    # partition may be the only one carrying it
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        _read_minhash_params,
+        _write_minhash_params,
+    )
+
+    params = _read_minhash_params(spark, root)
+    if params is not None and {"k", "unit", "num_hashes", "bands"} <= set(params):
+        _write_minhash_params(
+            spark, stage, int(params["k"]), params["unit"],
+            int(params["num_hashes"]), int(params["bands"]),
+        )
+
+    # 2. commit point
+    manifest_p = path_cls(f"{root}/{_COMPACT_MANIFEST}")
+    out_stream = fs.create(manifest_p, True)
+    try:
+        out_stream.write(
+            bytearray(_json.dumps({"lo": lo, "ids": fold}), "utf-8")
+        )
+    finally:
+        out_stream.close()
+
+    # 3.-5. move sources aside, publish, clean up
+    trash_p = path_cls(f"{root}/{_COMPACT_TRASH}")
+    fs.mkdirs(trash_p)
+    for n in fold:
+        if not fs.rename(
+            parts[n], path_cls(f"{root}/{_COMPACT_TRASH}/batch_id={n}")
+        ):
+            raise IOError(f"compact: rename batch_id={n} aside failed")
+    if not fs.rename(path_cls(stage), path_cls(f"{root}/batch_id={lo}")):
+        raise IOError(f"compact: publish batch_id={lo} failed")
+    fs.delete(trash_p, True)
+    fs.delete(manifest_p, False)
+
+    parts_after = _batch_partitions(path_cls, fs, root)
+    return {
+        "partitions_before": len(parts),
+        "partitions_after": len(parts_after),
+        "files_before": files_before,
+        "files_after": _count_files(parts_after.values()),
+        "folded": len(fold),
+    }

@@ -33,6 +33,24 @@ Prints one JSON line:
     {"arm", "scale", "probe_rows", "bootstrap_sec",
      "probe_secs": [s1, s2, s3], "probe_min", "state_rows"}
 
+Commit-count ladder mode (VERDICT r8 item #4) — the decade the standard
+protocol can't see: per-trigger cost as COMMITS accumulate (store
+batch_id partitions + checkpoint history), with an optional mid-ladder
+compaction of the LSH store (operators/maintenance.compact_batch_store)
+to show the O(n_batches) partition-discovery term recovering:
+
+    python tools/streaming_probe.py neardup --scale 100000 \
+        --ladder 400 [--ladder-probe 500] [--compact-at 200]
+
+One big disjoint source is generated once and split into `--ladder`
+fixed-size trigger slices (fresh ids/tokens per trigger, so every drain
+measures probing, not an all-duplicates batch); each drain is timed
+wall-clock like the standard protocol.  Prints one JSON line:
+    {"arm": "neardup", "mode": "ladder", "scale", "ladder", "probe_rows",
+     "bootstrap_sec", "walls": [...], "store_partitions": [...],
+     "compact": {"at", "sec", ...compact_batch_store result} | null,
+     "state_rows"}
+
 Each drain includes ~1-2 s of structured-streaming query startup (constant,
 part of real per-trigger cost under availableNow batch scheduling); the
 flatness claim is therefore conservative — startup noise can only push the
@@ -94,7 +112,18 @@ def main() -> None:
                          "2000 docs)")
     ap.add_argument("--work", default="/tmp/streaming_probe")
     ap.add_argument("--sp", type=int, default=32)
+    ap.add_argument("--ladder", type=int, default=None,
+                    help="commit-count ladder: drain this many fixed-size "
+                         "probe triggers after bootstrap (neardup only)")
+    ap.add_argument("--ladder-probe", type=int, default=500,
+                    help="rows per ladder trigger (default 500, the r8 "
+                         "40-drain ladder's size)")
+    ap.add_argument("--compact-at", type=int, default=None,
+                    help="after this 0-based ladder trigger, compact the "
+                         "LSH store's committed batch partitions and time it")
     args = ap.parse_args()
+    if args.ladder is not None and args.arm != "neardup":
+        raise SystemExit("--ladder is the LSH-store commit ladder: neardup only")
     probe_rows = args.probe or (2000 if args.arm == "neardup" else 100000)
 
     from european_emissions_data_warehouse_spark.session import get_session
@@ -131,10 +160,36 @@ def main() -> None:
         1, (probe_rows + _per_copy_rows(table) - 1) // _per_copy_rows(table)
     )
     boot_src = source("boot", args.scale, 0)
-    probe_srcs = [
-        source(f"probe{i}", probe_rows, 100_000 + i * probe_copies)
-        for i in range(PROBE_REPEATS)
-    ]
+    probe_srcs = []
+    ladder_split = None
+    if args.ladder is None:
+        probe_srcs = [
+            source(f"probe{i}", probe_rows, 100_000 + i * probe_copies)
+            for i in range(PROBE_REPEATS)
+        ]
+    else:
+        # one big disjoint slice (copy space 1M+, far above boot/probe
+        # offsets), split ONCE into fixed-size trigger dirs by doc_id
+        # order — fresh ids/tokens every trigger, one generation job
+        total = args.ladder * args.ladder_probe
+        base = source("ladder", total, 1_000_000)
+        ladder_split = (
+            f"{args.work}/split_{table}_ladder_{args.ladder}x{args.ladder_probe}"
+        )
+        if not os.path.isdir(ladder_split):
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(base)
+            df = df.withColumn(
+                "_rn", F.row_number().over(Window.orderBy("doc_id")) - 1
+            )
+            df = df.withColumn(
+                "trig", (F.col("_rn") / args.ladder_probe).cast("int")
+            ).drop("_rn")
+            tmp = f"{ladder_split}__tmp"
+            df.write.mode("overwrite").partitionBy("trig").parquet(tmp)
+            os.rename(tmp, ladder_split)
 
     run = f"{args.work}/run_{args.arm}_{args.scale}"
     shutil.rmtree(run, ignore_errors=True)
@@ -201,6 +256,62 @@ def main() -> None:
 
     land(boot_src, "b0")
     bootstrap_sec = drain()
+
+    if args.ladder is not None:
+        from european_emissions_data_warehouse_spark.operators.maintenance import (
+            compact_batch_store,
+        )
+
+        def store_partition_count() -> int:
+            return sum(
+                1 for d in os.listdir(state) if d.startswith("batch_id=")
+            )
+
+        walls: list[float] = []
+        store_parts: list[int] = []
+        compact_rec = None
+        for t in range(args.ladder):
+            land(f"{ladder_split}/trig={t}", f"l{t}")
+            walls.append(round(drain(), 3))
+            store_parts.append(store_partition_count())
+            if (t + 1) % 50 == 0:
+                print(
+                    f"ladder {t + 1}/{args.ladder}: wall {walls[-1]}s, "
+                    f"store partitions {store_parts[-1]}",
+                    file=sys.stderr, flush=True,
+                )
+            if args.compact_at is not None and t == args.compact_at:
+                newest = max(
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(state)
+                    if d.startswith("batch_id=")
+                )
+                t0 = time.perf_counter()
+                res = compact_batch_store(
+                    spark, state, upto_batch_id=newest - 1
+                )
+                compact_rec = {
+                    "at": t,
+                    "sec": round(time.perf_counter() - t0, 3),
+                    **res,
+                }
+                print(f"compact @{t}: {compact_rec}", file=sys.stderr,
+                      flush=True)
+        print(json.dumps({
+            "arm": args.arm,
+            "mode": "ladder",
+            "scale": args.scale,
+            "ladder": args.ladder,
+            "probe_rows": args.ladder_probe,
+            "bootstrap_sec": round(bootstrap_sec, 3),
+            "walls": walls,
+            "store_partitions": store_parts,
+            "compact": compact_rec,
+            "state_rows": spark.read.parquet(state).count(),
+        }))
+        spark.stop()
+        return
+
     probe_secs = []
     for i, src_path in enumerate(probe_srcs):
         land(src_path, f"p{i}")
