@@ -287,10 +287,12 @@ _COMPACT_MANIFEST = "_compact_manifest"
 
 
 def _store_fs(spark: SparkSession, store_path: str):
-    jvm = spark._jvm
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    return jvm, path_cls, fs
+    # snapshots._fs is THE consolidated jvm+path-aware FS resolver
+    # (code-review r4); this only adds the Path class handle callers need
+    from european_emissions_data_warehouse_spark.operators.snapshots import _fs
+
+    jvm, fs = _fs(spark, store_path)
+    return jvm, jvm.org.apache.hadoop.fs.Path, fs
 
 
 def _batch_partitions(path_cls, fs, store_path: str) -> dict[int, object]:
@@ -323,8 +325,12 @@ def recover_interrupted_compaction(spark: SparkSession, store_path: str) -> None
     manifest = read_small_text(spark, f"{root}/{_COMPACT_MANIFEST}")
     if manifest is None:
         # crash before the commit point: sources untouched, discard stage
+        # and any half-written manifest temp (both pre-commit artifacts)
         if fs.exists(stage_p):
             fs.delete(stage_p, True)
+        tmp_p = path_cls(f"{root}/{_COMPACT_MANIFEST}__tmp")
+        if fs.exists(tmp_p):
+            fs.delete(tmp_p, False)
         # trash without a manifest cannot be left by this protocol (the
         # manifest outlives the trash); nothing else to do
         return
@@ -427,15 +433,21 @@ def compact_batch_store(
             int(params["num_hashes"]), int(params["bands"]),
         )
 
-    # 2. commit point
+    # 2. commit point — written to a temp name and renamed into place:
+    # the manifest must appear atomically, or a crash mid-write would
+    # leave a torn file that wedges every later recover (json parse
+    # error) even though no source has moved (code-review r9)
     manifest_p = path_cls(f"{root}/{_COMPACT_MANIFEST}")
-    out_stream = fs.create(manifest_p, True)
+    manifest_tmp = path_cls(f"{root}/{_COMPACT_MANIFEST}__tmp")
+    out_stream = fs.create(manifest_tmp, True)
     try:
         out_stream.write(
             bytearray(_json.dumps({"lo": lo, "ids": fold}), "utf-8")
         )
     finally:
         out_stream.close()
+    if not fs.rename(manifest_tmp, manifest_p):
+        raise IOError("compact: manifest publish rename failed")
 
     # 3.-5. move sources aside, publish, clean up
     trash_p = path_cls(f"{root}/{_COMPACT_TRASH}")

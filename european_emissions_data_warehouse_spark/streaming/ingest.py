@@ -771,6 +771,20 @@ def run_neardup_dedup_stream(
         )
         survivors.write.mode("overwrite").parquet(out_part)
 
+    # Heal any crashed compact_batch_store BEFORE the first trigger: a
+    # mid-compact crash leaves folded band rows invisible (moved into the
+    # underscore-prefixed trash/stage), and probing that store would
+    # silently admit near-duplicates of every folded document into the
+    # committed corpus — the same silent-state-loss class the _generation
+    # guard above refuses loudly (code-review r9).  No-op on clean stores;
+    # the output corpus shares the batch_id layout, so heal it too.
+    from european_emissions_data_warehouse_spark.operators.maintenance import (
+        recover_interrupted_compaction,
+    )
+
+    recover_interrupted_compaction(spark, store_path)
+    recover_interrupted_compaction(spark, out_path)
+
     (
         stream.writeStream.foreachBatch(dedup_batch)
         .outputMode("append")

@@ -106,22 +106,24 @@ def test_ann_isolated_provenance_gate():
     (ADVICE r8): unstamped artifacts and unknown shas read as stale; a
     stamp is current only when no tracker-relevant code differs between
     it and the working tree."""
+    import os
     import subprocess
 
     import bench
 
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
     assert bench._ann_isolated_staleness(None) is not None
     assert bench._ann_isolated_staleness("0" * 40) is not None
 
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
-        cwd="/root/repo", timeout=10,
+        cwd=repo, timeout=10,
     ).stdout.strip()
     tree_clean = subprocess.run(
         ["git", "diff", "--quiet", "HEAD", "--",
          "european_emissions_data_warehouse_spark", "bench.py",
          "tools/ann_isolated.py"],
-        cwd="/root/repo", capture_output=True, timeout=30,
+        cwd=repo, capture_output=True, timeout=30,
     ).returncode == 0
     verdict = bench._ann_isolated_staleness(head)
     if tree_clean:

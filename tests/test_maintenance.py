@@ -323,3 +323,89 @@ def test_compact_batch_store_recovery_windows(spark, tmp_path):
         map(tuple, spark.read.parquet(store).select("id", "val").collect())
     ) == want
     _shutil.rmtree(store)
+
+
+def test_compact_manifest_publish_is_atomic_and_tmp_is_healed(spark, tmp_path):
+    """A half-written manifest temp (crash mid-write, pre-commit) must be
+    discarded by recovery, and a completed compact leaves neither the temp
+    nor the manifest behind (code-review r9: the manifest used to be
+    created in place, so a torn write wedged every later recover)."""
+    import os
+
+    from european_emissions_data_warehouse_spark.operators.maintenance import (
+        compact_batch_store,
+        recover_interrupted_compaction,
+    )
+
+    store = str(tmp_path / "store")
+    _fake_batch_store(spark, store, 3)
+    want = sorted(
+        map(tuple, spark.read.parquet(store).select("id", "val").collect())
+    )
+    with open(f"{store}/_compact_manifest__tmp", "w") as f:
+        f.write('{"lo": 0, "ids"')  # torn json
+    recover_interrupted_compaction(spark, store)
+    assert not os.path.exists(f"{store}/_compact_manifest__tmp")
+
+    res = compact_batch_store(spark, store, upto_batch_id=1)
+    assert res["folded"] == 2
+    assert not os.path.exists(f"{store}/_compact_manifest__tmp")
+    assert not os.path.exists(f"{store}/_compact_manifest")
+    assert sorted(
+        map(tuple, spark.read.parquet(store).select("id", "val").collect())
+    ) == want
+
+
+def test_neardup_stream_heals_interrupted_compaction(spark, sf_dir, tmp_path):
+    """A stream restarted over a mid-compact crash must NOT probe the
+    partial store (folded band rows invisible -> near-dups silently
+    admitted); run_neardup_dedup_stream heals via
+    recover_interrupted_compaction before its first trigger
+    (code-review r9)."""
+    import json as _json
+    import os
+
+    from european_emissions_data_warehouse_spark.streaming.ingest import (
+        run_neardup_dedup_stream,
+        stream_from_directory,
+    )
+
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").limit(60).localCheckpoint()
+    for i in range(2):
+        docs.filter((F.col("doc_id") % 2) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_neardup_dedup_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        store, out, ck,
+    )
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # simulate the worst crash window: batch 0's rows staged+moved aside,
+    # stage not yet published — the store is missing batch-0 band rows
+    spark.read.parquet(f"{store}/batch_id=0").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/_compact_stage")
+    with open(f"{store}/_compact_manifest", "w") as f:
+        f.write(_json.dumps({"lo": 0, "ids": [0]}))
+    os.makedirs(f"{store}/_compact_trash")
+    os.rename(f"{store}/batch_id=0", f"{store}/_compact_trash/batch_id=0")
+
+    # third batch: near-dups of the WHOLE corpus (shifted ids) — without
+    # the heal, every dup of a batch-0 doc would be admitted
+    docs.withColumn("doc_id", F.col("doc_id") + 1000).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run_neardup_dedup_stream(
+        stream_from_directory(spark, landing, schema, max_files_per_trigger=1),
+        store, out, ck,
+    )
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == kept1, "healed store must suppress all re-streamed docs"
+    assert not os.path.exists(f"{store}/_compact_manifest")
+    assert not os.path.exists(f"{store}/_compact_trash")

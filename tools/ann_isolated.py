@@ -78,7 +78,8 @@ def _resolve_plan(op: str, spark, sf_dir: str):
         idx_dir = bench.persist_ivfpq_index(spark, sf_dir)
         return bench.make_ivfpq_search_plan(idx_dir)
     if op == "mutual_nn":
-        # the 6x-stacked tracker workload (VERDICT r8 item #3) — the
+        # the stacked tracker workload (bench.MUTUAL_NN_SCALE_COPIES
+        # copies; VERDICT r8 item #3) — the
         # registered query's ~1 s warm compute sat below the noise floor
         return bench.mutual_nn_plan
     if op == "semdedup_scaled":
@@ -130,15 +131,61 @@ def run_one(op: str, sf_dir: str) -> None:
     spark.stop()
 
 
+# the pathspec bench._ann_isolated_staleness diffs — the code whose change
+# invalidates tracker numbers
+_TRACKER_PATHS = (
+    "european_emissions_data_warehouse_spark", "bench.py",
+    "tools/ann_isolated.py",
+)
+
+
 def _git_head() -> str | None:
-    """Working-tree HEAD sha for the provenance stamp (ADVICE r8: bench.py
-    must be able to tell a stale artifact from one produced at this code)."""
+    """HEAD sha for the provenance stamp (ADVICE r8), or None when the
+    working tree is DIRTY over the tracker-relevant paths: a dirty-tree
+    artifact would carry a sha that does not describe the measured code,
+    yielding both false-stale and false-current verdicts from bench's
+    gate later (code-review r9).  An unstamped artifact reads as stale —
+    the honest verdict for unreproducible provenance."""
     try:
         r = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                            text=True, cwd=_REPO, timeout=10)
-        return r.stdout.strip() or None
+        sha = r.stdout.strip() or None
+        if sha is None:
+            return None
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--", *_TRACKER_PATHS],
+            capture_output=True, text=True, cwd=_REPO, timeout=10,
+        )
+        if st.returncode != 0 or st.stdout.strip():
+            print("WARNING: tracker-relevant paths are dirty vs HEAD — "
+                  "artifact left unstamped (reads as stale); commit first "
+                  "for an attributable artifact", file=sys.stderr)
+            return None
+        return sha
     except (OSError, subprocess.SubprocessError):
         return None
+
+
+def _prior_merge_refusal(prior_sha: str | None) -> str | None:
+    """None when runs from the prior artifact are comparable with runs
+    measured on the current working tree; else the refusal reason.  Same
+    tracker-relevant-diff test as bench's embed gate — without it, merged
+    warm-mins could mix old-code runs under a current stamp, defeating
+    the provenance fix (code-review r9)."""
+    if prior_sha is None:
+        return "prior artifact is unstamped (pre-r9 or dirty-tree)"
+    try:
+        d = subprocess.run(
+            ["git", "diff", "--quiet", prior_sha, "--", *_TRACKER_PATHS],
+            capture_output=True, text=True, cwd=_REPO, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError) as exc:
+        return f"provenance check failed: {exc}"
+    if d.returncode == 1:
+        return f"tracker-relevant code changed since {prior_sha[:12]}"
+    if d.returncode != 0:
+        return f"git diff failed (exit {d.returncode}): {d.stderr.strip()[:200]}"
+    return None
 
 
 def main() -> None:
@@ -219,6 +266,13 @@ def main() -> None:
     merged_from_sha = None
     if args.merge_with and os.path.exists(args.merge_with):
         prior = json.load(open(args.merge_with))
+        refusal = _prior_merge_refusal(prior.get("git_sha"))
+        if refusal:
+            raise SystemExit(
+                f"--merge-with refused: {refusal} — merging would mix "
+                "runs measured on different code under one stamp; rerun "
+                "both passes on the current code instead"
+            )
         total_repeats += prior.get("repeats", 0)
         merged_from_sha = prior.get("git_sha")
         for op, rec in prior.get("trackers", {}).items():
@@ -249,9 +303,9 @@ def main() -> None:
         "trackers": trackers,
     }
     if merged_from_sha and merged_from_sha != out["git_sha"]:
+        # comparability was already enforced by _prior_merge_refusal (shas
+        # may differ only by non-tracker commits); recorded for the record
         out["merged_from_sha"] = merged_from_sha
-        print(f"WARNING: merged pass was produced at {merged_from_sha[:12]}, "
-              f"this pass at {str(out['git_sha'])[:12]}", file=sys.stderr)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
