@@ -874,17 +874,15 @@ def _write_minhash_params(
     different gram identities or bucket hashes and silently detects NO
     duplicates — the exact failure class _band_from_sigs' divisibility
     guard exists to prevent (code-review r4)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{store_path.rstrip('/')}/{_MINHASH_PARAMS_FILE}"
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        write_small_text,
     )
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    body = f"k={k}\nunit={unit}\nnum_hashes={num_hashes}\nbands={bands}"
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(body, "utf-8"))
-    finally:
-        out.close()
+
+    write_small_text(
+        spark,
+        f"{store_path.rstrip('/')}/{_MINHASH_PARAMS_FILE}",
+        f"k={k}\nunit={unit}\nnum_hashes={num_hashes}\nbands={bands}",
+    )
 
 
 def _read_minhash_params(spark, store_path: str) -> dict[str, str] | None:

@@ -347,9 +347,17 @@ def recover_interrupted_compaction(spark: SparkSession, store_path: str) -> None
                 raise IOError(f"compact recover: rename batch_id={n} failed")
         if not fs.rename(stage_p, path_cls(f"{root}/batch_id={lo}")):
             raise IOError(f"compact recover: publish batch_id={lo} failed")
-    # stage published (just now or before the crash): clear trash + manifest
-    if fs.exists(trash_p):
-        fs.delete(trash_p, True)
+    # stage published (just now or before the crash): clear trash, THEN the
+    # manifest — and only on a confirmed trash delete.  Hadoop delete
+    # reports several failure modes by returning false rather than
+    # raising; removing the manifest after a silently-failed trash delete
+    # would strand `_compact_trash/` in the exact "trash without a
+    # manifest" state the pre-commit branch above declares impossible and
+    # skips, leaking every folded partition on disk permanently
+    # (code-review r9, second pass).  Raising instead keeps the manifest,
+    # so the next recover retries this cleanup.
+    if fs.exists(trash_p) and not fs.delete(trash_p, True):
+        raise IOError(f"compact recover: delete {root}/{_COMPACT_TRASH} failed")
     fs.delete(path_cls(f"{root}/{_COMPACT_MANIFEST}"), False)
 
 
@@ -437,15 +445,15 @@ def compact_batch_store(
     # the manifest must appear atomically, or a crash mid-write would
     # leave a torn file that wedges every later recover (json parse
     # error) even though no source has moved (code-review r9)
+    from european_emissions_data_warehouse_spark.operators.snapshots import (
+        write_small_text,
+    )
+
     manifest_p = path_cls(f"{root}/{_COMPACT_MANIFEST}")
     manifest_tmp = path_cls(f"{root}/{_COMPACT_MANIFEST}__tmp")
-    out_stream = fs.create(manifest_tmp, True)
-    try:
-        out_stream.write(
-            bytearray(_json.dumps({"lo": lo, "ids": fold}), "utf-8")
-        )
-    finally:
-        out_stream.close()
+    write_small_text(
+        spark, manifest_tmp.toString(), _json.dumps({"lo": lo, "ids": fold})
+    )
     if not fs.rename(manifest_tmp, manifest_p):
         raise IOError("compact: manifest publish rename failed")
 
@@ -459,7 +467,15 @@ def compact_batch_store(
             raise IOError(f"compact: rename batch_id={n} aside failed")
     if not fs.rename(path_cls(stage), path_cls(f"{root}/batch_id={lo}")):
         raise IOError(f"compact: publish batch_id={lo} failed")
-    fs.delete(trash_p, True)
+    # confirmed trash delete BEFORE the manifest goes: deleting the
+    # manifest after a silently-failed trash delete (Hadoop delete returns
+    # false on several failure modes) would leave trash-without-manifest —
+    # the one state recover_interrupted_compaction's pre-commit branch
+    # skips by protocol invariant — permanently leaking the folded
+    # partitions (code-review r9, second pass).  Raising keeps the
+    # manifest, and the next recover (or compact entry) retries cleanup.
+    if not fs.delete(trash_p, True):
+        raise IOError(f"compact: delete {root}/{_COMPACT_TRASH} failed")
     fs.delete(manifest_p, False)
 
     parts_after = _batch_partitions(path_cls, fs, root)

@@ -68,6 +68,23 @@ def read_small_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def write_small_text(spark: SparkSession, path: str, body: str) -> None:
+    """Driver-side overwrite-write of one small text file through the
+    path's Hadoop filesystem — read_small_text's write twin.  THE shared
+    helper for manifest/marker/metadata writes: the create + bytearray +
+    close-in-finally sequence had re-accumulated as four hand-synced
+    copies across snapshots/ingest/dedup/maintenance, the same drift the
+    read side consolidated in r4 (code-review r9, second pass).  Callers
+    that need atomic visibility write to a temp name and rename — this
+    helper only writes."""
+    jvm, fs = _fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(body, "utf-8"))
+    finally:
+        out.close()
+
+
 class SnapshotTable:
     """A versioned parquet table at ``path`` (see module docstring)."""
 
@@ -131,11 +148,7 @@ class SnapshotTable:
         fs.mkdirs(self._jpath(self.commits_dir))
         tmp = f"{self.commits_dir}/.tmp_{version:08d}_{uuid.uuid4().hex[:8]}"
         body = data_dir + "".join(f"\n{k}={v}" for k, v in (meta or {}).items())
-        out = fs.create(self._jpath(tmp), True)
-        try:
-            out.write(bytearray(body, "utf-8"))
-        finally:
-            out.close()
+        write_small_text(self.spark, tmp, body)
         final = self._jpath(f"{self.commits_dir}/{version:08d}")
         # rename-without-overwrite = atomic CAS on HDFS-compatible FS
         if not fs.rename(self._jpath(tmp), final):

@@ -735,11 +735,11 @@ def run_neardup_dedup_stream(
                 batch.limit(0), store_part, id_col=id_col, text_col=text_col,
                 k=k, unit=unit, num_hashes=num_hashes, bands=bands,
             )
-            out_stream = fs.create(marker_p, True)
-            try:
-                out_stream.write(bytearray(gen or "", "utf-8"))
-            finally:
-                out_stream.close()
+            from european_emissions_data_warehouse_spark.operators.snapshots import (
+                write_small_text,
+            )
+
+            write_small_text(spark, marker_p.toString(), gen or "")
         # with_band_table: the probe already built and checkpointed the
         # whole batch's band table — reuse it for the store write below
         # instead of re-running the dominant signature stage over raw text

@@ -130,3 +130,41 @@ def test_ann_isolated_provenance_gate():
         assert verdict is None, verdict
     else:
         assert verdict is not None
+
+
+def test_ann_isolated_merge_validation_fails_fast_before_the_sweep():
+    """tools/ann_isolated.py must validate --merge-with BEFORE spending
+    tens of minutes on isolated runs (code-review r9, second pass): a
+    nonexistent path is a loud error (not a silently lower-repeat
+    artifact), and a refused merge exits before any child process runs.
+    Both invocations finish in seconds only if validation is pre-sweep —
+    a single tracker child alone takes >30 s."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import bench
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    tool = os.path.join(repo, "tools", "ann_isolated.py")
+
+    r = subprocess.run(
+        [sys.executable, tool, "--merge-with", "/nonexistent/artifact.json"],
+        capture_output=True, text=True, timeout=25, cwd=repo,
+    )
+    assert r.returncode != 0
+    assert "does not exist" in (r.stderr + r.stdout)
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        f.write('{"git_sha": null, "repeats": 3, "trackers": {}}')
+        unstamped = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, tool, "--merge-with", unstamped],
+            capture_output=True, text=True, timeout=25, cwd=repo,
+        )
+        assert r.returncode != 0
+        assert "refused" in (r.stderr + r.stdout)
+    finally:
+        os.unlink(unstamped)

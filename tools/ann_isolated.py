@@ -213,6 +213,31 @@ def main() -> None:
         return {"min": vals[0], "med": round(med, 3), "max": vals[-1],
                 "runs": vals}
 
+    # Fail-fast provenance validation BEFORE the sweep (code-review r9,
+    # second pass): both checks depend only on the prior artifact and the
+    # working tree, but used to run after it — a refused merge or a typo'd
+    # --merge-with path surfaced only once tens of minutes of isolated
+    # runs had already been spent (and the typo case didn't surface at
+    # all: the sweep silently wrote a lower-repeat artifact than the
+    # documented min-of-6 protocol).
+    prior: dict | None = None
+    if args.merge_with:
+        if not os.path.exists(args.merge_with):
+            raise SystemExit(
+                f"--merge-with {args.merge_with!r} does not exist — refusing "
+                "to run a sweep that would silently publish a "
+                f"{args.repeats}-repeat artifact where a merged one was asked for"
+            )
+        prior = json.load(open(args.merge_with))
+        refusal = _prior_merge_refusal(prior.get("git_sha"))
+        if refusal:
+            raise SystemExit(
+                f"--merge-with refused: {refusal} — merging would mix "
+                "runs measured on different code under one stamp; rerun "
+                "both passes on the current code instead"
+            )
+    pre_sweep_sha = _git_head()  # warns now (not post-sweep) when dirty
+
     trackers: dict[str, dict] = {}
     for op in TRACKERS:
         cold: list[float] = []
@@ -264,15 +289,7 @@ def main() -> None:
 
     total_repeats = args.repeats
     merged_from_sha = None
-    if args.merge_with and os.path.exists(args.merge_with):
-        prior = json.load(open(args.merge_with))
-        refusal = _prior_merge_refusal(prior.get("git_sha"))
-        if refusal:
-            raise SystemExit(
-                f"--merge-with refused: {refusal} — merging would mix "
-                "runs measured on different code under one stamp; rerun "
-                "both passes on the current code instead"
-            )
+    if prior is not None:
         total_repeats += prior.get("repeats", 0)
         merged_from_sha = prior.get("git_sha")
         for op, rec in prior.get("trackers", {}).items():
@@ -298,8 +315,11 @@ def main() -> None:
         # provenance stamp: bench.py refuses to embed this artifact as
         # current when engine/bench code has changed since this sha
         # (ADVICE r8 — a stale artifact silently presented as part of the
-        # round's authoritative record)
-        "git_sha": _git_head(),
+        # round's authoritative record).  Stamped only when the tree was
+        # clean before AND after the sweep at the same sha — a commit or
+        # edit landing mid-sweep means the runs describe mixed code, and
+        # the honest verdict is unstamped (reads as stale).
+        "git_sha": pre_sweep_sha if _git_head() == pre_sweep_sha else None,
         "trackers": trackers,
     }
     if merged_from_sha and merged_from_sha != out["git_sha"]:

@@ -170,11 +170,15 @@ def main() -> None:
             # deterministic cap (ADVICE r8): bare limit() picks whichever
             # rows arrive first, so a regenerated cache (other machine,
             # cleared /tmp) could hold a different subset and break
-            # round-over-round probe comparability.  The first shift key is
-            # globally unique after the stride shift (unique in base +
-            # copy*STRIDE), so order-by-key + limit selects the same rows
-            # every time; the extra sort is generation-only cost.
-            df = df.orderBy(F.col(keys[0])).limit(rows_cap)
+            # round-over-round probe comparability.  Ordering must be a
+            # TOTAL order or ties at the cap boundary are still picked
+            # arbitrarily — keys[0] alone is not unique for lineitem
+            # (~4 rows per l_orderkey; code-review r9, second pass) — so
+            # sort by every shift key plus the table's natural tiebreaker
+            # where the shift keys alone don't identify a row.  The extra
+            # sort is generation-only cost.
+            tiebreak = {"lineitem": ["l_linenumber"]}.get(t, [])
+            df = df.orderBy(*[F.col(k) for k in [*keys, *tiebreak]]).limit(rows_cap)
         # 32 files, not whatever the crossJoin's lineage leaves: the x1000
         # embeddings run came out as ONE 110 MB file — under the engine's
         # 128 MB maxPartitionBytes that is a single scan split, so every
