@@ -53,8 +53,14 @@ def ws_token_count(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     """BPE-ish regex token count (long) — a deterministic proxy for LLM
-    token budgets."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+    token budgets.
+
+    ``regexp_count``, not ``size(regexp_extract_all(...))``: both count the
+    same non-overlapping matches (and agree on NULL -> NULL), but
+    extract_all materialized a per-match string array per row just to take
+    its size — pure allocation in the corpus-prep/text-stats hot path
+    (optimization r9, guide §1.2 per-task work)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
 def char_count(text: Column) -> Column:
@@ -102,7 +108,10 @@ def stopword_ratio(text: Column) -> Column:
     text_stats' exported stop_ratio as an impossible probability
     (code-review r4).  quality_score's LEAST(1, ratio*4) is unaffected:
     any ratio >= 0.25 already saturated it."""
-    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(...)) for every input (same
+    # non-overlapping match walk, NULL -> NULL) without building the match
+    # array (optimization r9)
+    hits = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
     ws = ws_token_count(text)
     return (
         F.when(text.isNull(), F.lit(None).cast("double"))

@@ -591,44 +591,57 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_emissions_data_warehouse_spark.operators.dedup import content_keys
 
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = docs.select(
-        "doc_id", mask_pii(clean_text(F.col("text"))).alias("ctext")
-    )
-    scored = cleaned.withColumn("quality", quality_score(F.col("ctext"))).filter(
-        F.col("quality") >= 0.5
-    )
-    h1, h2 = content_keys(F.col("ctext"))
-    hashed = scored.select(
+    ctext = mask_pii(clean_text(F.col("text")))
+    h1, h2 = content_keys(ctext)
+    # ONE projection computes every text-derived column, so runtime
+    # subexpression elimination evaluates the 4-regex clean/mask chain once
+    # per row.  The quality filter must NOT sit between this projection and
+    # the aggregate: the optimizer pushes such a filter back through the
+    # projection by substitution, re-expanding the clean chain ~15x inside
+    # the Filter condition (the r9 before-plan's Filter node was 6 KB of
+    # nested regexp_replace; each row paid the chain at least twice).
+    # Because quality is a pure function of ctext and the group key is
+    # ctext's 128-bit hash, quality is group-constant, so filtering on the
+    # aggregated _q AFTER the groupBy keeps the exact same groups — and a
+    # predicate on an aggregate output cannot be pushed below the
+    # aggregation.  Measured 4.2-4.8 s -> ~1.1 s at sf0.1, bit-identical
+    # output (optimization r9, guide §1.2 step 1 / §7.2 duplicated-subtree
+    # check).
+    hashed = docs.select(
         "doc_id",
-        "quality",
-        bpe_token_count(F.col("ctext")).alias("bpe_tokens"),
-        F.length("ctext").alias("_len"),
+        quality_score(ctext).alias("quality"),
+        bpe_token_count(ctext).alias("bpe_tokens"),
+        F.length(ctext).alias("_len"),
         h1.alias("_h1"),
         h2.alias("_h2"),
     )
     # one groupBy aggregate, not row_number + min + max windows over the
     # same hash partitioning: the window trio shuffled AND SORTED every
-    # surviving row to keep one per group (the max_df lesson, round 6),
-    # while min_by + min/max partial-aggregate map-side — the exchange
-    # carries one row per distinct content hash per task and nothing is
-    # ever sorted.  doc_id is unique, so min_by is deterministic; output
-    # rows are identical to the window form.
+    # surviving row to keep one per group (the max_df lesson, round 6).
+    # Component-wise MIN, not min_by(struct, doc_id): every aggregated
+    # column is a pure function of ctext and the group key is ctext's
+    # 128-bit hash, so the values are group-constant and the component
+    # mins ARE the min-doc_id row's values (the _lmin = _lmax collision
+    # guard below still protects the assumption).  min_by over a struct
+    # forced SortAggregate — both sides of the exchange sorted the full
+    # corpus; primitive mins keep the whole aggregation a HashAggregate
+    # with map-side partials and nothing sorted (optimization r9).
     deduped = hashed.groupBy("_h1", "_h2").agg(
-        F.min_by(F.struct("doc_id", "bpe_tokens", "quality"), "doc_id").alias(
-            "_keep"
-        ),
+        F.min("doc_id").alias("_keep_id"),
+        F.min("bpe_tokens").alias("_bpe"),
+        F.min("quality").alias("_q"),
         F.min("_len").alias("_lmin"),
         F.max("_len").alias("_lmax"),
     )
-    return deduped.select(
+    return deduped.filter(F.col("_q") >= 0.5).select(
         # the collision check feeds doc_id so the optimizer cannot prune it
-        F.when(F.col("_lmin") == F.col("_lmax"), F.col("_keep.doc_id"))
+        F.when(F.col("_lmin") == F.col("_lmax"), F.col("_keep_id"))
         .otherwise(
             F.raise_error(F.lit("corpus_prep: 128-bit content-hash collision")).cast("long")
         )
         .alias("doc_id"),
-        F.col("_keep.bpe_tokens").alias("bpe_tokens"),
-        F.round(F.col("_keep.quality"), 6).alias("quality"),
+        F.col("_bpe").alias("bpe_tokens"),
+        F.round(F.col("_q"), 6).alias("quality"),
     )
 
 

@@ -514,9 +514,22 @@ def test_round6_no_window_in_cap_or_corpus_dedup(spark, sf_dir):
     assert win_lines, "expected the per-doc rolling-gram window to remain"
     assert not [l for l in win_lines if "shingle" in l], win_lines
 
+    # r9 optimization tightened (b) further: min_by(struct, doc_id) forced
+    # SortAggregate (both exchange sides sorted the full corpus); the
+    # aggregated columns are group-constant functions of ctext, so
+    # component-wise primitive mins are equivalent and keep the whole
+    # dedup a HashAggregate with map-side partials — nothing sorted.  The
+    # quality filter must also sit ABOVE the aggregate (on the aggregated
+    # _q): between projection and aggregate, pushdown-by-substitution
+    # re-expanded the 4-regex clean chain ~15x inside the Filter condition.
     plan2 = _formatted(entry_mod.queries()["corpus_prep"](spark, sf_dir))
-    assert "min_by" in plan2, f"corpus_prep dedup lost the min_by aggregate:\n{plan2[:600]}"
     assert "row_number" not in plan2
+    assert "SortAggregate" not in plan2, f"corpus_prep dedup regressed to SortAggregate:\n{plan2[:600]}"
+    assert "HashAggregate" in plan2, plan2[:600]
+    assert "partial_min(doc_id" in plan2, f"corpus_prep lost the map-side partial min:\n{plan2[:600]}"
+    # the quality predicate appears exactly once (above the agg), not
+    # re-expanded into a pre-exchange Filter over the regex chain
+    assert plan2.count(">= 0.5") == 1, f"quality filter duplicated/pushed:\n{plan2[:900]}"
 
 
 def test_round6_fk_checks_carry_no_forced_parent_broadcast(spark, sf_dir):
