@@ -130,9 +130,13 @@ def main() -> None:
         runs = []
         for i in range(repeats):
             spark.sparkContext.setJobDescription(f"{name}#{i}")
-            df = fn(spark, sf_dir)
+            # fn() INSIDE the timed window, exactly like bench.bench_one —
+            # queries with eager work in the builder (eager localCheckpoint
+            # of the edge list, k-means init collects) spend most of their
+            # wall there; timing only the noop save under-reported
+            # dedup_components 0.09 s vs its true 2.2 s (r9 session 3 fix)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         spark.sparkContext.setJobDescription(None)
         restore_scoped_confs(spark)
