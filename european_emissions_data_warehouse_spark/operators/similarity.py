@@ -233,7 +233,9 @@ def _rank_stratified_min_ids(
     )
 
 
-def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFrame:
+def _stratified_init_ids(
+    vecs: DataFrame, k: int, id_col: str = "id", vec_col: str | None = None
+) -> DataFrame:
     """(centroid_id, id): deterministic k-means init — one min-id
     representative per stratum, with PROVABLE occupancy.
 
@@ -261,13 +263,25 @@ def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFra
     anyway, and a count()-then-reuse form paid a SECOND full corpus
     aggregate when the downstream join re-evaluated the uncheckpointed
     init (bench-measured +24% on semdedup; the collect makes the whole
-    init exactly one corpus pass, the same as the pre-check code)."""
+    init exactly one corpus pass, the same as the pre-check code).
+
+    ``vec_col``: when set, each stratum row also carries that column's
+    value from its min-id row (``min_by(vec_col, id)`` inside the SAME
+    aggregate — ids are unique, so it is exactly the row the caller's
+    broadcast fetch join used to select).  This is the r9 optimization
+    that deletes the fetch join: callers previously joined the k init
+    ids back against the corpus just to read k vectors — one extra full
+    corpus scan per k-means build at 100 TB.  The collect payload grows
+    by k·dim doubles (bytes, not a scale term).  The tier-3 fallback has
+    no vector column in its rank frame and keeps a <=k-row broadcast
+    fetch join — it is only reached on tiny/adversarial id sets."""
     spark = vecs.sparkSession
 
     def residue(expr) -> DataFrame:
-        return vecs.groupBy(expr.cast("int").alias("centroid_id")).agg(
-            F.min(id_col).alias(id_col)
-        )
+        aggs = [F.min(id_col).alias(id_col)]
+        if vec_col is not None:
+            aggs.append(F.min_by(vec_col, F.col(id_col)).alias(vec_col))
+        return vecs.groupBy(expr.cast("int").alias("centroid_id")).agg(*aggs)
 
     cand = residue(F.pmod(F.col(id_col), F.lit(k)))
     rows = cand.collect()
@@ -288,6 +302,10 @@ def _stratified_init_ids(vecs: DataFrame, k: int, id_col: str = "id") -> DataFra
                 break
         else:
             cand = _rank_stratified_min_ids(vecs.select(id_col).distinct(), k, id_col)
+            if vec_col is not None:
+                cand = F.broadcast(cand).join(
+                    vecs.select(id_col, vec_col), id_col
+                ).select("centroid_id", id_col, vec_col)
             rows = cand.collect()
     return spark.createDataFrame(rows, cand.schema)
 
@@ -354,12 +372,18 @@ def ivf_build_centroids(
         # over the SAMPLE (bounded by the 1/mod rate the caller chose),
         # never the corpus.
         firsts = _rank_stratified_min_ids(train.select("id"), n_centroids)
+        # the fetch join reads from the SAMPLE checkpoint, never the corpus
+        centroids = F.broadcast(firsts).join(train, "id").select(
+            "centroid_id", F.col("v").cast("array<double>").alias("centroid")
+        )
     else:
         train = vecs
-        firsts = _stratified_init_ids(train, n_centroids)
-    centroids = F.broadcast(firsts).join(train, "id").select(
-        "centroid_id", F.col("v").cast("array<double>").alias("centroid")
-    )
+        # full-corpus path: the init aggregate carries the k vectors itself
+        # (min_by) — no fetch join, one fewer full corpus scan (r9)
+        firsts = _stratified_init_ids(train, n_centroids, vec_col="v")
+        centroids = firsts.select(
+            "centroid_id", F.col("v").cast("array<double>").alias("centroid")
+        )
 
     for _ in range(n_iters):
         assigned = ivf_assign(train, centroids, "id", "v")
@@ -464,10 +488,11 @@ def kmeans_exact(
     vecs = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    init = _stratified_init_ids(vecs, k)
-    centroids = F.broadcast(init).join(vecs, "id").select(
-        "centroid_id", F.col("v").alias("centroid")
-    )
+    # init carries the k vectors out of its own aggregate (min_by) — the
+    # previous broadcast fetch join here cost one extra full corpus scan
+    # per build just to read k rows (r9 optimization)
+    init = _stratified_init_ids(vecs, k, vec_col="v")
+    centroids = init.select("centroid_id", F.col("v").alias("centroid"))
     for _ in range(n_iters):
         assigned = ivf_assign(vecs, centroids, "id", "v")
         centroids = exact_centroid_means(assigned, scale)

@@ -531,3 +531,45 @@ def test_bm25_honors_query_term_multiplicity_and_collection_n(spark):
     idf = math.log(1 + (3 - 1 + 0.5) / 1.5)
     expected = round(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * dl1 / avgdl)), 4)
     assert abs(single[1] - expected) < 1e-9, (single[1], expected)
+
+
+def test_stratified_init_vec_carry_matches_fetch_join(spark):
+    """r9 optimization: _stratified_init_ids(vec_col=...) carries each
+    stratum's min-id vector out of the init aggregate itself (min_by),
+    replacing the broadcast fetch join that cost an extra full corpus
+    scan per k-means build.  The carried vector must be EXACTLY the
+    min-id row's vector on every tier: dense ids (tier 1), strided ids
+    that strand pmod residues (tier 2 salted hash), and an id set
+    smaller than k (tier 3 rank fallback, which keeps a <=k-row fetch
+    join)."""
+    from european_emissions_data_warehouse_spark.operators.similarity import (
+        _stratified_init_ids,
+    )
+
+    def check(rows_data, k):
+        vecs = spark.createDataFrame(rows_data, "id long, v array<double>")
+        got = {
+            r["centroid_id"]: (r["id"], list(r["v"]))
+            for r in _stratified_init_ids(vecs, k, vec_col="v").collect()
+        }
+        # reference: ids-only init + the old fetch join semantics
+        ref_ids = {
+            r["centroid_id"]: r["id"]
+            for r in _stratified_init_ids(vecs, k).collect()
+        }
+        by_id = {i: v for i, v in rows_data}
+        assert {c: i for c, (i, _) in got.items()} == ref_ids
+        for c, (i, v) in got.items():
+            assert v == by_id[i], (c, i, v, by_id[i])
+        return got
+
+    # tier 1: dense ids, all residues occupied
+    dense = [(i, [float(i), float(i % 3)]) for i in range(40)]
+    assert len(check(dense, 8)) == 8
+    # tier 2: all-even ids with k=4 leave pmod residues {0, 2} — the
+    # salted-hash tier must still occupy all 4 strata
+    strided = [(2 * i, [float(i), 1.0]) for i in range(50)]
+    assert len(check(strided, 4)) == 4
+    # tier 3: fewer distinct ids than k — rank fallback, vectors fetched
+    tiny = [(i * 16, [float(i), -1.0]) for i in range(3)]
+    assert len(check(tiny, 8)) == 3
