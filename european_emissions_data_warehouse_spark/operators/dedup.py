@@ -536,9 +536,20 @@ def minhash_signatures(
     confirm the candidate.  In the incremental store the effect was
     permanent: every token-less doc in every future batch was dropped as a
     dup of the first one stored.  Excluding them matches the verifier: no
-    content, no near-dup claim (code-review r4, final pass)."""
+    content, no near-dup claim (code-review r4, final pass).
+
+    The whole signature pipeline is narrow (tokenize -> gram hashes ->
+    32 array_min permutations, no exchange), so its parallelism is the
+    source's split count — spread_small_scan (guide §2.5 input skew)
+    hash-repartitions only when the source is under-split (measured
+    minhash_lsh_pairs 1.62 -> 1.02 s at sf0.1; strict no-op on an
+    amply-split production scan)."""
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        spread_small_scan,
+    )
+
     sh = (
-        _rolling_grams(docs, id_col, text_col, k, unit)
+        _rolling_grams(spread_small_scan(docs, id_col), id_col, text_col, k, unit)
         .filter(F.col("n_toks") > 0)
         .drop("n_toks")
     )

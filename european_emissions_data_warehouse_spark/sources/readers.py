@@ -150,6 +150,35 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> tuple[str, bool]:
     return one(path) or schema_only(path)
 
 
+def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Input-split starvation guard (optimization guide §2.5: input skew —
+    'one huge unsplittable file ... otherwise repartition immediately
+    after the read').
+
+    CPU-dense narrow pipelines (the regex clean/mask/quality chains,
+    MinHash signatures) do all their per-row work BEFORE their first
+    exchange — or have no exchange at all — so their parallelism is capped
+    by the source's SPLIT count, not by the cluster: one small parquet
+    file (or any unsplittable blob) serializes the whole chain onto 1-2
+    cores no matter how many are idle.  When the source offers fewer
+    partitions than the session's default parallelism, hash-repartition on
+    the row key — DETERMINISTIC, never keyless ``repartition(n)`` (whose
+    retry-safety costs a local sort of the input) and never a rand-derived
+    key (rows lost/duplicated on fetch-failure replay, SPARK-38388).
+    Otherwise a strict no-op: a production-scale scan with ample splits
+    never pays the extra exchange, and the driver's low-core bench rerun
+    adapts through defaultParallelism.
+
+    Applied ONLY at call sites where the spread measured faster at sf0.1
+    (OPTIMIZATION_r09.md): pipelines whose first exchange arrives cheaply
+    (bigram_logprob, dsir_weights) measured SLOWER with it and keep the
+    plain scan."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key_col)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its registered explicit schema."""
     # timestamps in the lake are naive-UTC; pin the session so date_format/
