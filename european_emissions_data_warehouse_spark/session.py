@@ -40,6 +40,24 @@ def get_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # AQE's parallelism-first coalescing (the default) aims for
+        # defaultParallelism post-shuffle partitions but never below
+        # minPartitionSize — whose 1 MB default binds exactly when a shuffle
+        # is byte-small but CPU-dense (the dedup family's gram joins, the
+        # similarity fan-outs: 2-5 MB of 8-byte keys fanning into heavy
+        # per-row work), capping those stages at 1-5 tasks regardless of
+        # core count (r9 stage audit: the capped-jaccard join stage ran 2
+        # tasks on 32 cores).  256 KB lets those stages spread ~4-10x while
+        # keeping partitions large enough that task-launch overhead stays
+        # amortized (64 KB was measured SLOWER than 256 KB on the iterative
+        # component queries — 32 near-empty tasks per round); at production
+        # shuffle sizes (>= 256 KB x parallelism) the floor is not binding
+        # and coalescing behaves exactly as before — a scale-adaptive
+        # default, not a local[32] tune (guide §2.2/§2.5; env-overridable
+        # like every other knob).
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"
+        ),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
