@@ -319,6 +319,12 @@ def contamination_overlap(
         .select("shingle")
         .distinct()
     )
+    return _contamination_tail(ti, eval_grams)
+
+
+def _contamination_tail(ti: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """The probe join + per-doc aggregate shared by both contamination
+    forms (two-table and partitioned-one-table)."""
     return (
         ti.join(eval_grams, "shingle")
         .groupBy("id")
@@ -333,6 +339,30 @@ def contamination_overlap(
             (F.col("n_shared_grams") / F.col("n_grams")).alias("shared_frac"),
         )
     )
+
+
+def contamination_overlap_partitioned(
+    docs: DataFrame,
+    eval_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    unit: str = "word",
+) -> DataFrame:
+    """:func:`contamination_overlap` for the common case where the training
+    and evaluation sides are COMPLEMENTARY row subsets of one table
+    (``eval_pred`` over the shingle index's ``id`` column selects the eval
+    docs; everything else is training).  The two-frame form scans and
+    shingles the corpus twice — each side reads every row group and
+    filters — where one build suffices: :func:`shingle_index` is a
+    per-document operator, so filtering its OUTPUT by id is row-identical
+    to filtering its input (r9 optimization, guide §1.2: one corpus
+    scan/tokenize/window pass instead of two).  The index is materialized
+    once (lazy localCheckpoint) and both sides filter the checkpoint."""
+    idx = shingle_index(docs, id_col, text_col, k, unit).localCheckpoint(eager=False)
+    eval_grams = idx.filter(eval_pred).select("shingle").distinct()
+    ti = idx.filter(~eval_pred)
+    return _contamination_tail(ti, eval_grams)
 
 
 def connected_components(

@@ -701,15 +701,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 7 != 0) sharing
     at least one word-8-gram with the held-out eval slice (doc_id % 7 == 0)
     — the GPT-3-style exact n-gram overlap screen.  The eval gram set is
-    broadcast (operators/dedup.py contamination_overlap), so the training
-    corpus never shuffles; grams travel as 62-bit rolling-hash identities,
-    never strings."""
-    from european_emissions_data_warehouse_spark.operators.dedup import contamination_overlap
+    broadcast (operators/dedup.py), so the training corpus never shuffles;
+    grams travel as 62-bit rolling-hash identities, never strings.  Both
+    sides are %7 partitions of ONE table, so the partitioned form builds
+    the shingle index once and filters it — one corpus scan/tokenize pass
+    instead of two (r9 optimization; rows identical, shingle_index is
+    per-document)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        contamination_overlap_partitioned,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
-    train = docs.filter(F.col("doc_id") % 7 != 0)
-    return contamination_overlap(train, eval_docs, k=8, unit="word").select(
+    return contamination_overlap_partitioned(
+        docs, F.col("id") % 7 == 0, k=8, unit="word"
+    ).select(
         F.col("id").alias("doc_id"), "n_grams", "n_shared_grams", "shared_frac"
     )
 
