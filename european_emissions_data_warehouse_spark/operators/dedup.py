@@ -394,6 +394,28 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=False)
     )
+
+    def label_sum(df: DataFrame) -> tuple:
+        """One-action fingerprint of the (id, comp) labeling — count +
+        xor + overflow-safe decimal sum of per-row hashes, the same
+        single-job convergence probe connected_components_star uses for
+        edges.  Valid AS a fixpoint test here because labels are
+        monotonically non-increasing per id (min of self and neighbors):
+        any pointwise change strictly shrinks at least one label with
+        none growing, so the label MULTISET changes too, and equal
+        fingerprints mean pointwise-equal labelings (up to the ~2^-128
+        hash-collision odds the star form already accepts).  Replaces
+        the per-round new-vs-old equi-join + count — two shuffled inputs
+        per round — with one partial-aggregable pass (r9 optimization)."""
+        h = F.xxhash64("id", "comp")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(id, comp))"), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+        ).first()
+        return (row["n"], row["x"], row["s"])
+
+    labels_sum = label_sum(labels)
     for _ in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("comp")
@@ -402,18 +424,14 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            # lazy: materializes inside the `changed` count that follows
+            # lazy: materializes inside the fingerprint action that follows
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == labels_sum:
             return labels.select("id", F.col("comp").alias("component"))
+        labels_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
 
 
