@@ -170,9 +170,24 @@ def shingle_index(
     interpreted-HOF generator children are evaluated per OUTPUT row)."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_split_tokens(F.col(text_col), unit)).alias("pos", "tok"),
+    from european_emissions_data_warehouse_spark.sources.readers import (
+        spread_small_scan,
+    )
+
+    # Spread the DOC rows before exploding (r9): the gram windows need
+    # hashpartitioning(id) anyway, so repartitioning the (id, text) rows on
+    # id when the source is under-split (a) runs tokenize+hash at full
+    # parallelism instead of at the scan's 1-2 splits, and (b) moves the
+    # exchange BELOW the explode — one row per doc crosses it instead of
+    # one row per token (the window otherwise shuffles the whole exploded
+    # (id, pos, h1, h2) token stream).  A strict no-op on an amply-split
+    # production scan (spread_small_scan's guard).
+    sel = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")), "id"
+    )
+    toks = sel.select(
+        "id",
+        F.posexplode(_split_tokens(F.col("_t"), unit)).alias("pos", "tok"),
     )
     th = toks.select(
         "id",
