@@ -30,72 +30,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 queries in registration order.  All 164
-# registered queries hold a green driver row (cumulative r1-r8), so round 9
+# registered queries hold a green driver row (cumulative r1-r9), so round 10
 # rotates the window to the 50 queries with the OLDEST green rows (VERDICT
-# r8 item #1), recomputed from the CORRECTNESS_r0*.json latest-green map:
-# the 14 remaining r5-vintage rows plus the 36 alphabetically-first
-# r6-vintage rows.  The driver row is the hard signal; re-grading a green
+# r9 item #5), recomputed from the CORRECTNESS_r0*.json latest-green map:
+# the 14 remaining r6-vintage rows plus the 36 alphabetically-first
+# r7-vintage rows.  The driver row is the hard signal; re-grading a green
 # query under the current engine is free insurance.
 _GRADE_FIRST = [
-    # --- r5-vintage driver rows (graded round 5, never since) ---
-    "rename",
-    "rollup_region",
-    "running_total",
-    "salted_distinct",
-    "scalar_funcs",
-    "scalar_subquery",
-    "semi_join",
-    "session_window",
-    "set_ops",
-    "string_agg_nations",
-    "top3_per_segment",
-    "top_building_orders",
-    "topk_orders",
-    "weighted_avg_udaf",
-    # --- r6-vintage driver rows (alphabetically first 36 of 50) ---
-    "ann_ivfpq",
-    "ann_pq",
-    "approx_percentile",
-    "bigram_logprob",
-    "date_spine",
-    "decontaminate",
-    "dedup_components_star",
-    "dominant_suppliers",
-    "dq_report",
-    "dsir_weights",
-    "event_transitions",
-    "idle_rich_customers",
-    "incremental_agg",
-    "large_orders",
-    "lateral_top_orders",
-    "length_deciles",
-    "local_supplier_revenue",
-    "market_share",
-    "media_frames",
-    "media_resize",
-    "median_by_segment",
-    "mixture_temperature",
-    "monthly_growth",
-    "name_similarity",
-    "nation_trade_volume",
-    "ngram_jaccard",
-    "ngram_jaccard_capped",
-    "null_handling",
-    "order_count_histogram",
-    "order_gap_stats",
-    "orphan_audit",
-    "percent_of_total",
-    "pipe_syntax_summary",
-    "pmi_pairs",
-    "price_histogram",
-    "price_regression",
+    # --- r6-vintage driver rows (graded round 6, never since) ---
+    "priority_by_status",
+    "product_profit",
+    "promo_revenue",
+    "quality_weighted_sample",
+    "quantize_int8",
+    "recursive_ancestry",
+    "returned_revenue_top",
+    "revenue_filter",
+    "sentence_udtf",
+    "sequence_pack",
+    "stratified_sample",
+    "token_positions",
+    "user_streaks",
+    "window_nav",
+    # --- r7-vintage driver rows (alphabetically first 36 of 64) ---
+    "ann_ivf",
+    "ann_lsh",
+    "ann_topk",
+    "asof_join",
+    "bm25_search",
+    "bpe_apply_merge",
+    "bpe_pair_counts",
+    "chunk_dedup",
+    "cohort_retention",
+    "corpus_prep",
+    "corpus_shuffle",
+    "csv_roundtrip",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_rate_by_source",
+    "dedupe_last",
+    "dim_decode_join",
+    "doc_fingerprint",
+    "etl_flagship",
+    "funnel_conversion",
+    "heavy_hitters_cms",
+    "hll_distinct",
+    "important_parts",
+    "k_anonymity",
+    "kmeans_clusters",
+    "lang_predict",
+    "lateness_profile",
+    "minhash_neardup",
+    "mutual_nn",
+    "nb_quality",
+    "padding_efficiency",
+    "pricing_summary",
+    "range_join_peak",
+    "readability",
+    "repeat_buyer_share",
+    "repetition_signals",
 ]
-# (The remaining 14 r6-vintage rows are the stalest after this window and
-# should lead round 10: priority_by_status, product_profit, promo_revenue,
-# quality_weighted_sample, quantize_int8, recursive_ancestry,
-# returned_revenue_top, revenue_filter, sentence_udtf, sequence_pack,
-# stratified_sample, token_positions, user_streaks, window_nav — recompute
-# from the CORRECTNESS_r*.json latest-green map at rotation time.)
+# (The remaining 28 r7-vintage rows are the stalest after this window and
+# should lead round 11 — recompute from the CORRECTNESS_r*.json
+# latest-green map at rotation time.)
 
 # Ungraded queries that do NOT fit this round's 50-entry window.  EMPTY as
 # of round 4: every registered query either holds a driver CORRECTNESS row

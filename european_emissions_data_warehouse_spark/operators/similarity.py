@@ -18,7 +18,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
+# literal_frame/column: codebook-sized driver-side rows as folded JVM
+# literals — see functions/frames.py for the createDataFrame Python-RDD
+# tax and the per-scalar-F.lit py4j tax these avoid
+from european_emissions_data_warehouse_spark.functions.frames import (
+    literal_column as _literal_column,
+    literal_frame as _literal_frame,
+)
 from european_emissions_data_warehouse_spark.functions.vectors import cosine, dot, norm
 
 
@@ -201,7 +215,11 @@ def _signature_from_planes(vec_col, planes: list[list[float]]):
 
 
 def _rank_stratified_min_ids(
-    frame: DataFrame, k: int, id_col: str = "id", partition_cols: tuple = ()
+    frame: DataFrame,
+    k: int,
+    id_col: str = "id",
+    partition_cols: tuple = (),
+    vec_col: str | None = None,
 ) -> DataFrame:
     """(partition_cols..., centroid_id, id): THE rank-proportional
     stratification — stratum(rk) = floor((rk-1)*k/n) with the min id per
@@ -215,13 +233,25 @@ def _rank_stratified_min_ids(
     With ``partition_cols`` the rank window is partitioned (never
     single-partition at scale — the two-level per-list use); without, the
     window is global and callers must bound the input (distinct ids of a
-    tiny/adversarial set, or a 1/mod hash SAMPLE — never the corpus)."""
+    tiny/adversarial set, or a 1/mod hash SAMPLE — never the corpus).
+
+    ``vec_col``: when set, each stratum row also carries that column's
+    value from its min-id row (``min_by(vec_col, id)`` inside the SAME
+    aggregate — ids are unique per partition, so it is exactly the row
+    the caller's broadcast fetch join selected).  The r10 extension of
+    the r9 tier-1 carry: callers previously joined the stratum ids back
+    against the corpus just to read the init vectors — one extra full
+    pass per build."""
     pw = Window.partitionBy(*partition_cols).orderBy(id_col)
     cw = Window.partitionBy(*partition_cols)
+    aggs = [F.min(id_col).alias(id_col)]
+    if vec_col is not None:
+        aggs.append(F.min_by(vec_col, F.col(id_col)).alias(vec_col))
     return (
         frame.select(
             *partition_cols,
             id_col,
+            *([vec_col] if vec_col is not None else []),
             F.row_number().over(pw).alias("_rk"),
             F.count(F.lit(1)).over(cw).alias("_n"),
         )
@@ -229,7 +259,7 @@ def _rank_stratified_min_ids(
             *partition_cols,
             ((F.col("_rk") - 1) * F.lit(k) / F.col("_n")).cast("int").alias("centroid_id"),
         )
-        .agg(F.min(id_col).alias(id_col))
+        .agg(*aggs)
     )
 
 
@@ -307,7 +337,12 @@ def _stratified_init_ids(
                     vecs.select(id_col, vec_col), id_col
                 ).select("centroid_id", id_col, vec_col)
             rows = cand.collect()
-    return spark.createDataFrame(rows, cand.schema)
+    # JVM literal, not createDataFrame: the init frame is consumed by
+    # every Lloyd collect and the final assign — the Python-RDD-backed
+    # form cost one 32-Python-task scan per consuming job (r10)
+    return _literal_frame(
+        spark, [tuple(r) for r in rows], cand.schema
+    )
 
 
 def ivf_build_centroids(
@@ -390,20 +425,27 @@ def ivf_build_centroids(
         exploded = assigned.select(
             "centroid_id", F.posexplode(F.col("v").cast("array<double>")).alias("dim", "x")
         )
-        means = (
-            exploded.groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                "centroid_id",
-                F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
-            )
+        sums = exploded.groupBy("centroid_id", "dim").agg(F.avg("x").alias("m"))
+        # k·dim per-dim means collected and re-emitted as a LITERAL frame
+        # (r10, VERDICT r9 item #3 — the MLlib Lloyd shape): one job per
+        # iteration instead of a per-consumer broadcast DAG build, the
+        # collect_list re-aggregation exchange gone, and no lineage to
+        # truncate (the old per-iteration localCheckpoint is obsolete).
+        # The avg VALUES are whatever this one execution computed — the
+        # same single evaluation the lazy checkpoint pinned before.
+        rows = sums.collect()
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in rows:
+            by_cid.setdefault(r["centroid_id"], []).append((r["dim"], r["m"]))
+        schema = StructType(
+            [sums.schema["centroid_id"],
+             StructField("centroid", ArrayType(DoubleType()), False)]
         )
-        # k tiny rows; the checkpoint keeps lineage depth constant across
-        # Lloyd iterations (and callers reusing the centroids — ivf_topk
-        # probes AND builds inverted lists — run the loop once, not twice)
-        centroids = means.localCheckpoint(eager=False)
+        centroids = _literal_frame(
+            vectors.sparkSession,
+            [(cid, [m for _, m in sorted(dims)]) for cid, dims in sorted(by_cid.items())],
+            schema,
+        )
 
     return centroids
 
@@ -414,46 +456,79 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, v, centroid_id): nearest centroid per vector by cosine.
-    Centroids broadcast; one pass over the corpus.
+    """(id, v, centroid_id): nearest centroid per vector by cosine — ONE
+    narrow pass over the corpus, zero shuffle, zero sort.
 
-    Argmax via ``max_by`` over the broadcast-scored rows, NOT a per-id
-    ``row_number`` window and NOT an array-fold: the window form shuffles
-    all n·k scored rows WITH their full vectors (the r4 decade study
-    measured that exchange as the flat-assignment wall at 200k x k=80:
-    ~24 GB of vector bytes per Lloyd pass), while the interpreted
-    higher-order-function fold leaves whole-stage codegen (~3x slower at
-    codebook-sized k).  ``max_by`` keeps the cosine inside codegen AND
-    partial-aggregates map-side — every vector's k scored copies collapse
-    to one row inside their producing task, so the exchange carries n
-    rows (one vector-width each, the same volume as the corpus itself).
-    Tie-break (sim desc, centroid_id asc) is encoded in the comparison
-    struct, preserving bit-identical winners vs the window form.  When k
-    must GROW with n — constant-cluster-size clustering, the SemDeDup
-    recipe — even n·k map-side cosines are the bottleneck; that regime
-    belongs to kmeans_two_level, which scores only ~2·sqrt(k) centroids
-    per vector."""
-    # cosine factored as dot/(|v|·|c|) with both norms hoisted OUT of the
-    # k-way cross product: |v| is computed once per corpus row and |c| once
-    # per broadcast centroid, so each scored copy evaluates ONE array fold
-    # (the dot) instead of three.  The expression tree per value is
-    # unchanged (same sqrt-of-fold, same multiply/divide order), so every
-    # sim — and therefore every winner — is bit-identical to cosine().
-    scored = (
+    In-row argmax against the centroid codebook as a LITERAL array of
+    (vector, norm, id) structs (r10, VERDICT r9 item #1): each corpus row
+    folds over the k-entry array with ``array_max(transform(...))``, whose
+    comparison struct (sim desc, centroid_id asc via negation) encodes
+    EXACTLY the ordering the previous ``max_by`` aggregate used — winners
+    are bit-identical (value-hash-proven at sf0.1, r9 record).  The old
+    shape scored k broadcast copies per vector and collapsed them with
+    max_by, whose struct-typed ordering buffer is not hash-aggregable:
+    SortAggregate sorted all n·k scored rows on BOTH sides of an n-row
+    exchange — at 100 TB a full-corpus sort + shuffle per Lloyd pass, the
+    biggest scale term this layer had.  The r9 in-row attempt lost at
+    bench scale only because it built the literal through a
+    single-partition collect_list + broadcast DAG; with the centroid
+    frames now driver-side literals (see exact_centroid_means), the
+    codebook is already on the driver and the literal costs nothing.
+
+    Centroids are collected here (codebook-sized by contract — k·dim
+    doubles, the same rows every caller already collects for occupancy /
+    persistence); a LITERAL centroid frame collects without a job.  The
+    k norms are computed by Spark in the collect projection — the same
+    ``norm()`` expression the broadcast side evaluated before, so every
+    sim = dot/(|v|·|c|) is the identical expression tree per value.
+    When k must GROW with n — constant-cluster-size clustering, the
+    SemDeDup recipe — even n·k in-row cosines are the bottleneck; that
+    regime belongs to kmeans_two_level, which scores only ~2·sqrt(k)
+    centroids per vector."""
+    cent_dtype = centroids.schema["centroid_id"].dataType.simpleString()
+    crows = sorted(
+        centroids.withColumn("_ncn", norm(F.col("centroid"))).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not crows:
+        raise ValueError("ivf_assign: empty centroids frame")
+    # one from_json literal (functions/frames.py), NOT per-scalar F.lit:
+    # the py4j-per-scalar build cost ~1.8 s of driver time per codebook
+    # and a multi-thousand-node tree re-analyzed by every consumer (r10)
+    cents = _literal_column(
+        [
+            (list(r["centroid"]), float(r["_ncn"]), int(r["centroid_id"]))
+            for r in crows
+        ],
+        ArrayType(
+            StructType(
+                [
+                    StructField("c", ArrayType(DoubleType())),
+                    StructField("ncn", DoubleType()),
+                    StructField("cid", LongType()),
+                ]
+            )
+        ),
+    )
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (
+                dot(F.col("v"), c.getField("c"))
+                / (F.col("_nv") * c.getField("ncn"))
+            ).alias("s"),
+            (-c.getField("cid")).alias("nc"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("_nv", norm(F.col("v")))
-        .crossJoin(F.broadcast(centroids.withColumn("_ncn", norm(F.col("centroid")))))
-        .withColumn(
-            "sim",
-            dot(F.col("v"), F.col("centroid")) / (F.col("_nv") * F.col("_ncn")),
+        .select(
+            "id",
+            "v",
+            (-best.getField("nc")).cast(cent_dtype).alias("centroid_id"),
         )
-    )
-    return scored.groupBy("id").agg(
-        F.any_value("v").alias("v"),  # all k copies carry the same vector
-        F.max_by(
-            "centroid_id",
-            F.struct(F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc")),
-        ).alias("centroid_id"),
     )
 
 
@@ -495,9 +570,9 @@ def kmeans_exact(
     centroids = init.select("centroid_id", F.col("v").alias("centroid"))
     for _ in range(n_iters):
         assigned = ivf_assign(vecs, centroids, "id", "v")
+        # literal frame (one collect job per iteration, MLlib-style) — no
+        # lineage to truncate, so the old per-iteration checkpoint is gone
         centroids = exact_centroid_means(assigned, scale)
-        if n_iters > 1:  # constant lineage depth; pointless for a single round
-            centroids = centroids.localCheckpoint(eager=False)
     return ivf_assign(vecs, centroids, "id", "v")
 
 
@@ -513,22 +588,41 @@ def exact_centroid_means(
     flat Lloyd step (centroid_id), the PQ subspace step (sub, centroid_id),
     and the two-level sub step (coarse_id, sub_id) all call it, so the
     'bit-identical cross-engine' contract cannot silently diverge between
-    paths (code-review r4)."""
+    paths (code-review r4).
+
+    Returns a LITERAL frame (r10 optimization, VERDICT r9 item #3): the
+    k·dim (group, dim) integer sums — codebook-sized and corpus-
+    independent, the same rows Spark MLlib's Lloyd step collects every
+    iteration — are collected in ONE job and the means assembled driver-
+    side.  The old second aggregate (k·dim rows re-shuffled into
+    collect_list arrays) and its exchange are gone, and every downstream
+    broadcast of the centroid frame becomes a LocalTableScan instead of a
+    multi-stage DAG build: the sequential per-Lloyd-pass job chain this
+    layer paid (3 exchanges per pass, each an AQE stage-job) collapses to
+    one.  Values are bit-identical: the division s/(n·scale) is the same
+    IEEE double op in Python as in the removed Spark projection, and
+    long→double conversion rounds identically."""
     gcols = list(group_cols)
     comp = assigned.select(*gcols, F.posexplode("v").alias("dim", "x"))
     sums = comp.groupBy(*gcols, "dim").agg(
         F.sum(F.floor(F.col("x") * scale)).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    return (
-        sums.withColumn("m", F.col("s") / (F.col("n") * F.lit(float(scale))))
-        .groupBy(*gcols)
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(
-            *gcols,
-            F.transform("dm", lambda s: s.getField("m")).alias("centroid"),
+    rows = sums.collect()
+    by_group: dict[tuple, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in gcols), []).append(
+            (r["dim"], r["s"] / (r["n"] * float(scale)))
         )
+    data = [
+        (*key, [m for _, m in sorted(dims)])
+        for key, dims in sorted(by_group.items())
+    ]
+    schema = StructType(
+        [sums.schema[g] for g in gcols]
+        + [StructField("centroid", ArrayType(DoubleType()), False)]
     )
+    return _literal_frame(assigned.sparkSession, data, schema)
 
 
 def two_level_split(k: int) -> tuple[int, int]:
@@ -626,16 +720,20 @@ def kmeans_two_level(
     # min(k2, n_list) strata provably; the rank window is partitioned by
     # coarse_id (never single-partition) and runs once, at init only
     # (code-review r4).
+    # the init aggregate carries each stratum's min-id VECTOR out with it
+    # (min_by — r10, same carry as the flat tier-1 init): the previous
+    # broadcast fetch join here paid one extra full pass over the coarse
+    # assignment just to read k1·k2 init vectors
     init = _rank_stratified_min_ids(
-        vecs.select("coarse_id", "id"), k2, partition_cols=("coarse_id",)
+        vecs.select("coarse_id", "id", "v"), k2, partition_cols=("coarse_id",),
+        vec_col="v",
     ).withColumnRenamed("centroid_id", "sub_id")
-    sub_centroids = F.broadcast(init).join(
-        vecs.select("id", "v"), "id"
-    ).select("coarse_id", "sub_id", F.col("v").alias("centroid"))
+    sub_centroids = init.select(
+        "coarse_id", "sub_id", F.col("v").alias("centroid")
+    )
     for _ in range(n_iters):
+        # sub_means returns a literal frame — no lineage checkpoint needed
         sub_centroids = sub_means(assign(sub_centroids))
-        if n_iters > 1:
-            sub_centroids = sub_centroids.localCheckpoint(eager=False)
     final = assign(sub_centroids)
     return final.select(
         "id",
@@ -767,29 +865,65 @@ def pq_reconstruct(
     ).localCheckpoint(eager=False)
 
     def assign(frame: DataFrame, cents: DataFrame) -> DataFrame:
-        # max_by, not a window: partial aggregation collapses each
-        # (sub, id)'s k scored copies map-side, so the exchange carries
-        # n·m sub-vector rows instead of n·m·k; norms hoisted out of the
-        # k-way join exactly as in ivf_assign (bit-identical sims)
-        scored = (
-            frame.withColumn("_nv", norm(F.col("v")))
-            .join(
-                F.broadcast(cents.withColumn("_ncn", norm(F.col("centroid")))), "sub"
+        # In-row argmax against the per-subspace codebook as a literal
+        # (r10, same rewrite as ivf_assign — see its docstring): the old
+        # max_by aggregate's struct ordering buffer forced SortAggregate,
+        # sorting all n·m sub-vector rows around an exchange every Lloyd
+        # pass; the literal-indexed transform scores each (sub, id) row
+        # in place with zero shuffle and the identical (sim desc, cid
+        # asc) comparison — bit-identical codes.  element_at(sub + 1) is
+        # in-range by construction: sub comes from the m-way posexplode.
+        cent_dtype = cents.schema["centroid_id"].dataType.simpleString()
+        crows = cents.withColumn("_ncn", norm(F.col("centroid"))).collect()
+        by_sub: dict[int, list] = {}
+        for r in crows:
+            by_sub.setdefault(r["sub"], []).append(r)
+        missing = [s for s in range(m) if s not in by_sub]
+        if missing:
+            raise ValueError(
+                f"pq_reconstruct: no centroids for subspace(s) {missing}"
             )
-            .withColumn(
-                "sim",
-                dot(F.col("v"), F.col("centroid"))
-                / (F.col("_nv") * F.col("_ncn")),
-            )
+        # one from_json literal per assign (functions/frames.py), NOT
+        # per-scalar F.lit — see ivf_assign
+        per_sub = _literal_column(
+            [
+                [
+                    (list(r["centroid"]), float(r["_ncn"]), int(r["centroid_id"]))
+                    for r in sorted(by_sub[s], key=lambda r: r["centroid_id"])
+                ]
+                for s in range(m)
+            ],
+            ArrayType(
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("c", ArrayType(DoubleType())),
+                            StructField("ncn", DoubleType()),
+                            StructField("cid", LongType()),
+                        ]
+                    )
+                )
+            ),
         )
-        return scored.groupBy("sub", "id").agg(
-            F.any_value("v").alias("v"),
-            F.max_by(
-                "centroid_id",
-                F.struct(
-                    F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc")
-                ),
-            ).alias("centroid_id"),
+        scored = F.transform(
+            F.element_at(per_sub, F.col("sub") + 1),
+            lambda c: F.struct(
+                (
+                    dot(F.col("v"), c.getField("c"))
+                    / (F.col("_nv") * c.getField("ncn"))
+                ).alias("s"),
+                (-c.getField("cid")).alias("nc"),
+            ),
+        )
+        best = F.array_max(scored)
+        return (
+            frame.withColumn("_nv", norm(F.col("v")))
+            .select(
+                "sub",
+                "id",
+                "v",
+                (-best.getField("nc")).cast(cent_dtype).alias("centroid_id"),
+            )
         )
 
     def means(assigned: DataFrame) -> DataFrame:
@@ -839,9 +973,9 @@ def pq_reconstruct(
         "sub", "centroid_id", F.col("v").alias("centroid")
     )
     for _ in range(n_iters):
+        # literal frame per iteration (exact_centroid_means collects the
+        # codebook-sized sums) — no lineage checkpoint needed
         centroids = means(assign(train_subs, centroids))
-        if n_iters > 1:
-            centroids = centroids.localCheckpoint(eager=False)
     # two consumers (codebook aggregation + the code join) — materialize once
     asg = assign(subs, centroids).localCheckpoint(eager=False)
     # full-corpus path: recon = mean of the final assignment (oracle

@@ -713,7 +713,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_overlap_partitioned(
-        docs, F.col("id") % 7 == 0, k=8, unit="word"
+        docs, lambda id_c: id_c % 7 == 0, k=8, unit="word"
     ).select(
         F.col("id").alias("doc_id"), "n_grams", "n_shared_grams", "shared_frac"
     )

@@ -172,11 +172,46 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     Applied ONLY at call sites where the spread measured faster at sf0.1
     (OPTIMIZATION_r09.md): pipelines whose first exchange arrives cheaply
     (bigram_logprob, dsir_weights) measured SLOWER with it and keep the
-    plain scan."""
+    plain scan.
+
+    The ``.rdd`` partition-count probe runs ONLY when the frame is a plain
+    scan (+ Project/Filter/local checkpoint): shingle_index and the minhash
+    family accept arbitrary frames, and under AQE converting a frame with
+    upstream exchanges to an RDD finalizes the adaptive plan — which can
+    execute shuffle stages eagerly, outside the real job (ADVICE r9).  For
+    a derived frame the guard returns the input untouched: every measured
+    winner site feeds a plain scan, and a derived frame's parallelism is
+    already set by its own exchanges, not by the scan split count this
+    guard exists to fix."""
     sc = df.sparkSession.sparkContext
+    if not _plan_is_simple_scan(df):
+        return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism, key_col)
+
+
+_SIMPLE_SCAN_NODES = ("Project", "Filter", "Relation", "LogicalRDD")
+
+
+def _plan_is_simple_scan(df: DataFrame) -> bool:
+    """True iff the frame's optimized logical plan is only
+    Project/Filter over a leaf (file relation or checkpointed RDD) — the
+    shapes where ``df.rdd`` is a pure lineage build with no exchanges for
+    AQE to materialize.  Anything else (joins, aggregates, windows,
+    generators, unions) returns False and :func:`spread_small_scan`
+    becomes a no-op.  Driver-side plan inspection only; on any
+    introspection failure the answer is False (skip the spread — it is an
+    optimization, never a correctness step)."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(_SIMPLE_SCAN_NODES):
+            return False
+    return True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

